@@ -1,0 +1,44 @@
+package graft.config
+
+import java.time.Instant
+
+/** Declarative description of one backup run — the Spark-side analogue of
+  * the reference CLI's flag surface (`cmd/backup.go:34-93`):
+  * database/table → input path; `--column` → partitionColumn; `--rows`
+  * (clamped to 1000, `cmd/backup.go:213-217`) → maxRecordsPerFile;
+  * `--dry-run` (`cmd/backup.go:102-105`) → dryRun.
+  *
+  * All resolution happens driver-side; the pipeline itself is a single
+  * Catalyst-planned DataFrame write (see [[graft.operators.Backup]]).
+  */
+final case class BackupConfig(
+    inputPath: String,
+    outputPath: String,
+    timeColumn: String = "ts",
+    partitionColumn: String = "event_type",
+    from: Instant,
+    to: Instant,
+    maxRowsPerChunk: Int = 1000,
+    dryRun: Boolean = false,
+    gzip: Boolean = true
+) {
+  require(from.isBefore(to), s"from=$from must be before to=$to")
+  /** Reference clamps page size to 1000 (`cmd/backup.go:213-217`). */
+  def clampedRows: Int = math.min(math.max(maxRowsPerChunk, 1), 1000)
+}
+
+object BackupConfig {
+  /** Build from CLI-style string specs, resolving the time window with
+    * the reference's anchoring rules (to before from).
+    */
+  def fromSpecs(inputPath: String, outputPath: String,
+                fromSpec: Option[String], toSpec: Option[String],
+                timeColumn: String = "ts",
+                partitionColumn: String = "event_type",
+                maxRows: Int = 1000, dryRun: Boolean = false,
+                now: Instant = Instant.now()): Either[String, BackupConfig] =
+    TimeWindows.resolve(fromSpec, toSpec, now).map { case (f, t) =>
+      BackupConfig(inputPath, outputPath, timeColumn, partitionColumn,
+        f, t, maxRows, dryRun)
+    }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Reference-parity operator surface (SURVEY.md §2, r-prefix).
+  *
+  * The reference's whole query surface is two SQL shapes pushed to
+  * Timestream (`cmd/backup.go:170-178`, `240-248`) plus client-side
+  * chunk/count bookkeeping; here each becomes a declarative Spark plan
+  * Catalyst can push down and codegen.
+  *
+  * Timestamp-output discipline: the fixture `events.ts` carries
+  * nanosecond precision; Spark truncates to microseconds while the
+  * DuckDB oracle keeps nanos — so every *output* timestamp is either
+  * formatted (`date_format`, second/micro precision) or truncated, and
+  * window orderings add an `event_id` tie-break so both engines agree.
+  */
+object RefQueries {
+
+  // Backup window over the events fixture (data spans 2024-01-01..01-30).
+  private val From = "2024-01-05 00:00:00"
+  private val To   = "2024-01-25 00:00:00"
+  private val ChunkRows = 500 // reference --rows clamp ≤1000 (cmd/backup.go:213-217)
+
+  private def eventsInWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      // P3: both-inclusive time-range predicate (cmd/backup.go:171,241)
+      .filter(col("ts") >= lit(From).cast("timestamp") &&
+              col("ts") <= lit(To).cast("timestamp"))
+
+  private val oracleWindow =
+    s"ts >= TIMESTAMP '$From' AND ts <= TIMESTAMP '$To'"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // S2+P1+P3+P5+A1 — partition discovery: DISTINCT partition values in
+    // the window, NULLs skipped (cmd/backup.go:170-178, 198-203).
+    "r1_discovery" -> QueryDef(
+      s"""SELECT event_type FROM events
+         |WHERE $oracleWindow AND event_type IS NOT NULL
+         |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      eventsInWindow(s, dir)
+        .select(col("event_type"))
+        .where(col("event_type").isNotNull)
+        .distinct()
+    },
+
+    // S1+P2+P3+P4+O1 — per-partition extraction: SELECT * in window with
+    // equality predicate, newest-first (cmd/backup.go:240-248).
+    "r2_extraction" -> QueryDef(
+      s"""SELECT event_id, user_id, event_type, value,
+         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, props
+         |FROM events
+         |WHERE $oracleWindow AND event_type = 'click'""".stripMargin) { (s, dir) =>
+      eventsInWindow(s, dir)
+        .filter(col("event_type") === lit("click"))
+        .orderBy(col("ts").desc)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("props"))
+    },
+
+    // O2+A2 — chunking + per-chunk min/max time: the reference pages rows
+    // 1000-at-a-time per partition and derives each chunk's [from,to]
+    // from first/last row (cmd/backup.go:266-281). Spark-side the chunk id
+    // is a window computation; min/max per chunk is a plain agg —
+    // order-independent and strictly more correct than first/last-row.
+    "r3_chunk_minmax" -> QueryDef(
+      s"""WITH numbered AS (
+         |  SELECT event_type, ts,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY date_trunc('microsecond', ts) DESC, event_id DESC) AS rn
+         |  FROM events WHERE $oracleWindow
+         |)
+         |SELECT event_type,
+         |       CAST((rn - 1) // $ChunkRows AS BIGINT) AS chunk_id,
+         |       count(*) AS n_rows,
+         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS chunk_from,
+         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS chunk_to
+         |FROM numbered
+         |GROUP BY event_type, chunk_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      eventsInWindow(s, dir)
+        .withColumn("chunk_id",
+          ((row_number().over(w) - 1) / ChunkRows).cast("long"))
+        .groupBy(col("event_type"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("chunk_from"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("chunk_to"))
+    },
+
+    // A3 — per-partition row counts (the reference's mutex-guarded
+    // totalRowsPerPartitions map, cmd/backup.go:221-222, 299-301).
+    "r4_partition_counts" -> QueryDef(
+      s"""SELECT event_type, count(*) AS n_rows FROM events
+         |WHERE $oracleWindow GROUP BY event_type""".stripMargin) { (s, dir) =>
+      eventsInWindow(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
+    // S6/F4 — schema-on-read nested decode: the reference recursively
+    // decodes Timestream Datum trees (helpers/helpers.go:43-63); here the
+    // JSON `props` column plays the nested payload, decoded by from_json.
+    "r5_json_decode" -> QueryDef(
+      """SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+        |       count(*) AS n
+        |FROM events GROUP BY k""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    },
+
+    // F5 — faithful stringification with the reference's NULL sentinel:
+    // every scalar leaf becomes a string, SQL NULL becomes the literal
+    // "NULL" (helpers/helpers.go:5-10). Doubles go through decimal so both
+    // engines print identical digits.
+    "r6_stringify" -> QueryDef(
+      s"""SELECT event_id,
+         |  COALESCE(CAST(event_type AS VARCHAR), 'NULL') AS event_type_s,
+         |  COALESCE(CAST(CAST(value AS DECIMAL(14,2)) AS VARCHAR), 'NULL') AS value_s,
+         |  COALESCE(CAST(user_id AS VARCHAR), 'NULL') AS user_id_s
+         |FROM events WHERE $oracleWindow""".stripMargin) { (s, dir) =>
+      eventsInWindow(s, dir).select(
+        col("event_id"),
+        coalesce(col("event_type").cast("string"), lit("NULL")).as("event_type_s"),
+        coalesce(col("value").cast("decimal(14,2)").cast("string"), lit("NULL")).as("value_s"),
+        coalesce(col("user_id").cast("string"), lit("NULL")).as("user_id_s"))
+    },
+
+    // F3 — the reference's three time layouts: query, S3 dir date, and
+    // filename timestamp (cmd/backup.go:25-28).
+    "r7_time_layouts" -> QueryDef(
+      s"""SELECT event_id,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt_query,
+         |  strftime(ts, '%Y%m%d') AS fmt_dir,
+         |  strftime(ts, '%Y%m%dT%H%M%SZ') AS fmt_file
+         |FROM events WHERE $oracleWindow""".stripMargin) { (s, dir) =>
+      eventsInWindow(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("fmt_query"),
+        date_format(col("ts"), "yyyyMMdd").as("fmt_dir"),
+        date_format(col("ts"), "yyyyMMdd'T'HHmmss'Z'").as("fmt_file"))
+    },
+
+    // F6/S5 — CRC32 checksums (cmd/backup.go:309): row-level analogue of
+    // the reference's per-chunk checksum. DuckDB has no crc32 → rows-only.
+    "r8_crc32" -> QueryDef.rowsOnly { (s, dir) =>
+      eventsInWindow(s, dir).select(
+        col("event_id"),
+        lower(hex(crc32(col("event_type").cast("binary")))).as("etype_crc32"))
+    }
+  )
+}
