@@ -11,11 +11,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadPath(spark, s"$dir/$name.parquet")
+
+  def loadPath(spark: SparkSession, path: String): DataFrame = {
     // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
     // Spark rejects by default; read nanos as long and convert below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(path)
     df.schema.fields.find(f => f.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
         // ns → µs floor-truncation, same as the DuckDB oracle's display

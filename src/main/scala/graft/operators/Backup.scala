@@ -1,0 +1,148 @@
+package graft.operators
+
+import java.util.zip.CRC32
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.BackupConfig
+import graft.functions.Stringify
+
+/** The reference's entire pipeline as ONE Catalyst-planned job.
+  *
+  * Reference shape (`cmd/backup.go`): phase-1 partition discovery
+  * (`170-211`), then an unbounded goroutine per partition value each
+  * re-querying the table (`229-342`), paging ≤1000 rows, gzipping NDJSON
+  * in memory and uploading to
+  * `db/tbl/<part>/<YYYYMMDD>/<fromTS>_<toTS>_<crc32>.log.gz` (`311-313`).
+  *
+  * Spark-first re-expression: a single scan → filter → shuffle-by-
+  * partition-column → sort-within-partitions → partitioned gzip-JSON
+  * write. Discovery, fan-out, paging, counters and the error fold all
+  * disappear into the plan: task parallelism replaces goroutines,
+  * `maxRecordsPerFile` replaces paging, metrics replace mutex counters.
+  * At cluster scale this is shuffle-partitioned by the partition column,
+  * so each output partition is written by tasks that own its rows —
+  * no per-partition re-scan of the source (the reference re-queries the
+  * table once per partition value).
+  *
+  * The per-file `<fromTS>_<toTS>_<crc32>.log.gz` naming contract cannot
+  * be expressed at write time (Spark names files task-side before
+  * content is known); it is restored by [[finalizeChunkNames]] — one
+  * metadata-only Spark pass over the written files plus driver-side
+  * renames, O(#files) not O(#rows) driver work.
+  */
+object Backup {
+
+  final case class ChunkInfo(path: String, partition: String, date: String,
+                             fromTs: String, toTs: String, crc32: String,
+                             rows: Long)
+
+  final case class Result(rowsPerPartition: Map[String, Long],
+                          chunks: Seq[ChunkInfo])
+
+  private val FileFmt = "yyyyMMdd'T'HHmmss'Z'"
+
+  /** Phase-1 discovery as a plan fragment: distinct non-null partition
+    * values in the window (`cmd/backup.go:170-211`). Small result —
+    * callers may collect it or broadcast-semi-join it.
+    */
+  def discoverPartitions(df: DataFrame, cfg: BackupConfig): DataFrame =
+    df.filter(timeWindow(cfg))
+      .select(col(cfg.partitionColumn))
+      .where(col(cfg.partitionColumn).isNotNull)
+      .distinct()
+
+  private def timeWindow(cfg: BackupConfig) =
+    col(cfg.timeColumn) >= lit(java.sql.Timestamp.from(cfg.from)) &&
+      col(cfg.timeColumn) <= lit(java.sql.Timestamp.from(cfg.to))
+
+  /** The extraction+sink plan (dry-run short-circuits the write,
+    * keeping the count for effect parity — `cmd/backup.go:102-105`).
+    */
+  def run(spark: SparkSession, cfg: BackupConfig,
+          faithfulStrings: Boolean = false): Result = {
+    val src = Tables.loadPath(spark, cfg.inputPath)
+    val windowed = src.filter(timeWindow(cfg))
+      .where(col(cfg.partitionColumn).isNotNull)
+
+    val dated = windowed.withColumn("date_dir",
+      date_format(col(cfg.timeColumn), "yyyyMMdd"))
+
+    val projected =
+      if (faithfulStrings) {
+        val keep = Set(cfg.partitionColumn, "date_dir")
+        val cols = dated.schema.fields.toSeq.map { f =>
+          if (keep(f.name)) col(f.name)
+          else Stringify.expr(col(f.name), f.dataType).as(f.name)
+        }
+        dated.select(cols: _*)
+      } else dated
+
+    val counts = windowed.groupBy(col(cfg.partitionColumn)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    if (cfg.dryRun) return Result(counts, Nil)
+
+    projected
+      .repartition(col(cfg.partitionColumn))
+      .sortWithinPartitions(col(cfg.timeColumn).desc)
+      .write
+      .partitionBy(cfg.partitionColumn, "date_dir")
+      .option("compression", if (cfg.gzip) "gzip" else "none")
+      .option("maxRecordsPerFile", cfg.clampedRows.toLong)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .mode("overwrite")
+      .json(cfg.outputPath)
+
+    val chunks = finalizeChunkNames(spark, cfg)
+    Result(counts, chunks)
+  }
+
+  /** Restore the reference's `<fromTS>_<toTS>_<crc32>.log.gz` naming
+    * (`cmd/backup.go:309-313`): one Spark pass derives per-file min/max
+    * event time via `input_file_name()` (metadata-sized result), the
+    * driver then CRC32s each file's bytes and renames. The CRC covers
+    * the compressed bytes, as in the reference.
+    */
+  def finalizeChunkNames(spark: SparkSession, cfg: BackupConfig): Seq[ChunkInfo] = {
+    val written = spark.read
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .json(cfg.outputPath)
+    val perFile = written
+      .withColumn("file", input_file_name())
+      .groupBy(col("file"),
+        col(cfg.partitionColumn).cast("string").as("part"),
+        col("date_dir").cast("string").as("date_dir"))
+      .agg(
+        date_format(min(col(cfg.timeColumn)), FileFmt).as("from_ts"),
+        date_format(max(col(cfg.timeColumn)), FileFmt).as("to_ts"),
+        count(lit(1)).as("n"))
+      .collect()
+
+    val fs = FileSystem.get(new java.net.URI(cfg.outputPath),
+      spark.sparkContext.hadoopConfiguration)
+
+    perFile.toSeq.map { r =>
+      val uri = new java.net.URI(r.getAs[String]("file"))
+      val src = new Path(uri.getPath)
+      val crc = new CRC32()
+      val in = fs.open(src)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n > 0) { crc.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      val hex = f"${crc.getValue}%08x"
+      val from = r.getAs[String]("from_ts")
+      val to = r.getAs[String]("to_ts")
+      val ext = if (cfg.gzip) ".log.gz" else ".log"
+      val dst = new Path(src.getParent, s"${from}_${to}_$hex$ext")
+      fs.rename(src, dst)
+      ChunkInfo(dst.toString, r.getAs[String]("part"),
+        r.getAs[String]("date_dir"), from, to, hex, r.getAs[Long]("n"))
+    }
+  }
+}

@@ -153,6 +153,29 @@ object RefQueries {
       eventsInWindow(s, dir).select(
         col("event_id"),
         lower(hex(crc32(col("event_type").cast("binary")))).as("etype_crc32"))
+    },
+
+    // S3+S4+S5 — the whole backup pipeline end-to-end: partitioned
+    // gzip-NDJSON sink with chunk caps and <from>_<to>_<crc32> naming
+    // (cmd/backup.go:311-321), then re-read and count per partition/day.
+    // The oracle counts the same groups straight off the source table —
+    // sink + re-read must be lossless for the hashes to match.
+    "r9_backup_roundtrip" -> QueryDef(
+      s"""SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+         |       count(*) AS n_rows
+         |FROM events WHERE $oracleWindow
+         |GROUP BY event_type, date_dir""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_r9_").toString
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+        to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.read.json(out)
+        .groupBy(col("event_type").cast("string").as("event_type"),
+          col("date_dir").cast("string").as("date_dir"))
+        .agg(count(lit(1)).as("n_rows"))
     }
   )
 }
