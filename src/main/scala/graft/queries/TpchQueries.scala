@@ -1,0 +1,477 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** The engine-surface breadth the reference lacks entirely (SURVEY.md §2
+  * [ABSENT] rows): joins, full aggregation set, window functions, set
+  * ops, top-k, scalar function families — all Spark built-ins over the
+  * TPC-H-ish star schema, each hash-checked against a DuckDB oracle.
+  *
+  * Numeric discipline (shared with every other query group): money
+  * doubles are cast to DECIMAL(12,2) *before* arithmetic/aggregation so
+  * both engines accumulate exactly, and final aggregates are cast back
+  * to DOUBLE so output types/scales can't drift. Raw double sums would
+  * differ between Spark and DuckDB in the last bits (summation order).
+  */
+object TpchQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def asD(c: Column): Column = c.cast("double")
+  private val DiscPrice: Column = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+  private val DiscPriceSql = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- aggregation --------------------------------------------------
+
+    // TPC-H Q1 shape: the full scalar-aggregate set with exact decimal
+    // accumulation; Catalyst plans partial+final HashAggregate.
+    "q01_pricing_summary" -> QueryDef(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($DiscPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($DiscPriceSql * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1999-12-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          asD(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asD(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          asD(sum(DiscPrice)).as("sum_disc_price"),
+          asD(sum(DiscPrice * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+          (asD(sum(dec(col("l_quantity")))) / count(lit(1))).cast("double").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // TPC-H Q6 shape: tight filter + single exact sum — the pushdown/
+    // pruning showcase (filters reach the parquet scan).
+    "q06_forecast_revenue" -> QueryDef(
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(asD(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
+    },
+
+    // distinct + exact distinct-aggregate (HLL variant is q15, rows-only)
+    "q14_distinct_agg" -> QueryDef(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // approximate distinct (HLL) — engine-specific sketch, rows-only check
+    "q15_approx_distinct" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    },
+
+    // rollup: hierarchical subtotals (NULL-marked grouping rows)
+    "q11_rollup" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(asD(sum(dec(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // cube: all grouping combinations
+    "q12_cube" -> QueryDef(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asD(sum(dec(col("o_totalprice")))).as("sum_price"))
+    },
+
+    // grouping sets via SQL front-end (spark.sql IS the SQL parser)
+    "q24_grouping_sets" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q24_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM q24_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+    },
+
+    // ---- joins --------------------------------------------------------
+
+    // broadcast hash join: small dim (part) explicitly broadcast
+    "q02_brand_revenue" -> QueryDef(
+      s"""SELECT p_brand,
+         |  CAST(sum($DiscPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(asD(sum(DiscPrice)).as("revenue"), count(lit(1)).as("n_items"))
+    },
+
+    // 3-way join + top-k with deterministic tie-break (TPC-H Q3 shape)
+    "q03_shipping_priority" -> QueryDef(
+      s"""SELECT o_orderkey,
+         |  CAST(sum($DiscPriceSql) AS DOUBLE) AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(asD(sum(DiscPrice)).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // semi-join (EXISTS): orders with at least one late lineitem
+    "q04_order_priority" -> QueryDef(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // 6-way star join: region→nation→customer→orders→lineitem→supplier
+    "q05_region_revenue" -> QueryDef(
+      s"""SELECT n_name,
+         |  CAST(sum($DiscPriceSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(asD(sum(DiscPrice)).as("revenue"))
+    },
+
+    // anti-join (NOT EXISTS): customers with no large order, per nation
+    "q07_idle_customers" -> QueryDef(
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 250000),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // scalar subquery: customers above the mean account balance
+    "q26_above_avg_balance" -> QueryDef(
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) FROM customer)
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("q26_customer")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n
+          |FROM q26_customer
+          |WHERE c_acctbal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) FROM q26_customer)
+          |GROUP BY c_mktsegment""".stripMargin)
+    },
+
+    // as-of join: for each event, the user's latest order on/before the
+    // event time — union+window composition, one shuffle per side
+    // (graft.operators.AsOfJoin; oracle uses DuckDB's native ASOF JOIN).
+    "q20_asof_join" -> QueryDef(
+      """WITH latest_order AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, o.o_orderkey AS matched_orderkey
+        |FROM events e ASOF LEFT JOIN latest_order o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin) { (s, dir) =>
+      // dedup right side on (key, time): keep max orderkey
+      val latest = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.leftAsOf(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        latest,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey").as("matched_orderkey"))
+    },
+
+    // range/interval join: events against 3-day sliding buckets — small
+    // interval side broadcast, so the inequality join stays a broadcast
+    // nested loop over 30 rows, not a shuffle explosion
+    "q21_range_join" -> QueryDef(
+      """WITH buckets AS (
+        |  SELECT d AS bucket_start, d + INTERVAL 3 DAY AS bucket_end
+        |  FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                       TIMESTAMP '2024-01-28 00:00:00',
+        |                       INTERVAL 1 DAY) AS t(d)
+        |)
+        |SELECT strftime(bucket_start, '%Y-%m-%d') AS bucket,
+        |       count(e.event_id) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM buckets b JOIN events e
+        |  ON e.ts >= b.bucket_start AND e.ts < b.bucket_end
+        |GROUP BY bucket""".stripMargin) { (s, dir) =>
+      val buckets = s.range(0, 28)
+        .select((lit("2024-01-01 00:00:00").cast("timestamp") +
+          make_dt_interval(col("id"))).as("bucket_start"))
+        .withColumn("bucket_end", col("bucket_start") + make_dt_interval(lit(3)))
+      Tables.events(s, dir).join(broadcast(buckets),
+          col("ts") >= col("bucket_start") && col("ts") < col("bucket_end"))
+        .groupBy(date_format(col("bucket_start"), "yyyy-MM-dd").as("bucket"))
+        .agg(count(col("event_id")).as("n_events"),
+          asD(sum(dec(col("value")))).as("sum_value"))
+    },
+
+    // ---- windows ------------------------------------------------------
+
+    // ranking: top-3 orders per customer (row_number, deterministic ties)
+    "q09_window_rank" -> QueryDef(
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    },
+
+    // analytic frame: running revenue per supplier over ship time
+    "q10_window_running" -> QueryDef(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem WHERE l_suppkey < 4""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") < 4)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          asD(sum(dec(col("l_extendedprice"))).over(w)).as("running_rev"))
+    },
+
+    // lag/lead + gap-based sessionization (30-min inactivity gap)
+    "q22_sessionize" -> QueryDef(
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY date_trunc('microsecond', ts), event_id)
+        |      > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY date_trunc('microsecond', ts), event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM gaps GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 30 * 60, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // ---- sorts / limits / top-k --------------------------------------
+
+    // global top-k → TakeOrderedAndProject (no full sort at scale)
+    "q08_topk_orders" -> QueryDef(
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
+    },
+
+    // ---- set operations ----------------------------------------------
+
+    "q13_setops" -> QueryDef(
+      """SELECT 'union' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin) { (s, dir) =>
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bigOrders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      def counted(op: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      counted("union", building.union(bigOrders).distinct())
+        .unionByName(counted("intersect", building.intersect(bigOrders)))
+        .unionByName(counted("except", building.except(bigOrders)))
+    },
+
+    // ---- pivot --------------------------------------------------------
+
+    "q23_pivot" -> QueryDef(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY day""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // ---- scalar function families ------------------------------------
+
+    "q16_string_funcs" -> QueryDef(
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  length(c_name) AS name_len,
+        |  substr(c_name, 1, 8) AS prefix,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  replace(c_name, '#', '-') AS replaced
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "#", "-").as("replaced"))
+    },
+
+    "q17_math_funcs" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS abs_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  round(CAST(l_extendedprice AS DECIMAL(12,2)) / 100, 1) AS hundredths,
+        |  sqrt(l_quantity) AS sqrt_qty,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+        |  CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+        |FROM lineitem WHERE l_orderkey < 500""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_orderkey") < 500).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        round(dec(col("l_extendedprice")) / 100, 1).as("hundredths"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        (col("l_orderkey") % 7).cast("long").as("mod7"),
+        signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+    },
+
+    "q18_array_funcs" -> QueryDef(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val words = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        concat_ws("-", slice(words, 1, 3)).as("first3"),
+        array_contains(words, "spark").as("has_spark"),
+        size(array_distinct(words)).as("n_distinct"))
+    },
+
+    "q19_json_funcs" -> QueryDef(
+      """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY k_bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).cast("int").as("min_k"),
+          max(col("k")).cast("int").as("max_k"))
+    }
+  )
+}
