@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+
+/** [EXT] Deduplication query surface over the `documents` fixture
+  * (x0-prefix). Every oracle reproduces the Spark computation exactly in
+  * DuckDB — the md5-derived hash family makes MinHash/SimHash signatures
+  * bit-identical across engines. Oracle SQL is *generated* from the same
+  * constants as the Spark plans (seeds, H/B/R, shingle size) so the two
+  * sides cannot drift.
+  */
+object DedupQueries {
+
+  import Dedup._
+
+  // ---- DuckDB mirrors of the Dedup SQL fragments ---------------------
+
+  /** h60 in DuckDB: same md5-prefix → 60-bit int. */
+  private def duckHash(inner: String, seed: Int): String =
+    s"('0x'||substr(md5('$seed|'||$inner),1,15))::BIGINT"
+
+  /** Distinct word-ShingleK-grams in DuckDB (mirrors shinglesSql). */
+  private val duckShingles: String = {
+    val k = ShingleK
+    s"list_distinct([array_to_string(w[i:i+${k - 1}],' ') " +
+      s"for i in range(1, greatest(len(w)-${k - 1},1)+1)])"
+  }
+
+  private val duckSigCols: String =
+    (0 until MinHashH).map(i =>
+      s"list_min([${duckHash("g", i)} for g in gs]) AS sig$i").mkString(", ")
+
+  private val duckBands: String =
+    (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"sig${b * RowsPerBand + r}::VARCHAR")
+        .mkString("||','||")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+
+  private val duckSimhash: String = {
+    val h = duckHash("g", SimSeed)
+    s"""list_sum([(CASE WHEN list_sum([CASE WHEN (hv // (2**j)::BIGINT) % 2 = 1
+       | THEN 1 ELSE -1 END for hv in [${h} for g in gs]]) > 0
+       | THEN (2**j)::BIGINT ELSE 0 END) for j in range(0, $SimBits)])""".stripMargin
+  }
+
+  private val JaccardMaxDf = 10
+  private val JaccardThreshold = 0.5
+  private val SimhashMaxHamming = 3
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // exact dedup accounting: hash-groupBy per source
+    "x01_dedup_exact_stats" -> QueryDef(
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+    },
+
+    // exact dedup keep-first: representative id per content hash
+    "x02_dedup_keep_first" -> QueryDef(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    },
+
+    // MinHash + LSH banding: near-dup candidate pairs via band-bucket join
+    "x03_minhash_lsh_pairs" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |sig AS (SELECT doc_id, $duckSigCols FROM s),
+         |bands AS ($duckBands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.lshCandidatePairs(Tables.documents(s, dir))
+    },
+
+    // SimHash fingerprints (48-bit, shingle-based)
+    "x04_simhash" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d)
+         |SELECT doc_id, $duckSimhash AS simhash FROM s""".stripMargin) { (s, dir) =>
+      Dedup.withSimhash(Tables.documents(s, dir))
+        .select(col("doc_id"), col("simhash"))
+    },
+
+    // SimHash near-dup pairs: 12-bit chunk buckets + exact hamming verify
+    "x05_simhash_pairs" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |sh AS (SELECT doc_id, $duckSimhash AS simhash FROM s),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c AS chunk_idx,
+         |         (simhash // (2**(c*12))::BIGINT) % 4096 AS chunk
+         |  FROM sh, unnest([0,1,2,3]) t(c))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), SimhashMaxHamming)
+    },
+
+    // exact n-gram Jaccard with rare-gram candidate blocking
+    "x06_ngram_jaccard_pairs" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |ex AS (SELECT doc_id, unnest(gs) AS gram FROM s),
+         |df AS (SELECT gram, count(*) AS c FROM ex GROUP BY gram
+         |       HAVING count(*) BETWEEN 2 AND $JaccardMaxDf),
+         |rare AS (SELECT ex.doc_id, ex.gram FROM ex JOIN df USING (gram)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM rare a JOIN rare b
+         |         ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round(len(list_intersect(sa.gs, sb.gs))::DOUBLE /
+         |      (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN s sa ON sa.doc_id = doc_a
+         |  JOIN s sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        JaccardMaxDf, JaccardThreshold)
+    }
+  )
+}
