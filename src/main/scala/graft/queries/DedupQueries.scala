@@ -40,12 +40,16 @@ object DedupQueries {
       s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
 
-  private val duckSimhash: String = {
-    val h = duckHash("g", SimSeed)
+  /** Hash list as its own CTE column (computed once per doc), then the
+    * per-bit fold reads it — mirrors the Spark expression shape (and its
+    * perf fix: hashing inside the per-bit lambda is ~50× the work). */
+  private val duckHashList: String =
+    s"[${duckHash("g", SimSeed)} for g in gs]"
+
+  private val duckSimhash: String =
     s"""list_sum([(CASE WHEN list_sum([CASE WHEN (hv // (2**j)::BIGINT) % 2 = 1
-       | THEN 1 ELSE -1 END for hv in [${h} for g in gs]]) > 0
+       | THEN 1 ELSE -1 END for hv in hs]) > 0
        | THEN (2**j)::BIGINT ELSE 0 END) for j in range(0, $SimBits)])""".stripMargin
-  }
 
   private val JaccardMaxDf = 10
   private val JaccardThreshold = 0.5
@@ -88,8 +92,9 @@ object DedupQueries {
     // SimHash fingerprints (48-bit, shingle-based)
     "x04_simhash" -> QueryDef(
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |s AS (SELECT doc_id, $duckShingles gs FROM d)
-         |SELECT doc_id, $duckSimhash AS simhash FROM s""".stripMargin) { (s, dir) =>
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s)
+         |SELECT doc_id, $duckSimhash AS simhash FROM hl""".stripMargin) { (s, dir) =>
       Dedup.withSimhash(Tables.documents(s, dir))
         .select(col("doc_id"), col("simhash"))
     },
@@ -98,7 +103,8 @@ object DedupQueries {
     "x05_simhash_pairs" -> QueryDef(
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |sh AS (SELECT doc_id, $duckSimhash AS simhash FROM s),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sh AS (SELECT doc_id, $duckSimhash AS simhash FROM hl),
          |chunks AS (
          |  SELECT doc_id, simhash, c AS chunk_idx,
          |         (simhash // (2**(c*12))::BIGINT) % 4096 AS chunk

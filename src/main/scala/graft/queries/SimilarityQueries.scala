@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Ann
+
+/** [EXT] Similarity-search query surface over the `embeddings` fixture.
+  * DuckDB oracles recompute cosine with explicit element-order double
+  * accumulation (matching the fused loop in
+  * [[graft.functions.CosineSimF]]) and reproduce the hyperplane LSH
+  * signatures from the same md5 hash family.
+  */
+object SimilarityQueries {
+
+  private val Dim = Ann.Dim
+
+  /** DuckDB cosine with the same accumulation order as CosineSimF. */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum([($a[i]::DOUBLE * $b[i]::DOUBLE) for i in range(1, ${Dim + 1})]) /
+       | (sqrt(list_sum([($a[i]::DOUBLE * $a[i]::DOUBLE) for i in range(1, ${Dim + 1})])) *
+       |  sqrt(list_sum([($b[i]::DOUBLE * $b[i]::DOUBLE) for i in range(1, ${Dim + 1})]))))""".stripMargin
+
+  /** DuckDB mirror of Ann.signatureSql. */
+  private val duckSignature: String = {
+    val bits = (0 until Ann.NPlanes).map { p =>
+      val comp = s"(CASE WHEN ('0x'||substr(md5('${Ann.PlaneSeed}|${p}_'||d),1,15))::BIGINT % 2 = 1 " +
+        "THEN 1.0 ELSE -1.0 END)"
+      s"""(CASE WHEN list_sum([$comp * embedding[d+1]::DOUBLE
+         |  for d in range(0, $Dim)]) > 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // brute-force exact top-k: the correctness baseline every ANN
+    // variant is judged against
+    "x07_cosine_topk" -> QueryDef(
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${duckCos("embedding", "q_emb")}, 6) AS cos_sim
+         |FROM embeddings, q WHERE vec_id != 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Ann.bruteForceTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
+    },
+
+    // LSH-bucketed ANN: same query answered inside the query's
+    // hyperplane bucket only — the 100-TB scale path
+    "x08_ann_lsh_topk" -> QueryDef(
+      s"""WITH sg AS (SELECT vec_id, embedding, $duckSignature AS bucket
+         |            FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, bucket AS q_bucket
+         |      FROM sg WHERE vec_id = 0)
+         |SELECT vec_id, round(${duckCos("embedding", "q_emb")}, 6) AS cos_sim
+         |FROM sg, q WHERE bucket = q_bucket AND vec_id != 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Ann.lshTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
+    },
+
+    // embedding-cosine near-dup: exact nearest neighbour per probe
+    "x09_embedding_nn" -> QueryDef(
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb
+         |           FROM embeddings WHERE vec_id < 100),
+         |s AS (SELECT probe_id, e.vec_id AS nn_id,
+         |        round(${duckCos("e.embedding", "p_emb")}, 6) AS cos_sim
+         |      FROM embeddings e, p WHERE e.vec_id != probe_id)
+         |SELECT probe_id, nn_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM s)
+         |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Ann.nearestNeighbors(s, Tables.embeddings(s, dir), probeMaxId = 100)
+    },
+
+    // bucket occupancy: the ANN tuning view (recall/cost trade-off)
+    "x10_lsh_bucket_stats" -> QueryDef(
+      s"""WITH sg AS (SELECT vec_id, $duckSignature AS bucket FROM embeddings)
+         |SELECT bucket, count(*) AS n_vecs FROM sg GROUP BY bucket""".stripMargin) { (s, dir) =>
+      Ann.withSignature(Tables.embeddings(s, dir))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+    }
+  )
+}

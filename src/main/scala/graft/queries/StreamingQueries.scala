@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.streaming.StreamingJobs
+
+/** Streaming query surface: each runs a Structured Streaming job to
+  * completion over the finite events fixture, so a batch DuckDB oracle
+  * can hash-check the final state (streaming results == batch results
+  * on bounded input).
+  */
+object StreamingQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // tumbling event-time windows + watermark (complete mode)
+    "s01_stream_tumbling" -> QueryDef(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type""".stripMargin) {
+      (s, dir) => StreamingJobs.tumblingCounts(s, dir)
+    },
+
+    // stateful running per-partition counts (reference A3, streaming)
+    "s02_stream_partition_counts" -> QueryDef(
+      """SELECT event_type, count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) => StreamingJobs.partitionCounts(s, dir)
+    }
+  )
+}

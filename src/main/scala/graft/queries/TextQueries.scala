@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
+
+/** [EXT] Text-analysis + multimodal query surface over `documents`.
+  * Oracle SQL mirrors every heuristic constant (marker lists, weights,
+  * token patterns, hash base/modulus) — generated from the same Scala
+  * values so the two sides cannot drift.
+  */
+object TextQueries {
+
+  import TextAnalysis._
+
+  private def duckList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  /** DuckDB mirror of langPred's score-and-argmax CASE chain. */
+  private val duckLangPred: String = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> s"len(list_intersect(string_split(text,' '), ${duckList(markers)}))"
+    }
+    val branches = scores.map { case (lang, s) =>
+      val geAll = scores.filter(_._1 != lang)
+        .map { case (_, o) => s"$s >= $o" }.mkString(" AND ")
+      s"WHEN $geAll AND $s > 0 THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE 'und' END"
+  }
+
+  private val duckStopRatio: String =
+    s"len(list_filter(string_split(text,' '), w -> list_contains(${duckList(QualityStopwords)}, w)))::DOUBLE / len(string_split(text,' '))"
+
+  private val duckDigitRatio: String =
+    "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // language ID: marker-hit argmax, confusion matrix vs the label
+    "x11_langid" -> QueryDef(
+      s"""SELECT lang, $duckLangPred AS lang_pred, count(*) AS n
+         |FROM documents GROUP BY lang, lang_pred""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), langPred(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // quality scoring: ratio features + fixed-weight composite
+    "x12_quality_score" -> QueryDef(
+      s"""SELECT doc_id,
+         |  len(string_split(text,' ')) AS n_words,
+         |  round($duckStopRatio, 6) AS stop_ratio,
+         |  round(0.4 * ($duckStopRatio) +
+         |        0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
+         |        0.3 * (1.0 - ($duckDigitRatio)), 6) AS quality
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        wsTokens(col("text")).as("n_words"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+    },
+
+    // token counting: whitespace + regex token classes, per source
+    "x13_token_count" -> QueryDef(
+      s"""SELECT source,
+         |  sum(len(string_split(text,' '))) AS ws_tokens,
+         |  sum(len(regexp_extract_all(text, '$TokenPattern'))) AS re_tokens,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(wsTokens(col("text"))).as("ws_tokens"),
+          sum(regexTokens(col("text"))).as("re_tokens"),
+          count(lit(1)).as("n_docs"))
+    },
+
+    // rolling-hash document fingerprint (exact integer fold)
+    "x14_fingerprint" -> QueryDef(
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in string_split(text,'')]),
+         |    (acc, c) -> (acc * 31 + c) % $FpMod) AS fp
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), fingerprint("text").as("fp"))
+    },
+
+    // multimodal: binary payload + typed metadata → per-partition
+    // feature extraction (stubbed decode, real plumbing); histogram
+    // verified bucket-by-bucket against the oracle
+    "x15_multimodal_features" -> QueryDef(
+      s"""WITH f AS (
+         |  SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+         |    [len(list_filter([ord(c) for c in string_split(text,'')],
+         |         x -> x // 16 = b)) for b in range(0, 16)] AS hist
+         |  FROM documents)
+         |SELECT doc_id, n_bytes,
+         |  ${(0 until 16).map(i => s"hist[${i + 1}]::BIGINT AS h$i").mkString(", ")}
+         |FROM f""".stripMargin) { (s, dir) =>
+      val feats = Multimodal.extractFeatures(s, Tables.documents(s, dir)).toDF()
+      feats.select(Seq(col("doc_id"), col("n_bytes")) ++
+        (0 until 16).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
+    },
+
+    // frame sampling: k-th-position probes into the binary payload
+    "x16_frame_sample" -> QueryDef(
+      """SELECT doc_id,
+        |  ord(substr(text, 1, 1)) AS f0,
+        |  ord(substr(text, greatest(length(text) // 4, 1), 1)) AS f1,
+        |  ord(substr(text, greatest(length(text) // 2, 1), 1)) AS f2,
+        |  ord(substr(text, greatest((3 * length(text)) // 4, 1), 1)) AS f3
+        |FROM documents""".stripMargin) { (s, dir) =>
+      def frameAt(posSql: String) =
+        expr(s"ascii(substring(text, $posSql, 1))")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        frameAt("1").as("f0"),
+        frameAt("greatest(length(text) div 4, 1)").as("f1"),
+        frameAt("greatest(length(text) div 2, 1)").as("f2"),
+        frameAt("greatest((3 * length(text)) div 4, 1)").as("f3"))
+    }
+  )
+}

@@ -1,0 +1,99 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup.hash60Sql
+import graft.functions.VectorFunctions
+
+/** [EXT] Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the build rules:
+  *  - brute-force cosine top-k — the exact baseline: broadcast the query
+  *    vector, one fused-loop cosine per row ([[graft.functions.CosineSimF]],
+  *    a codegen'd Catalyst expression), then `TakeOrderedAndProject`;
+  *  - LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  *    (Rademacher ±1 components derived from the md5 hash family, so the
+  *    DuckDB oracle reproduces them), candidates restricted to the
+  *    query's bucket. At 100 TB the bucketing turns an all-pairs scan
+  *    into a bucket-local scan; recall is tuned by plane count.
+  */
+object Ann {
+
+  /** Hyperplane count → 2^NPlanes buckets. */
+  val NPlanes = 4
+  val Dim = 64
+  val PlaneSeed = 777
+
+  /** SQL expr: ±1 Rademacher component for (plane, dim var `d`). */
+  private def compSql(plane: Int): String =
+    s"(CASE WHEN ${hash60Sql(s"concat('${plane}_', CAST(d AS STRING))", PlaneSeed)} % 2 = 1 " +
+      s"THEN 1.0D ELSE -1.0D END)"
+
+  /** SQL expr: LSH signature (0..2^NPlanes-1) of `embedding`. */
+  def signatureSql(embCol: String): String = {
+    val bits = (0 until NPlanes).map { p =>
+      s"""(CASE WHEN aggregate(sequence(0, ${Dim - 1}), 0.0D,
+         |  (acc, d) -> acc + ${compSql(p)} * CAST(element_at($embCol, d + 1) AS DOUBLE)) > 0
+         |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** One small parquet file → one input partition; spread before the
+    * CPU-heavy signature/cosine stages so all cores participate. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def withSignature(embeddings: DataFrame, embCol: String = "embedding"): DataFrame =
+    spread(embeddings).withColumn("bucket", expr(signatureSql(embCol)))
+
+  /** Exact brute-force top-k neighbours of one stored vector. */
+  def bruteForceTopK(spark: SparkSession, embeddings: DataFrame,
+                     queryVecId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    spread(embeddings).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN top-k: candidates share the query's hyperplane bucket. */
+  def lshTopK(spark: SparkSession, embeddings: DataFrame,
+              queryVecId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val signed = withSignature(embeddings)
+    val q = signed.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    signed.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Exact nearest neighbour for each of a (small) probe set of vectors:
+    * broadcast the probes, fused-loop cosine against the full corpus,
+    * rank per probe. */
+  def nearestNeighbors(spark: SparkSession, embeddings: DataFrame,
+                       probeMaxId: Long): DataFrame = {
+    VectorFunctions.register(spark)
+    val probes = embeddings.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val scored = spread(embeddings).crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("nn_id"),
+        round(expr("graft_cosine(embedding, p_emb)"), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("nn_id"), col("cos_sim"))
+  }
+}

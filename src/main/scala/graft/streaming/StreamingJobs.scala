@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** [EXT→§2.9] Structured Streaming parity idioms: the reference's batch
+  * `[from, to]` extraction generalizes to event-time windows; its
+  * per-partition running counters (`cmd/backup.go:221-222`) become a
+  * stateful streaming aggregation. File source → windowed/stateful agg →
+  * memory sink, driven synchronously with `processAllAvailable` so the
+  * result is deterministic and batch-checkable (SURVEY.md §7.3 step 6).
+  */
+object StreamingJobs {
+
+  private val nameSeq = new AtomicLong(0)
+
+  /** Streaming read of the events fixture. The fixture stores
+    * TIMESTAMP(NANOS) (read as long via nanosAsLong, converted to µs
+    * like [[graft.Tables.load]]). maxFilesPerTrigger=1 keeps the
+    * micro-batch machinery honest even with a single input file.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val schema: StructType = raw.schema
+    // FileStreamSource rejects a bare file path ("basePath must be a
+    // directory") — a glob pattern is the documented way to stream a
+    // fixed file set.
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/events*.parquet")
+    if (schema("ts").dataType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Run a streaming aggregation to completion against the (finite)
+    * file source and return the final result as a batch DataFrame.
+    * Complete output mode: every window is emitted regardless of
+    * watermark position, so the result equals the batch computation.
+    */
+  def runToCompletion(agg: DataFrame, mode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    agg.sparkSession.table(name)
+  }
+
+  /** Tumbling 1-hour event-time windows with a 10-minute watermark:
+    * count + exact value sum per (window, event_type). */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_val"))
+    runToCompletion(agg)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"),
+        col("sum_val").cast("double").as("sum_value"))
+  }
+
+  /** Stateful running per-partition counts — the streaming analogue of
+    * the reference's totalRowsPerPartitions map. */
+  def partitionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+    runToCompletion(agg)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.dedup
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon"),
+    (1L, "alpha beta gamma delta epsilon"),      // exact dup of 0
+    (2L, "alpha beta gamma delta zeta"),          // near dup of 0
+    (3L, "one two three four five six seven"),    // unrelated
+    (4L, "unrelated words entirely different here")
+  ).toDF("doc_id", "text")
+
+  test("identical texts are always LSH candidates; disjoint texts never") {
+    val pairs = Dedup.lshCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"identical docs must collide: $pairs")
+    assert(!pairs.contains((3L, 4L)) && !pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical texts get identical fingerprints") {
+    val sims = Dedup.withSimhash(docs)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L))
+    assert(sims(0L) != sims(3L))
+    // 48-bit range
+    assert(sims.values.forall(v => v >= 0 && v < (1L << 48)))
+  }
+
+  test("simhashPairs finds the exact-dup pair with hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)]
+      .collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("ngramJaccard computes exact jaccard on candidates") {
+    // shingles(0) = {a b c, b c d, c d e}; shingles(2) swaps last word:
+    // {a b g, b g d... } — build a pair with known jaccard instead
+    val d2 = Seq(
+      (0L, "a b c d e"),   // 3-grams {abc, bcd, cde}
+      (1L, "a b c d x"),   // 3-grams {abc, bcd, cdx} → inter 2, union 4
+      (2L, "q r s t u")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d2, maxDf = 10, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 0L && pairs.head._2 == 1L)
+    assert(math.abs(pairs.head._3 - 0.5) < 1e-9)
+  }
+}

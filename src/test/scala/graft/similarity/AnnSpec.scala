@@ -1,0 +1,53 @@
+package graft.similarity
+
+import graft.{SparkTestBase, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_cosine: known geometry") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),   // identical
+      (Array(1f, 0f), Array(0f, 1f), 0.0),   // orthogonal
+      (Array(1f, 0f), Array(-1f, 0f), -1.0), // opposite
+      (Array(3f, 4f), Array(3f, 4f), 1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(expr("graft_cosine(a, b)").as("c"), $"expected")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12, s"$c != $e") }
+  }
+
+  test("graft_cosine null on zero vector; graft_dot exact") {
+    VectorFunctions.register(spark)
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(expr("graft_cosine(a, b)")).collect().head.isNullAt(0))
+    val dot = Seq((Array(1.5f, 2f), Array(2f, 3f))).toDF("a", "b")
+      .select(expr("graft_dot(a, b)")).as[Double].collect().head
+    assert(math.abs(dot - 9.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k descending, query excluded") {
+    val top = Ann.bruteForceTopK(spark,
+      Tables.embeddings(spark, sf0001), queryVecId = 0, k = 10)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(!top.exists(_._1 == 0L))
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("lshTopK results are a subset ranking consistent with brute force bucket") {
+    val ann = Ann.lshTopK(spark,
+      Tables.embeddings(spark, sf0001), queryVecId = 0, k = 10)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    assert(ann.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    // every ANN hit's score matches the exact cosine (same expression)
+    val exact = Ann.bruteForceTopK(spark,
+      Tables.embeddings(spark, sf0001), 0, 1000)
+      .as[(Long, Double)].collect().toMap
+    ann.foreach { case (id, c) => assert(math.abs(exact(id) - c) < 1e-9) }
+  }
+}
