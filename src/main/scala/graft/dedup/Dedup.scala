@@ -28,7 +28,6 @@ object Dedup {
   /** SimHash width: 48 bits keeps every intermediate in signed int64
     * range in both engines (1L<<63 would overflow DuckDB's BIGINT). */
   val SimBits = 48
-  val SimSeed = 99
 
   /** Shingle size (words) for MinHash and Jaccard. */
   val ShingleK = 3
@@ -56,23 +55,49 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Key-partitioned materialization barrier with an EXPLICIT partition
+    * count: without it AQE coalesces these small-but-CPU-heavy shuffles
+    * to 1-2 partitions (its size heuristic can't see that the work per
+    * row is interpreted higher-order-function evaluation, not IO) and
+    * the downstream join runs near-single-threaded. */
+  private def barrier(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   /** doc_id + distinct shingles. */
   def withShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
     spread(docs).withColumn("gs", expr(shinglesSql(textCol)))
 
-  /** MinHash signature: for each seed, the min portable hash over the
-    * shingle set. Appends `sig` (array of MinHashH longs). */
-  def withMinhashSig(withGs: DataFrame): DataFrame = {
+  /** ONE md5 per shingle: the 60-bit base hash array every signature
+    * derives from. MinHash's H functions come from universal hashing
+    * over this base ((a_i·h + b_i) mod p), not H separate md5 passes —
+    * md5 is the dominant cost of signature computation, so this is an
+    * ~H× win at equal quality. SimHash reads the base bits directly.
+    */
+  def withBaseHashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withShingles(docs, textCol)
+      .withColumn("hs", expr(s"transform(gs, g -> ${hash60Sql("g", 0)})"))
+
+  /** Universal-hash family constants over the Mersenne prime 2^31-1:
+    * h_i(x) = (A(i)·(x mod P) + B(i)) mod P. A(i)·x stays < 2^62. */
+  val HashP = 2147483647L
+  val HashA: Seq[Long] = Seq(1103515245L, 1234567891L, 987654321L,
+    805306457L, 402653189L, 1610612741L, 1431655765L, 715827883L)
+  val HashB: Seq[Long] = Seq(12345L, 67891L, 54321L, 13579L,
+    24680L, 11111L, 99991L, 777L)
+
+  /** MinHash signature: min of each universal hash over the base-hash
+    * array. Appends `sig` (array of MinHashH longs). */
+  def withMinhashSig(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sigCols = (0 until MinHashH).map { i =>
-      expr(s"array_min(transform(gs, g -> ${hash60Sql("g", i)}))")
+      expr(s"array_min(transform(hs, h -> (${HashA(i)}L * (h % $HashP) + ${HashB(i)}L) % $HashP))")
     }
-    withGs.withColumn("sig", array(sigCols: _*))
+    withBaseHashes(docs, textCol).withColumn("sig", array(sigCols: _*))
   }
 
   /** LSH band buckets: md5 of each band's R signature values.
     * One row per (doc, band). */
   def bandBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val sigd = withMinhashSig(withShingles(docs, textCol))
+    val sigd = withMinhashSig(docs, textCol)
     val buckets = (0 until Bands).map { b =>
       md5(concat_ws(",",
         (0 until RowsPerBand).map(r =>
@@ -86,7 +111,9 @@ object Dedup {
     * Bucket self-join — shuffle on (band, bucket), linear in bucket
     * occupancy, never all-pairs. */
   def lshCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val bands = bandBuckets(docs, textCol)
+    // same barrier rationale as simhashPairs: compute signatures once,
+    // pre-shuffled on the join key so the self-join reuses the exchange
+    val bands = barrier(bandBuckets(docs, textCol), col("band"), col("bucket"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -103,20 +130,19 @@ object Dedup {
     * discriminative. Pure integer arithmetic (div/mod by exact powers
     * of two) so both engines agree bit-for-bit.
     *
-    * Shape matters: the md5 hash array is the aggregate's *input* (one
-    * evaluation per row), and ONE fold over it maintains all 48 bit
-    * counters via zip_with. Putting the hash transform inside a
+    * Shape matters: the base-hash array `hs` is the aggregate's *input*
+    * (one evaluation per row), and ONE fold over it maintains all 48
+    * bit counters via zip_with. Putting the hash transform inside a
     * per-bit lambda instead re-evaluates split+md5 48× per row — two
     * orders of magnitude slower (measured: minutes vs seconds at
     * sf0.01).
     */
-  def simhashSql(textCol: String): String = {
-    val h = hash60Sql("g", SimSeed)
+  val simhashFromHsSql: String = {
     val bits = SimBits
     s"""aggregate(
        |  zip_with(
        |    aggregate(
-       |      transform(${shinglesSql(textCol)}, g -> $h),
+       |      hs,
        |      array_repeat(0, $bits),
        |      (acc, hv) -> zip_with(acc, sequence(0, ${bits - 1}),
        |        (a, j) -> a + (CASE WHEN (hv div CAST(power(2, j) AS BIGINT)) % 2 = 1
@@ -127,7 +153,9 @@ object Dedup {
   }
 
   def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    spread(docs).withColumn("simhash", expr(simhashSql(textCol)))
+    withBaseHashes(docs, textCol)
+      .withColumn("simhash", expr(simhashFromHsSql))
+      .drop("gs", "hs")
 
   /** SimHash near-dup pairs: band the 48 bits into 4×12-bit chunks
     * (any pair within hamming distance 4 shares ≥1 exact chunk by
@@ -136,11 +164,18 @@ object Dedup {
     * all-pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    textCol: String = "text"): DataFrame = {
+    // repartition = materialization barrier: without it the self-join
+    // evaluates the full signature pipeline on BOTH sides, and the
+    // giant expression inside the Generate drops out of codegen
+    // (measured: 385s → seconds at sf0.1). After the barrier both join
+    // sides read the same shuffled attribute via exchange reuse.
     val sims = withSimhash(docs, textCol).select(col("doc_id"), col("simhash"))
-    val chunks = sims.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        expr(s"(simhash div CAST(power(2, ${c * 12}) AS BIGINT)) % 4096")): _*))
-        .as(Seq("chunk_idx", "chunk")))
+    val chunks = barrier(
+      sims.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          expr(s"(simhash div CAST(power(2, ${c * 12}) AS BIGINT)) % 4096")): _*))
+          .as(Seq("chunk_idx", "chunk"))),
+      col("chunk_idx"), col("chunk"))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk") === col("b.chunk") &&
@@ -162,34 +197,30 @@ object Dedup {
     val g = withShingles(docs, textCol)
       .select(col("doc_id"), col("gs"))
     val exploded = g.select(col("doc_id"), explode(col("gs")).as("gram"))
-    val sizes = g.select(col("doc_id"), size(col("gs")).as("n_grams"))
 
     val rareGrams = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("gram"))
-    val rare = exploded.join(rareGrams, Seq("gram"))
+    // barrier: `rare` feeds both sides of the candidate self-join —
+    // without it the shingle explode + df-filter join runs twice
+    val rare = barrier(exploded.join(rareGrams, Seq("gram")), col("gram"))
 
     val cand = rare.as("a").join(rare.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val inter = cand
-      .join(exploded.as("ga"), col("ga.doc_id") === col("doc_a"))
-      .join(exploded.as("gb"),
-        col("gb.doc_id") === col("doc_b") && col("ga.gram") === col("gb.gram"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_grams", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_grams", "n_b"), Seq("doc_b"))
+    // exact |A∩B| via array_intersect on the candidate pairs only — the
+    // shingle arrays are bounded per doc, so this beats re-exploding
+    // both sides into a grams⋈grams join (measured ~2× at sf0.1)
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("gs_a"), col("gs_b"))))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6))
+          (size(col("gs_a")) + size(col("gs_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

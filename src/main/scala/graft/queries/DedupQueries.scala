@@ -28,9 +28,12 @@ object DedupQueries {
       s"for i in range(1, greatest(len(w)-${k - 1},1)+1)])"
   }
 
+  /** Universal-hash MinHash over the base-hash list (mirrors
+    * Dedup.withMinhashSig: one md5 per shingle, H derived hashes). */
   private val duckSigCols: String =
     (0 until MinHashH).map(i =>
-      s"list_min([${duckHash("g", i)} for g in gs]) AS sig$i").mkString(", ")
+      s"list_min([(${HashA(i)} * (h % $HashP) + ${HashB(i)}) % $HashP " +
+        s"for h in hs]) AS sig$i").mkString(", ")
 
   private val duckBands: String =
     (0 until Bands).map { b =>
@@ -44,7 +47,7 @@ object DedupQueries {
     * per-bit fold reads it — mirrors the Spark expression shape (and its
     * perf fix: hashing inside the per-bit lambda is ~50× the work). */
   private val duckHashList: String =
-    s"[${duckHash("g", SimSeed)} for g in gs]"
+    s"[${duckHash("g", 0)} for g in gs]"
 
   private val duckSimhash: String =
     s"""list_sum([(CASE WHEN list_sum([CASE WHEN (hv // (2**j)::BIGINT) % 2 = 1
@@ -81,7 +84,8 @@ object DedupQueries {
     "x03_minhash_lsh_pairs" -> QueryDef(
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |sig AS (SELECT doc_id, $duckSigCols FROM s),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
          |bands AS ($duckBands)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b

@@ -3,7 +3,6 @@ package graft.similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup.hash60Sql
 import graft.functions.VectorFunctions
 
 /** [EXT] Similarity search over an embedding column (`Array[Float]`).
@@ -25,19 +24,36 @@ object Ann {
   val Dim = 64
   val PlaneSeed = 777
 
-  /** SQL expr: ±1 Rademacher component for (plane, dim var `d`). */
-  private def compSql(plane: Int): String =
-    s"(CASE WHEN ${hash60Sql(s"concat('${plane}_', CAST(d AS STRING))", PlaneSeed)} % 2 = 1 " +
-      s"THEN 1.0D ELSE -1.0D END)"
-
-  /** SQL expr: LSH signature (0..2^NPlanes-1) of `embedding`. */
-  def signatureSql(embCol: String): String = {
-    val bits = (0 until NPlanes).map { p =>
-      s"""(CASE WHEN aggregate(sequence(0, ${Dim - 1}), 0.0D,
-         |  (acc, d) -> acc + ${compSql(p)} * CAST(element_at($embCol, d + 1) AS DOUBLE)) > 0
-         |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+  /** ±1 Rademacher plane components, derived from the md5 hash family
+    * (`parity of hash60("777|p_d")`) — computed ONCE driver-side and
+    * embedded as literals. The DuckDB oracle derives the same values
+    * with md5 in SQL; evaluating md5 per (plane, dim) per ROW in the
+    * Spark plan (256 md5/row) was pure waste — the components are
+    * row-independent.
+    */
+  lazy val planeComponents: IndexedSeq[IndexedSeq[Double]] = {
+    (0 until NPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$PlaneSeed|${p}_$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0 else -1.0
+      }
     }
-    bits.mkString("(", " + ", ")")
+  }
+
+  /** LSH signature (0..2^NPlanes-1) of `embedding`: sign bits of the
+    * plane dot products, accumulated in element order (oracle parity).
+    */
+  def signatureCol(embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bits = (0 until NPlanes).map { p =>
+      val plane = typedLit(planeComponents(p))
+      val dot = aggregate(
+        zip_with(plane, embCol, (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
   }
 
   /** One small parquet file → one input partition; spread before the
@@ -46,7 +62,7 @@ object Ann {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   def withSignature(embeddings: DataFrame, embCol: String = "embedding"): DataFrame =
-    spread(embeddings).withColumn("bucket", expr(signatureSql(embCol)))
+    spread(embeddings).withColumn("bucket", signatureCol(col(embCol)))
 
   /** Exact brute-force top-k neighbours of one stored vector. */
   def bruteForceTopK(spark: SparkSession, embeddings: DataFrame,
