@@ -25,6 +25,15 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n_rows
         |FROM events GROUP BY event_type""".stripMargin) {
       (s, dir) => StreamingJobs.partitionCounts(s, dir)
+    },
+
+    // arbitrary custom state via flatMapGroupsWithState (per-user
+    // running count + exact value sum held in GroupState)
+    "s03_stream_custom_state" -> QueryDef(
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, dir) => StreamingJobs.customStateCounts(s, dir)
     }
   )
 }

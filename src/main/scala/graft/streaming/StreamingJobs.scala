@@ -79,4 +79,38 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_rows"))
     runToCompletion(agg)
   }
+
+  /** Custom state machine via flatMapGroupsWithState: per-user running
+    * event count + value sum held in explicit GroupState (the
+    * KeyValueGroupedDataset path the built-in aggs can't express when
+    * state logic gets arbitrary). The fixture arrives as one file →
+    * one micro-batch → each group emits exactly once with its final
+    * state, so the result is deterministic and batch-checkable.
+    */
+  def customStateCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // value carried as exact cents (decimal(12,2) × 100) so the state
+    // arithmetic is integral; cents/100.0 equals DuckDB's decimal→double
+    val typed = eventsStream(spark, dir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+
+    val updated = typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          Iterator((user, n, c))
+      }
+
+    runToCompletion(updated.toDF("user_id", "n_events", "cents"), mode = "append")
+      .select(col("user_id"), col("n_events"),
+        (col("cents").cast("double") / 100.0).as("sum_value"))
+  }
 }
