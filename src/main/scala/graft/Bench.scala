@@ -38,15 +38,23 @@ object Bench {
         .count()
     } catch { case _: Throwable => () }
 
+    // A failed query reports its elapsed time NEGATED so a regression
+    // can't hide inside a normal-looking total; failures are also listed
+    // by name. (total still accumulates the absolute time spent.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${t.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filterNot(_._3).map(r => s"\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(r => math.abs(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -139,8 +139,19 @@ object Backup {
       val from = r.getAs[String]("from_ts")
       val to = r.getAs[String]("to_ts")
       val ext = if (cfg.gzip) ".log.gz" else ".log"
-      val dst = new Path(src.getParent, s"${from}_${to}_$hex$ext")
-      fs.rename(src, dst)
+      // Two chunks in the same partition/date dir can share identical
+      // from/to/CRC (e.g. duplicate rows split across files); rename
+      // would silently no-op on the existing destination. Check the
+      // result and disambiguate with a sequence suffix.
+      val base = s"${from}_${to}_$hex"
+      var dst = new Path(src.getParent, base + ext)
+      var seq = 0
+      while (!fs.rename(src, dst)) {
+        seq += 1
+        if (seq > 1000)
+          throw new java.io.IOException(s"cannot rename $src to $dst")
+        dst = new Path(src.getParent, s"$base-$seq$ext")
+      }
       ChunkInfo(dst.toString, r.getAs[String]("part"),
         r.getAs[String]("date_dir"), from, to, hex, r.getAs[Long]("n"))
     }

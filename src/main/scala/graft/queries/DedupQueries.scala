@@ -49,10 +49,13 @@ object DedupQueries {
   private val duckHashList: String =
     s"[${duckHash("g", 0)} for g in gs]"
 
+  /** Outer list_sum would be HUGEINT (→ float64 through pandas in the
+    * driver's comparator) — cast BIGINT so the oracle value type matches
+    * Spark's LongType exactly. */
   private val duckSimhash: String =
     s"""list_sum([(CASE WHEN list_sum([CASE WHEN (hv // (2**j)::BIGINT) % 2 = 1
        | THEN 1 ELSE -1 END for hv in hs]) > 0
-       | THEN (2**j)::BIGINT ELSE 0 END) for j in range(0, $SimBits)])""".stripMargin
+       | THEN (2**j)::BIGINT ELSE 0 END) for j in range(0, $SimBits)])::BIGINT""".stripMargin
 
   private val JaccardMaxDf = 10
   private val JaccardThreshold = 0.5

@@ -16,4 +16,13 @@ object QueryDef {
     QueryDef(fn, Some(oracle))
   def rowsOnly(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(fn, None)
+
+  /** Fixed scratch dir per (query, sf), reused across runs with
+    * mode=overwrite writes — repeated Verify/Bench invocations replace
+    * the previous copy instead of leaking a fresh temp dir per run.
+    */
+  def scratchDir(name: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"${System.getProperty("java.io.tmpdir")}/graft_scratch_${name}_$sf"
+  }
 }

@@ -165,7 +165,9 @@ object RefQueries {
          |       count(*) AS n_rows
          |FROM events WHERE $oracleWindow
          |GROUP BY event_type, date_dir""".stripMargin) { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_r9_").toString
+      // Fixed path: Backup.run's mode=overwrite wipes it each run, so
+      // repeated invocations can't leak table copies (ADVICE r01).
+      val out = QueryDef.scratchDir("r9", dir)
       val cfg = graft.config.BackupConfig(
         inputPath = s"$dir/events.parquet", outputPath = out,
         timeColumn = "ts", partitionColumn = "event_type",

@@ -20,7 +20,7 @@ object SourceQueries {
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, day""".stripMargin) { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val out = QueryDef.scratchDir("r10_csv", dir)
       Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
@@ -42,7 +42,7 @@ object SourceQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val out = QueryDef.scratchDir("r11_orc", dir)
       Tables.lineitem(s, dir).write.mode("overwrite").orc(out)
       s.read.orc(out)
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))

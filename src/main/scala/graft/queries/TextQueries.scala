@@ -67,8 +67,8 @@ object TextQueries {
     // token counting: whitespace + regex token classes, per source
     "x13_token_count" -> QueryDef(
       s"""SELECT source,
-         |  sum(len(string_split(text,' '))) AS ws_tokens,
-         |  sum(len(regexp_extract_all(text, '$TokenPattern'))) AS re_tokens,
+         |  sum(len(string_split(text,' ')))::BIGINT AS ws_tokens,
+         |  sum(len(regexp_extract_all(text, '$TokenPattern')))::BIGINT AS re_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -91,15 +91,19 @@ object TextQueries {
 
     // multimodal: binary payload + typed metadata → per-partition
     // feature extraction (stubbed decode, real plumbing); histogram
-    // verified bucket-by-bucket against the oracle
+    // verified bucket-by-bucket against the oracle. The oracle iterates
+    // UTF-8 BYTES (hex(BLOB): high nibble of byte i = hex char 2i-1),
+    // matching decodeStub's byte semantics even for non-ASCII text.
     "x15_multimodal_features" -> QueryDef(
       s"""WITH f AS (
          |  SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
-         |    [len(list_filter([ord(c) for c in string_split(text,'')],
-         |         x -> x // 16 = b)) for b in range(0, 16)] AS hist
+         |    [substr(hex(text::BLOB), 2*i-1, 1)
+         |     for i in range(1, octet_length(text::BLOB)+1)] AS nibbles
          |  FROM documents)
          |SELECT doc_id, n_bytes,
-         |  ${(0 until 16).map(i => s"hist[${i + 1}]::BIGINT AS h$i").mkString(", ")}
+         |  ${(0 until 16).map(i =>
+             s"len(list_filter(nibbles, c -> c = '${"%X".format(i)}'))::BIGINT AS h$i")
+             .mkString(", ")}
          |FROM f""".stripMargin) { (s, dir) =>
       val feats = Multimodal.extractFeatures(s, Tables.documents(s, dir)).toDF()
       feats.select(Seq(col("doc_id"), col("n_bytes")) ++

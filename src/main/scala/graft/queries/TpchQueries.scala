@@ -316,16 +316,20 @@ object TpchQueries {
           asD(sum(dec(col("l_extendedprice"))).over(w)).as("running_rev"))
     },
 
-    // lag/lead + gap-based sessionization (30-min inactivity gap)
+    // lag/lead + gap-based sessionization (30-min inactivity gap).
+    // Gap compare is at exact microsecond precision on BOTH sides
+    // (Spark ts is µs-truncated at load; oracle µs-truncates too), so a
+    // gap like 1800.4s can't diverge between engines at any SF.
     "q22_sessionize" -> QueryDef(
       """WITH gaps AS (
         |  SELECT user_id, ts,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-        |        ORDER BY date_trunc('microsecond', ts), event_id)
-        |      > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id
-        |        ORDER BY date_trunc('microsecond', ts), event_id) IS NULL
+        |    CASE WHEN epoch_us(date_trunc('microsecond', ts))
+        |        - epoch_us(date_trunc('microsecond', lag(ts) OVER w))
+        |      > 1800000000 OR lag(ts) OVER w IS NULL
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY date_trunc('microsecond', ts), event_id)
         |)
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
@@ -336,7 +340,8 @@ object TpchQueries {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 30 * 60, 1)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              1800000000L, 1)
             .otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).cast("long").as("n_sessions"),

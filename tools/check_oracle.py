@@ -16,6 +16,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm_cell(v):
     import datetime, decimal, math
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()  # float64 keeps float64-ness; int64 -> int
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, float):
@@ -28,10 +33,17 @@ def norm_cell(v):
         return tuple(norm_cell(x) for x in v)
     return v
 
-def fetch_sorted(rel):
+def fetch_sorted(rel, via_pandas=False):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = rel.fetchall()
+    if via_pandas:
+        # Mirror the driver: it pulls DuckDB results through pandas, where
+        # HUGEINT (e.g. sum()/list_sum() of ints) degrades to float64 and
+        # hash-mismatches Spark's int64. Surfaced as r01 x04/x13 failures.
+        df = rel.df()
+        rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    else:
+        rows = rel.fetchall()
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return [cols[i] for i in order], out
@@ -55,7 +67,7 @@ def main(sf_dir, out_dir):
         try:
             scols, srows = fetch_sorted(
                 con.sql(f"SELECT * FROM read_parquet({files!r})"))
-            ocols, orows = fetch_sorted(con.sql(oracle[name]))
+            ocols, orows = fetch_sorted(con.sql(oracle[name]), via_pandas=True)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
