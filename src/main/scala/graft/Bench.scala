@@ -15,12 +15,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // local debugging: SPARK_GRAFT_EVENTLOG=<dir> records stage/task
+    // timelines for post-hoc analysis of plan pathologies
+    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG")
+      .fold(builder)(d => builder
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -41,13 +47,22 @@ object Bench {
     // A failed query reports its elapsed time NEGATED so a regression
     // can't hide inside a normal-looking total; failures are also listed
     // by name. (total still accumulates the absolute time spent.)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case t: Throwable =>
-        System.err.println(s"BENCH FAIL $name: ${t.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -sec, ok)
+    // Optional filter for local iteration: SPARK_GRAFT_ONLY=regex
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    // SPARK_GRAFT_REPEAT>1 (local debugging): time each query N times in
+    // this one JVM to separate JIT/codegen warmup from plan variance.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = selected.flatMap { case (name, fn) =>
+      (1 to repeat).map { i =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (if (repeat == 1) name else s"$name#$i", if (ok) sec else -sec, ok)
+      }
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

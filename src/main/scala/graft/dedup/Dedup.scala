@@ -55,13 +55,28 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Key-partitioned materialization barrier with an EXPLICIT partition
-    * count: without it AQE coalesces these small-but-CPU-heavy shuffles
-    * to 1-2 partitions (its size heuristic can't see that the work per
-    * row is interpreted higher-order-function evaluation, not IO) and
-    * the downstream join runs near-single-threaded. */
-  private def barrier(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+  /** Materialize an expensive intermediate ONCE and reuse it from every
+    * consumer. Exchange reuse under AQE proved fragile for these plans
+    * (r01 bench: the same query ranged 7s..454s run-to-run as runtime
+    * replans recomputed the interpreted HOF pipeline on 2-3 threads);
+    * an explicit InMemoryRelation makes the reuse structural. Storage is
+    * MEMORY_AND_DISK so a 1000-executor run over a huge corpus degrades
+    * to local spill, never OOM. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** In-bucket unordered pairs from a sorted id array: for i<j emit
+    * (ids[i], ids[j]) — doc_a < doc_b by construction. Replaces the
+    * bucket SELF-JOIN shape: one groupBy shuffle instead of join
+    * replanning, with per-bucket memory O(bucket), so it holds as long
+    * as bucket occupancy is bounded (which each caller's blocking
+    * scheme guarantees). */
+  private def elementPairs(xsCol: String): Column =
+    expr(s"""flatten(transform(
+            |  sequence(1, size($xsCol) - 1),
+            |  i -> transform(slice($xsCol, i + 1, size($xsCol) - i),
+            |       y -> struct(element_at($xsCol, i) AS l, y AS r))))"""
+      .stripMargin)
 
   /** doc_id + distinct shingles. */
   def withShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -108,19 +123,17 @@ object Dedup {
   }
 
   /** Near-duplicate candidate pairs: docs sharing any LSH band bucket.
-    * Bucket self-join — shuffle on (band, bucket), linear in bucket
-    * occupancy, never all-pairs. */
-  def lshCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    // same barrier rationale as simhashPairs: compute signatures once,
-    // pre-shuffled on the join key so the self-join reuses the exchange
-    val bands = barrier(bandBuckets(docs, textCol), col("band"), col("bucket"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    * ONE shuffle on (band, bucket) → per-bucket sorted id list →
+    * in-bucket pair explode. Linear in bucket occupancy, never
+    * all-pairs, and no self-join for AQE to replan. */
+  def lshCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    bandBuckets(docs, textCol)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(elementPairs("ids")).as("p"))
+      .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
       .distinct()
-  }
 
   /** SimHash over distinct shingles: bit j of the fingerprint is the
     * sign of sum(+1/-1) of bit j across shingle hashes. Shingles, not
@@ -164,24 +177,21 @@ object Dedup {
     * all-pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    textCol: String = "text"): DataFrame = {
-    // repartition = materialization barrier: without it the self-join
-    // evaluates the full signature pipeline on BOTH sides, and the
-    // giant expression inside the Generate drops out of codegen
-    // (measured: 385s → seconds at sf0.1). After the barrier both join
-    // sides read the same shuffled attribute via exchange reuse.
-    val sims = withSimhash(docs, textCol).select(col("doc_id"), col("simhash"))
-    val chunks = barrier(
-      sims.select(col("doc_id"), col("simhash"),
+    val chunks = withSimhash(docs, textCol)
+      .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
           expr(s"(simhash div CAST(power(2, ${c * 12}) AS BIGINT)) % 4096")): _*))
-          .as(Seq("chunk_idx", "chunk"))),
-      col("chunk_idx"), col("chunk"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+          .as(Seq("chunk_idx", "chunk")))
+    // ONE shuffle on (chunk_idx, chunk); sort_array orders the structs
+    // by doc_id (first field), so l.doc_id < r.doc_id by construction.
+    chunks
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(elementPairs("members")).as("p"))
+      .select(col("p.l.doc_id").as("doc_a"), col("p.r.doc_id").as("doc_b"),
+        expr("bit_count(p.l.simhash ^ p.r.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -194,21 +204,27 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text"): DataFrame = {
-    val g = withShingles(docs, textCol)
-      .select(col("doc_id"), col("gs"))
+    // The shingle table feeds THREE consumers (candidate generation and
+    // both sides of the exact-jaccard join) — materialize it once.
+    val g = materialize(withShingles(docs, textCol)
+      .select(col("doc_id"), col("gs")))
     val exploded = g.select(col("doc_id"), explode(col("gs")).as("gram"))
 
+    // df-filter FIRST (partial-aggregated count — a stop-gram never
+    // materializes a posting list), THEN posting lists only for rare
+    // grams, each bounded by maxDf. No broadcast hint: the rare-gram
+    // set is small here but can be huge in a diverse corpus; AQE picks
+    // broadcast vs shuffle join from the observed size.
     val rareGrams = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("gram"))
-    // barrier: `rare` feeds both sides of the candidate self-join —
-    // without it the shingle explode + df-filter join runs twice
-    val rare = barrier(exploded.join(rareGrams, Seq("gram")), col("gram"))
 
-    val cand = rare.as("a").join(rare.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = exploded.join(rareGrams, Seq("gram"))
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(elementPairs("ids")).as("p"))
+      .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
       .distinct()
 
     // exact |A∩B| via array_intersect on the candidate pairs only — the
