@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 50+-query run generates enough Janino classes to fill the default
+  // ~240m code cache, after which HotSpot stops JIT-compiling and
+  // interpreted Catalyst expression trees run 10x slower (observed as
+  // late-suite HOF queries degrading 3s -> 40s).
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:-DontCompileHugeMethods",
 )

@@ -61,6 +61,16 @@ object Bench {
         catch { case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getMessage}"); false }
         val sec = (System.nanoTime() - t0) / 1e9
+        // Release per-query state so later queries aren't timed under
+        // the accumulated weight of earlier ones (cached relations,
+        // streaming memory-sink tables): r01 showed the streaming
+        // queries 5-15× slower inside the full suite than alone.
+        try {
+          spark.catalog.clearCache()
+          spark.catalog.listTables().collect()
+            .filter(_.isTemporary)
+            .foreach(t => spark.catalog.dropTempView(t.name))
+        } catch { case _: Throwable => () }
         (if (repeat == 1) name else s"$name#$i", if (ok) sec else -sec, ok)
       }
     }

@@ -33,18 +33,20 @@ object Dedup {
   val ShingleK = 3
 
   /** Portable 60-bit hash: first 15 hex chars of md5("<seed>|" + s).
-    * Identical in Spark (`conv(...,16,10)`) and DuckDB
+    * Identical in Spark (`conv(...,16,10)` — or the compiled
+    * [[graft.functions.DedupKernels.hash60]]) and DuckDB
     * (`('0x'||substr(md5(...),1,15))::BIGINT`).
     */
   def hash60Sql(inner: String, seed: Int): String =
     s"CAST(conv(substring(md5(concat('$seed|', $inner)), 1, 15), 16, 10) AS BIGINT)"
 
-  /** Distinct word-k-gram shingles of a text column (SQL expr). */
-  def shinglesSql(textCol: String): String = {
-    val k = ShingleK
-    s"""array_distinct(transform(
-       |  sequence(1, greatest(size(split($textCol, ' ')) - ${k - 1}, 1)),
-       |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $k))))""".stripMargin
+  /** Idempotent registration of the compiled signature kernels
+    * (graft_shingles / graft_hash60_array / ...): the HOF SQL versions
+    * of these were interpreted (CodegenFallback) and bimodally slow —
+    * see [[graft.functions.DedupExpressions]]. */
+  private def withKernels(df: DataFrame): DataFrame = {
+    graft.functions.DedupFunctions.register(df.sparkSession)
+    df
   }
 
   /** Spread rows across cores before CPU-heavy per-row hashing: the
@@ -71,16 +73,12 @@ object Dedup {
     * replanning, with per-bucket memory O(bucket), so it holds as long
     * as bucket occupancy is bounded (which each caller's blocking
     * scheme guarantees). */
-  private def elementPairs(xsCol: String): Column =
-    expr(s"""flatten(transform(
-            |  sequence(1, size($xsCol) - 1),
-            |  i -> transform(slice($xsCol, i + 1, size($xsCol) - i),
-            |       y -> struct(element_at($xsCol, i) AS l, y AS r))))"""
-      .stripMargin)
+  private def elementPairs(xsCol: String): Column = expr(s"graft_pairs($xsCol)")
 
   /** doc_id + distinct shingles. */
   def withShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
-    spread(docs).withColumn("gs", expr(shinglesSql(textCol)))
+    spread(withKernels(docs))
+      .withColumn("gs", expr(s"graft_shingles($textCol, $ShingleK)"))
 
   /** ONE md5 per shingle: the 60-bit base hash array every signature
     * derives from. MinHash's H functions come from universal hashing
@@ -90,7 +88,7 @@ object Dedup {
     */
   def withBaseHashes(docs: DataFrame, textCol: String = "text"): DataFrame =
     withShingles(docs, textCol)
-      .withColumn("hs", expr(s"transform(gs, g -> ${hash60Sql("g", 0)})"))
+      .withColumn("hs", expr("graft_hash60_array(gs, 0)"))
 
   /** Universal-hash family constants over the Mersenne prime 2^31-1:
     * h_i(x) = (A(i)·(x mod P) + B(i)) mod P. A(i)·x stays < 2^62. */
@@ -99,15 +97,19 @@ object Dedup {
     805306457L, 402653189L, 1610612741L, 1431655765L, 715827883L)
   val HashB: Seq[Long] = Seq(12345L, 67891L, 54321L, 13579L,
     24680L, 11111L, 99991L, 777L)
+  // the compiled kernels and the oracle-SQL generators must agree
+  require(graft.functions.DedupKernels.HashP == HashP &&
+    graft.functions.DedupKernels.HashA.sameElements(HashA) &&
+    graft.functions.DedupKernels.HashB.sameElements(HashB) &&
+    graft.functions.DedupKernels.HashA.length == MinHashH,
+    "DedupKernels hash constants drifted from Dedup")
 
   /** MinHash signature: min of each universal hash over the base-hash
-    * array. Appends `sig` (array of MinHashH longs). */
-  def withMinhashSig(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val sigCols = (0 until MinHashH).map { i =>
-      expr(s"array_min(transform(hs, h -> (${HashA(i)}L * (h % $HashP) + ${HashB(i)}L) % $HashP))")
-    }
-    withBaseHashes(docs, textCol).withColumn("sig", array(sigCols: _*))
-  }
+    * array. Appends `sig` (array of MinHashH longs) — ONE compiled pass
+    * over hs maintaining all H minima, not H interpreted array scans. */
+  def withMinhashSig(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withBaseHashes(docs, textCol)
+      .withColumn("sig", expr("graft_minhash_sig(hs)"))
 
   /** LSH band buckets: md5 of each band's R signature values.
     * One row per (doc, band). */
@@ -143,31 +145,12 @@ object Dedup {
     * discriminative. Pure integer arithmetic (div/mod by exact powers
     * of two) so both engines agree bit-for-bit.
     *
-    * Shape matters: the base-hash array `hs` is the aggregate's *input*
-    * (one evaluation per row), and ONE fold over it maintains all 48
-    * bit counters via zip_with. Putting the hash transform inside a
-    * per-bit lambda instead re-evaluates split+md5 48× per row — two
-    * orders of magnitude slower (measured: minutes vs seconds at
-    * sf0.01).
+    * One compiled pass over hs maintains all 48 bit counters
+    * ([[graft.functions.DedupKernels.simhash48]]).
     */
-  val simhashFromHsSql: String = {
-    val bits = SimBits
-    s"""aggregate(
-       |  zip_with(
-       |    aggregate(
-       |      hs,
-       |      array_repeat(0, $bits),
-       |      (acc, hv) -> zip_with(acc, sequence(0, ${bits - 1}),
-       |        (a, j) -> a + (CASE WHEN (hv div CAST(power(2, j) AS BIGINT)) % 2 = 1
-       |                       THEN 1 ELSE -1 END))),
-       |    sequence(0, ${bits - 1}),
-       |    (cnt, j) -> CASE WHEN cnt > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0L END),
-       |  0L, (acc, v) -> acc + v)""".stripMargin
-  }
-
   def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     withBaseHashes(docs, textCol)
-      .withColumn("simhash", expr(simhashFromHsSql))
+      .withColumn("simhash", expr(s"graft_simhash48(hs, $SimBits)"))
       .drop("gs", "hs")
 
   /** SimHash near-dup pairs: band the 48 bits into 4×12-bit chunks

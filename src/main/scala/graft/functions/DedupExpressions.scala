@@ -1,0 +1,254 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup signature pipeline.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * are `CodegenFallback`: they evaluate through the interpreted
+  * `Expression.eval` chain with per-element lambda dispatch. For the
+  * dedup hot path that was both slow and — worse — *bimodally* slow:
+  * whether HotSpot managed to JIT the megamorphic interpreter chain
+  * decided between 2.5s and 53s for the same stage (r01 bench, sf0.1).
+  *
+  * Each expression here is one `doGenCode` call into a compiled Scala
+  * kernel: monomorphic, JIT-friendly, no per-element interpretation.
+  * The math is bit-identical to the HOF SQL it replaces (and to the
+  * DuckDB oracle mirrors): md5-derived 60-bit hashes, universal-hash
+  * MinHash, 48-bit SimHash.
+  */
+object DedupKernels extends Serializable {
+
+  /** 60-bit portable hash: first 15 hex chars of md5("<seed>|" + s),
+    * parsed base-16. Equals SQL `conv(substring(md5(concat(seed,'|',s)),
+    * 1,15),16,10)` and DuckDB `('0x'||substr(md5(seed||'|'||s),1,15))`.
+    */
+  def hash60(s: UTF8String, seed: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$seed|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(s.getBytes)
+    val d = md.digest()
+    // first 15 hex chars = 60 bits: 7.5 bytes, big-endian nibbles
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def hash60Array(gs: ArrayData, seed: Int): ArrayData = {
+    val n = gs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hash60(gs.getUTF8String(i), seed); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word-k-gram shingles, mirroring the HOF SQL exactly:
+    * words = split(text,' ') (trailing/empty tokens KEPT, as in Java
+    * regex split with limit -1); grams for i in 1..max(n-k+1, 1) of
+    * concat_ws(' ', slice(words, i, k)) (slice truncates at the end);
+    * first-occurrence-order distinct. */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val m = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: min over the base-hash array of each universal
+    * hash h_i(x) = (A(i)·(x mod P) + B(i)) mod P. Constants shared with
+    * [[graft.dedup.Dedup]] (asserted there at class-load). */
+  val HashP = 2147483647L
+  val HashA: Array[Long] = Array(1103515245L, 1234567891L, 987654321L,
+    805306457L, 402653189L, 1610612741L, 1431655765L, 715827883L)
+  val HashB: Array[Long] = Array(12345L, 67891L, 54321L, 13579L,
+    24680L, 11111L, 99991L, 777L)
+
+  def minhashSig(hs: ArrayData): ArrayData = {
+    val h = HashA.length
+    val out = new Array[Long](h)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val base = hs.getLong(i) % HashP
+      var f = 0
+      while (f < h) {
+        val v = (HashA(f) * base + HashB(f)) % HashP
+        if (v < out(f)) out(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 48-bit SimHash over the base-hash array: bit j of the result set
+    * iff sum over hashes of (+1 if bit j set else -1) is positive. */
+  def simhash48(hs: ArrayData, bits: Int): Long = {
+    val cnt = new Array[Int](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val hv = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((hv >> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < bits) { if (cnt(j) > 0) acc |= 1L << j; j += 1 }
+    acc
+  }
+
+  /** All unordered element pairs (i<j, input order) of an array as
+    * struct(l, r) — the in-bucket candidate-pair expansion. Elements
+    * are copied when they are rows (Unsafe-backed inputs). */
+  def unorderedPairs(xs: ArrayData, elemType: DataType): ArrayData = {
+    val n = xs.numElements()
+    val elems = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      elems(i) = xs.get(i, elemType) match {
+        case r: InternalRow => r.copy()
+        case u: UTF8String => u.copy()
+        case v => v
+      }
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(elems(i), elems(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Base for the kernel-call expressions: null-safe unary, one generated
+  * call into [[DedupKernels]]. */
+abstract class DedupKernelUnary extends UnaryExpression {
+  protected def kernelCall(ctx: CodegenContext, childVar: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelCall(ctx, c)};")
+
+  protected def kernelRef(ctx: CodegenContext): String =
+    ctx.addReferenceObj("dedupKernels", DedupKernels,
+      "graft.functions.DedupKernels$")
+}
+
+/** shingles(text): distinct word-k-gram shingles. */
+case class ShinglesExpr(child: Expression, k: Int) extends DedupKernelUnary {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    DedupKernels.shingles(t.asInstanceOf[UTF8String], k)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"${kernelRef(ctx)}.shingles($c, $k)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** hash60_array(gs): md5-derived 60-bit hash of each string. */
+case class Hash60ArrayExpr(child: Expression, seed: Int) extends DedupKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    DedupKernels.hash60Array(a.asInstanceOf[ArrayData], seed)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"${kernelRef(ctx)}.hash60Array($c, $seed)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** minhash_sig(hs): H universal-hash minima over the base hashes. */
+case class MinHashSigExpr(child: Expression) extends DedupKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    DedupKernels.minhashSig(a.asInstanceOf[ArrayData])
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"${kernelRef(ctx)}.minhashSig($c)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** simhash48(hs): 48-bit sign-of-bit-sums fingerprint. */
+case class SimHash48Expr(child: Expression, bits: Int) extends DedupKernelUnary {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    DedupKernels.simhash48(a.asInstanceOf[ArrayData], bits)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"${kernelRef(ctx)}.simhash48($c, $bits)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** unordered_pairs(xs): all i<j element pairs as struct(l, r). */
+case class UnorderedPairsExpr(child: Expression) extends DedupKernelUnary {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("l", elemType), StructField("r", elemType))),
+    containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    DedupKernels.unorderedPairs(a.asInstanceOf[ArrayData], elemType)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String = {
+    val et = ctx.addReferenceObj("elemType", elemType,
+      "org.apache.spark.sql.types.DataType")
+    s"${kernelRef(ctx)}.unorderedPairs($c, $et)"
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** SQL registration so `expr("graft_shingles(text, 3)")` etc. work from
+  * the Column API (same route as [[VectorFunctions]]). */
+object DedupFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def lit(e: Expression): Int = e.eval().asInstanceOf[Int]
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => ShinglesExpr(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hash60_array",
+      es => Hash60ArrayExpr(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSigExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash48",
+      es => SimHash48Expr(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pairs",
+      es => UnorderedPairsExpr(es.head), "scala_udf")
+  }
+}
