@@ -32,6 +32,17 @@ object Dedup {
   /** Shingle size (words) for MinHash and Jaccard. */
   val ShingleK = 3
 
+  /** Bucket-occupancy cap for in-bucket pair expansion. A bucket of n
+    * members wants n(n-1)/2 pair structs in ONE task's row; a
+    * mass-duplicated corpus (the same boilerplate page ×10⁶ lands in one
+    * LSH band bucket on every band) would OOM that task or hit the 2 GB
+    * array limit. Above the cap the expansion degrades to the star
+    * pattern (n-1 pairs through the first member) — the bucket's
+    * connected component survives for dedup clustering and every emitted
+    * pair is still exact-verified downstream. 1024² /2 ≈ 0.5 M structs
+    * ≈ 8 MB is a comfortable per-row ceiling. */
+  val MaxBucketOccupancy = 1024
+
   /** Portable 60-bit hash: first 15 hex chars of md5("<seed>|" + s).
     * Identical in Spark (`conv(...,16,10)` — or the compiled
     * [[graft.functions.DedupKernels.hash60]]) and DuckDB
@@ -67,13 +78,43 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Release `handle`'s cache once the first action on `result`
+    * completes (success or failure), so library callers don't leak one
+    * InMemoryRelation per invocation — Bench/Verify clear the cache per
+    * query, but a long-lived session calling [[ngramJaccardPairs]] in a
+    * loop must not accumulate pinned shingle tables. Matching is by
+    * reference on the analyzed subtree (Dataset actions wrap the
+    * existing analyzed plan, they don't re-analyze it). Listener
+    * callbacks are async; a second action before delivery just
+    * recomputes without cache — correct, only slower. */
+  private def unpersistAfterFirstAction(result: DataFrame, handle: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val session = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def done(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_ eq target)) {
+          handle.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        done(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        done(qe)
+    }
+    session.listenerManager.register(listener)
+    result
+  }
+
   /** In-bucket unordered pairs from a sorted id array: for i<j emit
     * (ids[i], ids[j]) — doc_a < doc_b by construction. Replaces the
     * bucket SELF-JOIN shape: one groupBy shuffle instead of join
     * replanning, with per-bucket memory O(bucket), so it holds as long
     * as bucket occupancy is bounded (which each caller's blocking
     * scheme guarantees). */
-  private def elementPairs(xsCol: String): Column = expr(s"graft_pairs($xsCol)")
+  private def elementPairs(xsCol: String): Column =
+    expr(s"graft_pairs($xsCol, $MaxBucketOccupancy)")
 
   /** doc_id + distinct shingles. */
   def withShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -213,7 +254,7 @@ object Dedup {
     // exact |A∩B| via array_intersect on the candidate pairs only — the
     // shingle arrays are bounded per doc, so this beats re-exploding
     // both sides into a grams⋈grams join (measured ~2× at sf0.1)
-    cand
+    val result = cand
       .join(g.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("gs_a"), col("gs_b"))))
@@ -222,5 +263,6 @@ object Dedup {
           (size(col("gs_a")) + size(col("gs_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    unpersistAfterFirstAction(result, g)
   }
 }

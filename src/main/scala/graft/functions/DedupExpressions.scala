@@ -130,8 +130,17 @@ object DedupKernels extends Serializable {
 
   /** All unordered element pairs (i<j, input order) of an array as
     * struct(l, r) — the in-bucket candidate-pair expansion. Elements
-    * are copied when they are rows (Unsafe-backed inputs). */
-  def unorderedPairs(xs: ArrayData, elemType: DataType): ArrayData = {
+    * are copied when they are rows (Unsafe-backed inputs).
+    *
+    * Occupancy guard: a bucket of n members wants n(n-1)/2 pair structs
+    * in ONE task's row — a mass-duplicated corpus (boilerplate pages all
+    * landing in the same LSH band bucket) would OOM the task or hit the
+    * 2 GB array limit. Above `cap` members the expansion degrades to the
+    * STAR pattern (first member paired with each other member): n-1
+    * pairs that preserve the bucket's connected component for dedup
+    * clustering, while every emitted pair is still exact-verified
+    * downstream. cap<=0 means uncapped. */
+  def unorderedPairs(xs: ArrayData, elemType: DataType, cap: Int): ArrayData = {
     val n = xs.numElements()
     val elems = new Array[Any](n)
     var i = 0
@@ -142,6 +151,13 @@ object DedupKernels extends Serializable {
         case v => v
       }
       i += 1
+    }
+    if (cap > 0 && n > cap) {
+      // star: (elems(0), elems(j)) for j in 1..n-1
+      val out = new Array[Any](n - 1)
+      var j = 1
+      while (j < n) { out(j - 1) = InternalRow(elems(0), elems(j)); j += 1 }
+      return new GenericArrayData(out)
     }
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
@@ -216,19 +232,21 @@ case class SimHash48Expr(child: Expression, bits: Int) extends DedupKernelUnary 
     copy(child = c)
 }
 
-/** unordered_pairs(xs): all i<j element pairs as struct(l, r). */
-case class UnorderedPairsExpr(child: Expression) extends DedupKernelUnary {
+/** unordered_pairs(xs): all i<j element pairs as struct(l, r); buckets
+  * larger than `cap` degrade to the star pattern (see
+  * [[DedupKernels.unorderedPairs]]). */
+case class UnorderedPairsExpr(child: Expression, cap: Int) extends DedupKernelUnary {
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("l", elemType), StructField("r", elemType))),
     containsNull = false)
   override def nullSafeEval(a: Any): Any =
-    DedupKernels.unorderedPairs(a.asInstanceOf[ArrayData], elemType)
+    DedupKernels.unorderedPairs(a.asInstanceOf[ArrayData], elemType, cap)
   override protected def kernelCall(ctx: CodegenContext, c: String): String = {
     val et = ctx.addReferenceObj("elemType", elemType,
       "org.apache.spark.sql.types.DataType")
-    s"${kernelRef(ctx)}.unorderedPairs($c, $et)"
+    s"${kernelRef(ctx)}.unorderedPairs($c, $et, $cap)"
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -249,6 +267,7 @@ object DedupFunctions {
     reg.createOrReplaceTempFunction("graft_simhash48",
       es => SimHash48Expr(es.head, lit(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_pairs",
-      es => UnorderedPairsExpr(es.head), "scala_udf")
+      es => UnorderedPairsExpr(es.head,
+        if (es.length > 1) lit(es(1)) else 0), "scala_udf")
   }
 }

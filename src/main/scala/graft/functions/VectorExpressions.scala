@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for `Array[Float]` embedding math.
   *
@@ -108,6 +108,52 @@ case class CosineSimF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plane-matrix kernel shared by eval and generated code. */
+object VectorKernels extends Serializable {
+  /** LSH bucket id: bit p set iff dot(planes(p), emb) > 0. The dot
+    * accumulates in element order with a double accumulator — exactly
+    * the order the HOF `aggregate(zip_with(...))` it replaces used, so
+    * the DuckDB oracle (list fold in SQL) stays bit-identical. */
+  def hyperplaneSig(emb: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(plane.length, emb.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += plane(i) * emb.getFloat(i).toDouble; i += 1 }
+      if (acc > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** hyperplane_sig(emb): LSH bucket from a fixed ±1 plane matrix carried
+  * as a codegen reference object — ONE fused loop per row instead of
+  * NPlanes interpreted `aggregate(zip_with(...))` HOF trees (those are
+  * CodegenFallback and were the last interpreted expression on the ANN
+  * hot path). */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.hyperplaneSig(a.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("vectorKernels", VectorKernels,
+      "graft.functions.VectorKernels$")
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernels.hyperplaneSig($c, $planesRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorFunctions {
 
@@ -120,5 +166,7 @@ object VectorFunctions {
       es => DotProductF(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSimF(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig",
+      es => HyperplaneSigExpr(es.head, graft.similarity.Ann.planeMatrix), "scala_udf")
   }
 }

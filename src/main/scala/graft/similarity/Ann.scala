@@ -42,27 +42,25 @@ object Ann {
     }
   }
 
-  /** LSH signature (0..2^NPlanes-1) of `embedding`: sign bits of the
-    * plane dot products, accumulated in element order (oracle parity).
-    */
-  def signatureCol(embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bits = (0 until NPlanes).map { p =>
-      val plane = typedLit(planeComponents(p))
-      val dot = aggregate(
-        zip_with(plane, embCol, (a, b) => a * b.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Plane matrix as primitive arrays for the codegen kernel. */
+  lazy val planeMatrix: Array[Array[Double]] =
+    planeComponents.map(_.toArray).toArray
 
   /** One small parquet file → one input partition; spread before the
     * CPU-heavy signature/cosine stages so all cores participate. */
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  def withSignature(embeddings: DataFrame, embCol: String = "embedding"): DataFrame =
-    spread(embeddings).withColumn("bucket", signatureCol(col(embCol)))
+  /** LSH bucket (0..2^NPlanes-1): sign bits of the plane dot products,
+    * via the fused codegen kernel ([[graft.functions.HyperplaneSigExpr]]
+    * — the HOF `aggregate(zip_with(...))` version was CodegenFallback,
+    * i.e. interpreted per element per plane). Dot accumulation is in
+    * element order, so the DuckDB oracle is bit-identical. */
+  def withSignature(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    spread(embeddings)
+      .withColumn("bucket", expr(s"graft_hyperplane_sig($embCol)"))
+  }
 
   /** Exact brute-force top-k neighbours of one stored vector. */
   def bruteForceTopK(spark: SparkSession, embeddings: DataFrame,

@@ -36,6 +36,34 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("bucket-occupancy cap: 10k identical docs degrade to star pairs, not n²/2") {
+    // Uncapped, one band bucket holding all 10k ids would materialize
+    // 10k·9999/2 ≈ 50 M pair structs (~800 MB) in a single task row.
+    // With the cap the expansion is the star pattern: n-1 pairs per
+    // bucket, identical across bands → n-1 distinct pairs total.
+    val n = 10000
+    val many = spark.range(n).selectExpr(
+      "id AS doc_id", "'same boilerplate page text here' AS text")
+    val cnt = Dedup.lshCandidatePairs(many).count()
+    assert(cnt == n - 1, s"expected star degradation to ${n - 1} pairs, got $cnt")
+    val sh = Dedup.simhashPairs(many, maxHamming = 3).count()
+    assert(sh == n - 1, s"expected star degradation to ${n - 1} pairs, got $sh")
+  }
+
+  test("ngramJaccardPairs leaves no cached relation after its first action") {
+    val d2 = Seq(
+      (0L, "a b c d e"), (1L, "a b c d x"), (2L, "q r s t u")
+    ).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "dirty cache at test start")
+    Dedup.ngramJaccardPairs(d2, maxDf = 10, threshold = 0.4).count()
+    // the unpersist listener is async on the listener bus
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def cacheEmpty: Boolean = spark.sparkContext.getPersistentRDDs.isEmpty
+    while (!cacheEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cacheEmpty, "shingle-table InMemoryRelation survived the action")
+  }
+
   test("ngramJaccard computes exact jaccard on candidates") {
     // shingles(0) = {a b c, b c d, c d e}; shingles(2) swaps last word:
     // {a b g, b g d... } — build a pair with known jaccard instead

@@ -29,6 +29,30 @@ class AnnSpec extends SparkTestBase {
     assert(math.abs(dot - 9.0) < 1e-12)
   }
 
+  test("hyperplane signature kernel matches driver-side reference; no HOF in plan") {
+    val signed = Ann.withSignature(Tables.embeddings(spark, sf0001))
+    // the compiled kernel replaced the interpreted aggregate(zip_with())
+    // HOFs — neither should appear anywhere in the physical plan
+    val plan = signed.queryExecution.executedPlan.toString
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+      "interpreted HOF survived in the ANN signature plan")
+    val rows = signed.select($"vec_id", $"embedding", $"bucket")
+      .as[(Long, Array[Float], Int)].collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { case (id, emb, bucket) =>
+      var expected = 0
+      for (p <- 0 until Ann.NPlanes) {
+        val plane = Ann.planeMatrix(p)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(plane.length, emb.length)
+        while (i < n) { acc += plane(i) * emb(i).toDouble; i += 1 }
+        if (acc > 0) expected |= 1 << p
+      }
+      assert(bucket == expected, s"vec $id: kernel $bucket != reference $expected")
+    }
+  }
+
   test("bruteForceTopK returns k descending, query excluded") {
     val top = Ann.bruteForceTopK(spark,
       Tables.embeddings(spark, sf0001), queryVecId = 0, k = 10)
