@@ -30,11 +30,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the sandbox has 128 GiB; 32 executor threads plus
+  // MEMORY_AND_DISK persists in 8g meant GC pressure/spill under load.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // A 50+-query run generates enough Janino classes to fill the default
   // ~240m code cache, after which HotSpot stops JIT-compiling and
   // interpreted Catalyst expression trees run 10x slower (observed as
   // late-suite HOF queries degrading 3s -> 40s).
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
   "-XX:-DontCompileHugeMethods",
-)
+) ++
+  // local diagnostics hook, e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS=
+  //   "-Xlog:gc:file=/tmp/gc.log -Xlog:codecache+sweep*=trace"
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -30,6 +30,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query task-metric totals (executor run/cpu/gc): separates
+    // "the plan does too much work" from "the host ran the same work
+    // slowly" — r02's driver bench was 16× the local wall clock for
+    // identical plans, which only these numbers can disambiguate.
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            taskRunMs.addAndGet(m.executorRunTime): Unit
+            taskCpuNs.addAndGet(m.executorCpuTime): Unit
+            taskGcMs.addAndGet(m.jvmGCTime): Unit
+          }
+        }
+      })
+
     // warm-up (untimed): exercise scan/agg/join/window/json codepaths
     try {
       import org.apache.spark.sql.functions._
@@ -56,11 +75,17 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
+        val (r0, c0, g0) = (taskRunMs.get, taskCpuNs.get, taskGcMs.get)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getMessage}"); false }
         val sec = (System.nanoTime() - t0) / 1e9
+        // listener delivery is async; the tail of a query's metrics can
+        // attribute to the next query — fine for the profile's purpose
+        val run_s = (taskRunMs.get - r0) / 1e3
+        val cpu_s = (taskCpuNs.get - c0) / 1e9
+        val gc_s = (taskGcMs.get - g0) / 1e3
         // Release per-query state so later queries aren't timed under
         // the accumulated weight of earlier ones (cached relations,
         // streaming memory-sink tables): r01 showed the streaming
@@ -71,15 +96,24 @@ object Bench {
             .filter(_.isTemporary)
             .foreach(t => spark.catalog.dropTempView(t.name))
         } catch { case _: Throwable => () }
-        (if (repeat == 1) name else s"$name#$i", if (ok) sec else -sec, ok)
+        (if (repeat == 1) name else s"$name#$i", if (ok) sec else -sec, ok,
+          run_s, cpu_s, gc_s)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val metrics = results.map { r =>
+      f""""${r._1}":{"run_s":${r._4}%.3f,"cpu_s":${r._5}%.3f,"gc_s":${r._6}%.3f}"""
+    }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(r => s"\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(r => math.abs(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // total_ok sums succeeded queries only: totals stay comparable
+    // across runs even when the failure sets differ (a fast failure
+    // would otherwise deflate `total` relative to a slow success).
+    val totalOk = results.filter(_._3).map(_._2).sum
+    val nFailed = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_ok":$totalOk,"n_failed":$nFailed,"queries":$qs,"task_metrics":$metrics,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -174,6 +174,10 @@ object Dedup {
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+      // explicit barrier: bucket rows are few bytes but the pair
+      // explode is CPU-heavy — don't let AQE serialize it (see
+      // ngramJaccardPairs)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(elementPairs("ids")).as("p"))
       .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
       .distinct()
@@ -213,6 +217,8 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("members"))
       .filter(size(col("members")) >= 2)
+      // explicit barrier, same rationale as lshCandidatePairs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(elementPairs("members")).as("p"))
       .select(col("p.l.doc_id").as("doc_a"), col("p.r.doc_id").as("doc_b"),
         expr("bit_count(p.l.simhash ^ p.r.simhash)").as("hamming"))
@@ -228,39 +234,65 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text"): DataFrame = {
-    // The shingle table feeds THREE consumers (candidate generation and
-    // both sides of the exact-jaccard join) — materialize it once.
+    // NARROW representation: each document's distinct shingle set is
+    // carried as its sorted 60-bit md5 gram hashes (the same
+    // [[hash60Sql]] family everything else uses), not as the gram
+    // strings. Distinct grams ↔ distinct hashes (a 60-bit collision
+    // among ~10⁵ grams has probability ~10⁻⁸, and hashing n-grams is
+    // the standard posting-list representation at corpus scale), so
+    // df-counts, candidate pairs and |A∩B| are identical to the
+    // string-based computation the DuckDB oracle runs — while every
+    // shuffle carries longs instead of ~18-char strings and the
+    // exact-verify is a primitive merge over two presorted long arrays
+    // (~0.5 µs/pair vs ~85 µs/pair measured for per-pair hash-set
+    // array_intersect on strings). The narrow per-doc row (~430 B) also
+    // keeps the verify build side far under the broadcast threshold —
+    // the wide string form sat exactly AT the 10 MB default, and the
+    // resulting broadcast↔sort-merge flip-flop made run times bimodal.
+    //
+    // The table feeds THREE consumers (candidate generation and both
+    // sides of the exact-verify join) — materialize it once.
     val g = materialize(withShingles(docs, textCol)
-      .select(col("doc_id"), col("gs")))
-    val exploded = g.select(col("doc_id"), explode(col("gs")).as("gram"))
+      .select(col("doc_id"), size(col("gs")).as("n_gs"),
+        sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")))
+    val exploded = g.select(col("doc_id"), explode(col("hs")).as("h"))
 
     // df-filter FIRST (partial-aggregated count — a stop-gram never
     // materializes a posting list), THEN posting lists only for rare
     // grams, each bounded by maxDf. No broadcast hint: the rare-gram
     // set is small here but can be huge in a diverse corpus; AQE picks
     // broadcast vs shuffle join from the observed size.
-    val rareGrams = exploded.groupBy(col("gram"))
+    val rareGrams = exploded.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("gram"))
+      .select(col("h"))
 
-    val cand = exploded.join(rareGrams, Seq("gram"))
-      .groupBy(col("gram"))
+    // Explicit post-distinct barrier: the candidate set is small in
+    // BYTES (~16 B/pair) but each pair costs a full verify downstream.
+    // AQE coalesces the distinct's shuffle output to 1-2 partitions by
+    // size, which serializes the CPU-bound verify stage onto 1-2 cores
+    // (measured: the same verify ran 5 s on 32 cores or 20-200 s when
+    // coalesced). A user repartition with an explicit count is exempt
+    // from AQE coalescing.
+    val cand = exploded.join(rareGrams, Seq("h"))
+      .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(elementPairs("ids")).as("p"))
       .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
       .distinct()
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
-    // exact |A∩B| via array_intersect on the candidate pairs only — the
-    // shingle arrays are bounded per doc, so this beats re-exploding
-    // both sides into a grams⋈grams join (measured ~2× at sf0.1)
+    // exact |A∩B| on the candidate pairs only, via the compiled
+    // long-merge kernel (count-only: no intersection array)
     val result = cand
-      .join(g.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
-      .join(g.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
+        col("hs").as("hs_a")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
+        col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("n_inter", expr("graft_sorted_inter_count_long(hs_a, hs_b)"))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
-          (size(col("gs_a")) + size(col("gs_b")) - col("n_inter")), 6))
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     unpersistAfterFirstAction(result, g)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -29,8 +29,17 @@ object DedupKernels extends Serializable {
     * parsed base-16. Equals SQL `conv(substring(md5(concat(seed,'|',s)),
     * 1,15),16,10)` and DuckDB `('0x'||substr(md5(seed||'|'||s),1,15))`.
     */
+  // MessageDigest.getInstance does a provider lookup + allocation per
+  // call; at one call per shingle that is ~10⁵ lookups per 5k docs.
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def hash60(s: UTF8String, seed: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     md.update(s"$seed|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.update(s.getBytes)
     val d = md.digest()
@@ -126,6 +135,47 @@ object DedupKernels extends Serializable {
     var j = 0
     while (j < bits) { if (cnt(j) > 0) acc |= 1L << j; j += 1 }
     acc
+  }
+
+  /** |A∩B| of two SORTED string arrays by linear merge — the exact-
+    * jaccard verify kernel. `array_intersect` builds a hash set of one
+    * side per ROW and materializes the intersection array just to take
+    * its size; on 4×10⁵ candidate pairs that hashing dominated the
+    * whole x06 pipeline. A merge over presorted arrays is pure
+    * comparisons, zero allocation. Inputs must be sorted ascending and
+    * distinct (shingle sets sorted once per document). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** |A∩B| of two SORTED long arrays by linear merge — the narrow
+    * exact-jaccard verify kernel over 60-bit gram hashes (primitive
+    * compares, zero allocation). */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** All unordered element pairs (i<j, input order) of an array as
@@ -252,6 +302,41 @@ case class UnorderedPairsExpr(child: Expression, cap: Int) extends DedupKernelUn
     copy(child = c)
 }
 
+/** sorted_inter_count(a, b): |A∩B| of two sorted distinct string
+  * arrays via [[DedupKernels.sortedIntersectCount]]. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("dedupKernels", DedupKernels,
+      "graft.functions.DedupKernels$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $k.sortedIntersectCount($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sorted_inter_count_long(a, b): |A∩B| of two sorted long arrays. */
+case class SortedIntersectCountLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.sortedIntersectCountLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("dedupKernels", DedupKernels,
+      "graft.functions.DedupKernels$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $k.sortedIntersectCountLong($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** SQL registration so `expr("graft_shingles(text, 3)")` etc. work from
   * the Column API (same route as [[VectorFunctions]]). */
 object DedupFunctions {
@@ -269,5 +354,9 @@ object DedupFunctions {
     reg.createOrReplaceTempFunction("graft_pairs",
       es => UnorderedPairsExpr(es.head,
         if (es.length > 1) lit(es(1)) else 0), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_inter_count",
+      es => SortedIntersectCountExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_inter_count_long",
+      es => SortedIntersectCountLongExpr(es.head, es(1)), "scala_udf")
   }
 }

@@ -108,8 +108,15 @@ object Backup {
     * the compressed bytes, as in the reference.
     */
   def finalizeChunkNames(spark: SparkSession, cfg: BackupConfig): Seq[ChunkInfo] = {
+    // Explicit one-field schema: no schema-inference pass (inference
+    // re-reads and full-parses every gzipped file) and no parsing of
+    // the non-time fields. The time column is read as its JSON string
+    // and normalized with to_timestamp, which accepts both the sink's
+    // fixed-width format and faithful-mode's cast output (variable-
+    // width fraction); partition columns come from the directory names.
     val written = spark.read
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add(cfg.timeColumn, org.apache.spark.sql.types.StringType))
       .json(cfg.outputPath)
     val perFile = written
       .withColumn("file", input_file_name())
@@ -117,8 +124,8 @@ object Backup {
         col(cfg.partitionColumn).cast("string").as("part"),
         col("date_dir").cast("string").as("date_dir"))
       .agg(
-        date_format(min(col(cfg.timeColumn)), FileFmt).as("from_ts"),
-        date_format(max(col(cfg.timeColumn)), FileFmt).as("to_ts"),
+        date_format(min(to_timestamp(col(cfg.timeColumn))), FileFmt).as("from_ts"),
+        date_format(max(to_timestamp(col(cfg.timeColumn))), FileFmt).as("to_ts"),
         count(lit(1)).as("n"))
       .collect()
 
@@ -147,6 +154,13 @@ object Backup {
       var dst = new Path(src.getParent, base + ext)
       var seq = 0
       while (!fs.rename(src, dst)) {
+        // Only a name collision justifies retrying with a suffix; any
+        // other rename failure (src vanished, permissions, cross-FS)
+        // must surface immediately instead of spinning through 1000
+        // suffixed destinations and masking the real cause.
+        if (!fs.exists(dst))
+          throw new java.io.IOException(
+            s"rename $src -> $dst failed but destination does not exist")
         seq += 1
         if (seq > 1000)
           throw new java.io.IOException(s"cannot rename $src to $dst")

@@ -17,12 +17,32 @@ object QueryDef {
   def rowsOnly(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(fn, None)
 
-  /** Fixed scratch dir per (query, sf), reused across runs with
-    * mode=overwrite writes — repeated Verify/Bench invocations replace
-    * the previous copy instead of leaking a fresh temp dir per run.
-    */
+  /** Scratch dir per (user, process, query, sf): stable within one JVM
+    * so repeated writes (mode=overwrite) reuse the same path instead of
+    * leaking a dir per run, but keyed by user + PID so two concurrent
+    * runs — or two users on a shared machine — never overwrite each
+    * other's scratch or collide on directory ownership. A shutdown hook
+    * removes the per-process tree on JVM exit. */
+  private lazy val processToken: String = {
+    val user = sys.props.getOrElse("user.name", "anon")
+    val pid = ProcessHandle.current().pid()
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scratch_${user}_$pid")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root)
+    }
+    s"${user}_$pid"
+  }
+
   def scratchDir(name: String, sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_scratch_${name}_$sf"
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scratch_$processToken")
+    root.mkdirs()
+    s"$root/${name}_$sf"
   }
 }

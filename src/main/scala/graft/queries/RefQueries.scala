@@ -174,7 +174,9 @@ object RefQueries {
         from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
         to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
       graft.operators.Backup.run(s, cfg)
-      s.read.json(out)
+      // partition columns come from the directory layout; one dummy
+      // data field keeps the read line-per-row without inference
+      s.read.schema("ts STRING").json(out)
         .groupBy(col("event_type").cast("string").as("event_type"),
           col("date_dir").cast("string").as("date_dir"))
         .agg(count(lit(1)).as("n_rows"))

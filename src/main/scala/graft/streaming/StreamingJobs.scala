@@ -42,18 +42,41 @@ object StreamingJobs {
     * file source and return the final result as a batch DataFrame.
     * Complete output mode: every window is emitted regardless of
     * watermark position, so the result equals the batch computation.
-    */
+    *
+    * Stateful-op sizing: a streaming query instantiates one state store
+    * per shuffle partition per micro-batch; at the session default of 32
+    * that is 32 HDFS-backed store inits + checkpoint commits for
+    * aggregations whose key cardinality is ≤150 (event types, users).
+    * The store setup — not the arithmetic — dominated the driver bench
+    * (r02: s01+s02+s03 = 111 s for ~6.6 k rows), so the stream runs with
+    * [[StreamShufflePartitions]] and the session value is restored
+    * after. State stores + their maintenance thread are torn down
+    * afterwards so later batch queries don't run under leftover
+    * streaming state. */
+  val StreamShufflePartitions = 4
+
   def runToCompletion(agg: DataFrame, mode: String = "complete"): DataFrame = {
+    val spark = agg.sparkSession
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
     try {
-      q.processAllAvailable()
-    } finally q.stop()
-    agg.sparkSession.table(name)
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // unload loaded state store providers + stop the maintenance
+      // thread; the next streaming query restarts them lazily
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+    }
+    spark.table(name)
   }
 
   /** Tumbling 1-hour event-time windows with a 10-minute watermark:

@@ -64,6 +64,21 @@ class DedupSpec extends SparkTestBase {
     assert(cacheEmpty, "shingle-table InMemoryRelation survived the action")
   }
 
+  test("gram hashes are collision-free on the fixture (narrow jaccard is exact)") {
+    // ngramJaccardPairs represents shingle sets by their 60-bit hashes;
+    // the oracle computes on strings — equality of the two requires no
+    // hash collisions among the fixture's distinct grams
+    import org.apache.spark.sql.functions.{explode, expr}
+    val docsTab = graft.Tables.documents(spark, sf0001)
+    val grams = Dedup.withShingles(docsTab)
+      .select(explode($"gs").as("gram")).distinct()
+    val nGrams = grams.count()
+    val nHashes = grams
+      .select(expr("graft_hash60_array(array(gram), 0)")(0).as("h"))
+      .distinct().count()
+    assert(nGrams == nHashes, s"hash collision: $nGrams grams, $nHashes hashes")
+  }
+
   test("ngramJaccard computes exact jaccard on candidates") {
     // shingles(0) = {a b c, b c d, c d e}; shingles(2) swaps last word:
     // {a b g, b g d... } — build a pair with known jaccard instead
