@@ -130,6 +130,86 @@ object VectorKernels extends Serializable {
   }
 }
 
+/** IVF kernels shared by eval and generated code. */
+object IvfKernels extends Serializable {
+  /** Squared L2 distances to every centroid, element-order accumulation
+    * (DuckDB list_sum comprehension parity). */
+  def dists(emb: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(cent.length, emb.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = emb.getFloat(i).toDouble - cent(i)
+        acc += d * d
+        i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Nearest centroid index; ties break to the lower index (mirrors the
+    * oracle's ORDER BY dist, c LIMIT 1). */
+  def cell(emb: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(cent.length, emb.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = emb.getFloat(i).toDouble - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** ivf_cell(emb): nearest-centroid index over the codebook carried as a
+  * codegen reference object. */
+case class IvfCellExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.cell(a.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("ivfKernels", IvfKernels,
+      "graft.functions.IvfKernels$")
+    val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.cell($c, $cref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ivf_dists(emb): squared L2 distance to each centroid. */
+case class IvfDistsExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.dists(a.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("ivfKernels", IvfKernels,
+      "graft.functions.IvfKernels$")
+    val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.dists($c, $cref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** hyperplane_sig(emb): LSH bucket from a fixed ±1 plane matrix carried
   * as a codegen reference object — ONE fused loop per row instead of
   * NPlanes interpreted `aggregate(zip_with(...))` HOF trees (those are
@@ -168,5 +248,9 @@ object VectorFunctions {
       es => CosineSimF(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_sig",
       es => HyperplaneSigExpr(es.head, graft.similarity.Ann.planeMatrix), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ivf_cell",
+      es => IvfCellExpr(es.head, graft.similarity.Ivf.centroids), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ivf_dists",
+      es => IvfDistsExpr(es.head, graft.similarity.Ivf.centroids), "scala_udf")
   }
 }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Bucketed-table co-located join (SURVEY.md §8): persist both fact
+  * tables bucketed by the join key, then join WITHOUT any shuffle —
+  * each bucket pair is read co-located. This is the 100 TB answer to a
+  * repeated lineitem⋈orders join: the one-time bucketed write amortizes
+  * the shuffle across every subsequent join on the key, which is how a
+  * production warehouse stores its hot fact tables. The only Exchange
+  * in the plan is the final small aggregation; BucketJoinSpec asserts
+  * the join itself has none.
+  */
+object BucketQueries {
+
+  val Buckets = 8
+
+  /** Write both sides bucketed+sorted by the join key (one file per
+    * bucket via repartition on the key) and return the joined view.
+    * Sort-merge hint: the demo is exchange-free SMJ, not a broadcast.
+    */
+  def colocatedJoin(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val scratch = QueryDef.scratchDir("q27_bucket", dir)
+    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    Tables.lineitem(s, dir)
+      .repartition(Buckets, col("l_orderkey"))
+      .write.bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$scratch/li").mode("overwrite")
+      .saveAsTable("graft_li_bucketed")
+    Tables.orders(s, dir)
+      .repartition(Buckets, col("o_orderkey"))
+      .write.bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$scratch/ord").mode("overwrite")
+      .saveAsTable("graft_ord_bucketed")
+    s.table("graft_li_bucketed").hint("merge")
+      .join(s.table("graft_ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q27_colocated_join" -> QueryDef(
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      colocatedJoin(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").as("sum_price"))
+    }
+  )
+}

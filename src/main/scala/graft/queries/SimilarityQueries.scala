@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.similarity.Ann
+import graft.similarity.{Ann, Ivf}
 
 /** [EXT] Similarity-search query surface over the `embeddings` fixture.
   * DuckDB oracles recompute cosine with explicit element-order double
@@ -31,7 +31,55 @@ object SimilarityQueries {
     bits.mkString("(", " + ", ")")
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  /** The trained codebook as a DuckDB VALUES table. Centroids are
+    * deterministic (driver-side Lloyd on the fixed sf0.001 sample, see
+    * [[Ivf]]) and Double.toString round-trips exactly, so both engines
+    * compute distances from bit-identical doubles. */
+  private def duckCents: String =
+    Ivf.centroids.zipWithIndex.map { case (v, c) =>
+      s"($c, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString("(SELECT * FROM (VALUES ", ", ", ") t(c, v))")
+
+  /** Squared-L2 distance comprehension, same accumulation order as
+    * [[graft.functions.IvfKernels]]. */
+  private def duckL2(a: String, b: String): String =
+    s"""list_sum([($a[i+1]::DOUBLE - $b[i+1]) * ($a[i+1]::DOUBLE - $b[i+1])
+       |  for i in range(0, $Dim)])""".stripMargin
+
+  /** Shared assignment CTEs: per-vector distances + argmin cell
+    * (ties to the lower index, like the kernel). */
+  private def duckIvfAssign: String =
+    s"""cents AS $duckCents,
+       |d AS (SELECT e.vec_id, ct.c, ${duckL2("e.embedding", "ct.v")} AS dist
+       |      FROM embeddings e, cents ct),
+       |a AS (SELECT vec_id, c AS cell FROM (
+       |        SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |        FROM d) WHERE rn = 1)""".stripMargin
+
+  // defs is lazy: building the IVF oracle SQL trains the codebook,
+  // which needs an active SparkSession
+  lazy val defs: Map[String, QueryDef] = Map(
+
+    // IVF-quantized ANN: probe the NProbe nearest cells, exact cosine
+    // within the probed cells only — the codebook scale path
+    "x17_ann_ivf_topk" -> QueryDef(
+      s"""WITH $duckIvfAssign,
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c FROM d WHERE vec_id = 0 ORDER BY dist, c LIMIT ${Ivf.NProbe})
+         |SELECT e.vec_id, round(${duckCos("e.embedding", "q_emb")}, 6) AS cos_sim
+         |FROM embeddings e JOIN a ON a.vec_id = e.vec_id, q
+         |WHERE a.cell IN (SELECT c FROM probe) AND e.vec_id != 0
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Ivf.topK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
+    },
+
+    // quantizer balance: IVF cell occupancy
+    "x18_ivf_cell_stats" -> QueryDef(
+      s"""WITH $duckIvfAssign
+         |SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell""".stripMargin) { (s, dir) =>
+      Ivf.cellStats(Tables.embeddings(s, dir))
+    },
 
     // brute-force exact top-k: the correctness baseline every ANN
     // variant is judged against

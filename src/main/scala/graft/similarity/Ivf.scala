@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** [EXT] IVF-quantized ANN — the codebook path next to the hyperplane
+  * LSH in [[Ann]] (SURVEY.md §8).
+  *
+  * Inverted-file (IVF) search: a small k-means codebook partitions the
+  * vector space into K cells; every corpus vector is assigned to its
+  * nearest centroid (one codegen'd argmin pass), and a query probes only
+  * the `NProbe` cells nearest to it. At 100 TB the cell assignment is a
+  * plain partition key — the probe set turns a full-corpus scan into a
+  * `NProbe/K` fraction, and the codebook (K×Dim doubles) broadcasts for
+  * free.
+  *
+  * Determinism contract (driver-oracle parity): the codebook is trained
+  * driver-side with Lloyd's algorithm on the FIXED sf0.001 sample —
+  * deterministic init (the first K vectors by vec_id), fixed iteration
+  * count, summation in vec_id order — and the resulting centroid
+  * doubles are embedded as literals in both the Spark kernel (codegen
+  * reference object) and the DuckDB oracle SQL
+  * ([[graft.queries.SimilarityQueries]]), so cell assignments and
+  * distances are bit-identical in both engines. Training once on a
+  * sample and assigning the full corpus is exactly how IVF codebooks
+  * are used in production ANN stacks.
+  */
+object Ivf {
+
+  /** Codebook size (cells). */
+  val K = 16
+  /** Cells probed per query. */
+  val NProbe = 4
+  /** Lloyd iterations. */
+  val Iters = 5
+  val Dim = Ann.Dim
+
+  /** Fixed training sample — present in every environment this library
+    * targets; the codebook must not depend on the query-time sf. */
+  val TrainDir = "/root/testdata/sf0.001"
+
+  /** Deterministic k-means codebook (see class doc). Computed once per
+    * JVM; ~500×64 floats driver-side is microseconds of work. */
+  lazy val centroids: Array[Array[Double]] = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(SparkSession.builder()
+        .master("local[4]").appName("graft-ivf-train").getOrCreate())
+    val rows = graft.Tables.embeddings(spark, TrainDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(rows.length >= K, s"training sample smaller than K=$K")
+    var cents = rows.take(K).map(_._2.map(_.toDouble)).toArray
+    var it = 0
+    while (it < Iters) {
+      val sums = Array.fill(K)(new Array[Double](Dim))
+      val cnts = new Array[Long](K)
+      rows.foreach { case (_, e) =>
+        val c = nearestCell(cents, e)
+        cnts(c) += 1
+        var i = 0
+        while (i < Dim && i < e.length) { sums(c)(i) += e(i).toDouble; i += 1 }
+      }
+      cents = Array.tabulate(K) { c =>
+        if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Argmin cell driver-side (training only); ties to the lower index,
+    * like the codegen kernel and the oracle's ORDER BY dist, c. */
+  private def nearestCell(cents: Array[Array[Double]], e: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(cent.length, e.length)
+      while (i < n) { val d = e(i).toDouble - cent(i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Corpus with its IVF cell assignment (codegen'd argmin). */
+  def withCell(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    spread(embeddings).withColumn("cell", expr(s"graft_ivf_cell($embCol)"))
+  }
+
+  /** ANN top-k: probe the NProbe cells nearest the query vector, rank
+    * candidates by exact cosine within the probed cells only. */
+  def topK(spark: SparkSession, embeddings: DataFrame,
+           queryVecId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigned = withCell(embeddings)
+    // 16 centroid distances for the one query row, exploded and
+    // top-NProbe'd inside the plan — no driver-side math at query time
+    val probes = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"),
+        posexplode(expr("graft_ivf_dists(embedding)")).as(Seq("cell", "dist")))
+      .orderBy(col("dist"), col("cell"))
+      .limit(NProbe)
+      .select(col("cell"), col("q_emb"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Cell occupancy — the quantizer-balance tuning view. */
+  def cellStats(embeddings: DataFrame): DataFrame =
+    withCell(embeddings)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+}
