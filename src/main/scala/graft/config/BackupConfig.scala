@@ -20,7 +20,14 @@ final case class BackupConfig(
     to: Instant,
     maxRowsPerChunk: Int = 1000,
     dryRun: Boolean = false,
-    gzip: Boolean = true
+    gzip: Boolean = true,
+    /** Guard for the driver-side per-partition counts collect: the
+      * reference's model (one goroutine per partition value) assumes
+      * few distinct values, but a high-cardinality partition column
+      * would collect unbounded rows to the driver. Runs whose distinct
+      * count exceeds this fail fast with a clear message instead of
+      * OOMing the driver; raise it deliberately for wide layouts. */
+    maxCollectedPartitions: Int = 100000
 ) {
   require(from.isBefore(to), s"from=$from must be before to=$to")
   /** Reference clamps page size to 1000 (`cmd/backup.go:213-217`). */

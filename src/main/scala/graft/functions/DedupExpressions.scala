@@ -178,6 +178,24 @@ object DedupKernels extends Serializable {
     n
   }
 
+  /** Polynomial rolling hash over code points:
+    * fold(acc*31 + codepoint) mod m. Replaces the interpreted
+    * `aggregate(filter(split(text,'')))` HOF chain, which allocated a
+    * single-char string per character and dispatched a lambda per
+    * element. Matches DuckDB `list_reduce([ord(c) for c in
+    * string_split(text,'')], ...)` — both iterate code points. */
+  def rollingHash(s: UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** All unordered element pairs (i<j, input order) of an array as
     * struct(l, r) — the in-bucket candidate-pair expansion. Elements
     * are copied when they are rows (Unsafe-backed inputs).
@@ -302,6 +320,18 @@ case class UnorderedPairsExpr(child: Expression, cap: Int) extends DedupKernelUn
     copy(child = c)
 }
 
+/** rolling_hash(text): polynomial code-point fold (see
+  * [[DedupKernels.rollingHash]]). */
+case class RollingHashExpr(child: Expression, mod: Long) extends DedupKernelUnary {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    DedupKernels.rollingHash(t.asInstanceOf[UTF8String], mod)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"${kernelRef(ctx)}.rollingHash($c, ${mod}L)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** sorted_inter_count(a, b): |A∩B| of two sorted distinct string
   * arrays via [[DedupKernels.sortedIntersectCount]]. */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
@@ -358,5 +388,7 @@ object DedupFunctions {
       es => SortedIntersectCountExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_inter_count_long",
       es => SortedIntersectCountLongExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rolling_hash",
+      es => RollingHashExpr(es.head, TextAnalysis.FpMod), "scala_udf")
   }
 }

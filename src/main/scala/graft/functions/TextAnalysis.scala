@@ -73,13 +73,13 @@ object TextAnalysis {
   def regexTokens(textCol: Column): Column =
     regexp_count(textCol, lit(TokenPattern))
 
-  /** Polynomial rolling-hash fingerprint over characters:
-    * fold(acc*31 + code) mod 2147483647 — exact integer arithmetic,
-    * identical in any engine with a left fold. Spark's regex split
-    * keeps a trailing empty string (Java split, limit -1) that DuckDB's
-    * char split doesn't produce — filtered out for parity. */
+  /** Polynomial rolling-hash fingerprint over code points:
+    * fold(acc*31 + codepoint) mod 2147483647 — exact integer
+    * arithmetic, identical in any engine with a left fold. Compiled
+    * kernel ([[DedupKernels.rollingHash]]): the HOF form split every
+    * row into single-char strings and folded them interpreted.
+    * Callers must have [[DedupFunctions.register]]ed the session. */
   val FpMod = 2147483647L
   def fingerprint(colName: String): Column =
-    expr(s"aggregate(filter(split($colName, ''), c -> c <> ''), 0L, " +
-      s"(acc, c) -> (acc * 31 + ascii(c)) % $FpMod)")
+    expr(s"graft_rolling_hash($colName)")
 }

@@ -81,8 +81,17 @@ object Backup {
         dated.select(cols: _*)
       } else dated
 
-    val counts = windowed.groupBy(col(cfg.partitionColumn)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Metadata-sized by the reference's own model, but guarded: a
+    // high-cardinality partition column must not collect unbounded
+    // rows to the driver (cfg.maxCollectedPartitions).
+    val countRows = windowed.groupBy(col(cfg.partitionColumn)).count()
+      .take(cfg.maxCollectedPartitions + 1)
+    if (countRows.length > cfg.maxCollectedPartitions)
+      throw new IllegalStateException(
+        s"partition column ${cfg.partitionColumn} has more than " +
+          s"${cfg.maxCollectedPartitions} distinct values; raise " +
+          "BackupConfig.maxCollectedPartitions if this is intended")
+    val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
 
     if (cfg.dryRun) return Result(counts, Nil)
 

@@ -84,6 +84,7 @@ object TextQueries {
          |  list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in string_split(text,'')]),
          |    (acc, c) -> (acc * 31 + c) % $FpMod) AS fp
          |FROM documents""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), fingerprint("text").as("fp"))
