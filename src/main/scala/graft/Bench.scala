@@ -102,8 +102,12 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator honours the default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def f3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val metrics = results.map { r =>
-      f""""${r._1}":{"run_s":${r._4}%.3f,"cpu_s":${r._5}%.3f,"gc_s":${r._6}%.3f}"""
+      s""""${r._1}":{"run_s":${f3(r._4)},"cpu_s":${f3(r._5)},"gc_s":${f3(r._6)}}"""
     }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(r => s"\"" + r._1 + "\"")
       .mkString("[", ",", "]")
