@@ -141,7 +141,12 @@ object Backup {
     val fs = FileSystem.get(new java.net.URI(cfg.outputPath),
       spark.sparkContext.hadoopConfiguration)
 
-    perFile.toSeq.map { r =>
+    // Parallel per-file CRC+rename: the loop is metadata-sized but
+    // IO-latency-bound (one open/read/rename per chunk file, easily
+    // hundreds of files); FileSystem is thread-safe and the rename
+    // retry arbitrates name collisions atomically either way.
+    import scala.collection.parallel.CollectionConverters._
+    perFile.toSeq.par.map { r =>
       val uri = new java.net.URI(r.getAs[String]("file"))
       val src = new Path(uri.getPath)
       val crc = new CRC32()
@@ -177,6 +182,6 @@ object Backup {
       }
       ChunkInfo(dst.toString, r.getAs[String]("part"),
         r.getAs[String]("date_dir"), from, to, hex, r.getAs[Long]("n"))
-    }
+    }.seq
   }
 }
