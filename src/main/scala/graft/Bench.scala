@@ -61,6 +61,17 @@ object Bench {
       Tables.lineitem(spark, sfDir).limit(2000)
         .join(Tables.orders(spark, sfDir).limit(2000), col("l_orderkey") === col("o_orderkey"))
         .count()
+      // dedup + ANN kernel paths: their first execution pays Janino
+      // compilation of the kernel-bearing stages (~5s measured); warm
+      // them on a small slice so the timed runs measure the plans
+      val docs = Tables.documents(spark, sfDir).limit(200)
+      graft.dedup.Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5).count()
+      graft.dedup.Dedup.lshCandidatePairs(docs).count()
+      graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3).count()
+      val emb = Tables.embeddings(spark, sfDir).limit(200)
+      graft.similarity.Ann.withSignature(emb).count()
+      graft.similarity.Ivf.cellStats(emb).count()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
     // A failed query reports its elapsed time NEGATED so a regression

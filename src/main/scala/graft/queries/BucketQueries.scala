@@ -40,6 +40,27 @@ object BucketQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+
+    // salted skew join: events has 5 event_types, so a shuffle join on
+    // event_type puts ~1/5 of the table in ONE task; the salted variant
+    // spreads each hot key across 8 partitions and must produce the
+    // row-identical result (the oracle runs the PLAIN join)
+    "q28_salted_join" -> QueryDef(
+      """WITH d AS (SELECT event_type, count(*) AS type_total
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n_rows, min(d.type_total) AS type_total
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY e.event_type""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val dim = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      graft.operators.SkewJoin
+        .saltedJoin(e.select(col("event_type"), col("event_id")),
+          dim, "event_type", "event_id", r = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), min(col("type_total")).as("type_total"))
+    },
+
     "q27_colocated_join" -> QueryDef(
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
