@@ -27,6 +27,13 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.partitionCounts(s, dir)
     },
 
+    // streaming exact dedup: one state entry per key, first arrival
+    // emitted (append mode) — the streaming face of x01/x02
+    "s04_stream_dedup" -> QueryDef(
+      "SELECT DISTINCT user_id FROM events") {
+      (s, dir) => StreamingJobs.streamDedupKeys(s, dir)
+    },
+
     // arbitrary custom state via flatMapGroupsWithState (per-user
     // running count + exact value sum held in GroupState)
     "s03_stream_custom_state" -> QueryDef(

@@ -218,6 +218,21 @@ object TpchQueries {
     },
 
     // scalar subquery: customers above the mean account balance
+    // exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition; both
+    // rounded to 6 decimals to absorb last-bit interpolation order
+    "q29_percentiles" -> QueryDef(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+    },
+
     "q26_above_avg_balance" -> QueryDef(
       """SELECT c_mktsegment, count(*) AS n
         |FROM customer

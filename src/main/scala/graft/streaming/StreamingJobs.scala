@@ -103,6 +103,21 @@ object StreamingJobs {
     runToCompletion(agg)
   }
 
+  /** Streaming exact dedup: `dropDuplicates` keeps one state entry per
+    * key and emits each key's first arrival (append mode). Projected to
+    * the key itself so the bounded-input result is deterministic (WHICH
+    * duplicate row arrives first depends on task scheduling; the key
+    * set doesn't) and batch-checkable against SELECT DISTINCT. State is
+    * bounded by key cardinality; an unbounded deployment with an
+    * unbounded key space would use `dropDuplicatesWithinWatermark` to
+    * let expired keys age out. */
+  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .select(col("user_id"))
+      .dropDuplicates("user_id")
+    runToCompletion(dd, mode = "append")
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * event count + value sum held in explicit GroupState (the
     * KeyValueGroupedDataset path the built-in aggs can't express when
