@@ -63,6 +63,48 @@ object DedupQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // reproducible train/val/test split: the portable 60-bit hash of the
+    // doc id assigns each document a stable bucket in [0,100) — the
+    // standard deterministic-sampling idiom for corpus curation (no RNG,
+    // no seed state, identical on any engine, stable under reruns and
+    // repartitioning)
+    "x19_hash_split" -> QueryDef(
+      s"""WITH s AS (SELECT doc_id,
+         |  ${duckHash("CAST(doc_id AS VARCHAR)", 42)} % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs
+         |FROM s GROUP BY split""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.functions.DedupFunctions.register(s)
+      docs
+        .withColumn("bucket",
+          expr("element_at(graft_hash60_array(array(CAST(doc_id AS STRING)), 42), 1) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    },
+
+    // vocabulary / stop-gram analysis: top shingles by document
+    // frequency with a total tie-break order — the view that drives
+    // maxDf choices for the jaccard blocking above
+    "x21_top_grams" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |ex AS (SELECT doc_id, unnest(gs) AS gram FROM s)
+         |SELECT gram, count(*) AS df FROM ex GROUP BY gram
+         |ORDER BY df DESC, gram LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.withShingles(Tables.documents(s, dir))
+        .select(explode(col("gs")).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("gram"))
+        .limit(20)
+    },
+
     // exact dedup accounting: hash-groupBy per source
     "x01_dedup_exact_stats" -> QueryDef(
       """SELECT source, count(*) AS n_docs,
