@@ -232,6 +232,42 @@ object Dedup {
     * idea), then the exact |A∩B| is recomputed over ALL grams of the
     * candidate pairs, so the reported jaccard is exact.
     */
+  /** Connected components over near-dup pairs: cluster_id = min doc_id
+    * reachable in the pair graph — the step that turns pairwise
+    * candidates into duplicate GROUPS (keep the canonical doc, drop the
+    * rest). Hash-min label propagation: every node starts labelled with
+    * itself, each round takes the min of its own and its neighbours'
+    * labels, until fixpoint — the standard large-scale CC algorithm
+    * (O(diameter) rounds, each one join + agg, no driver-side graph).
+    * `localCheckpoint` cuts the growing lineage each round so the plan
+    * stays O(1) regardless of iteration count. Only documents that
+    * appear in at least one pair are emitted. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") =!= col("label")).count()
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      iters += 1
+    }
+    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text"): DataFrame = {
     // NARROW representation: each document's distinct shingle set is

@@ -105,6 +105,30 @@ object DedupQueries {
         .limit(20)
     },
 
+    // near-dup CLUSTERS: connected components over the LSH pair graph
+    // (cluster_id = min reachable doc_id) — pairwise candidates become
+    // duplicate groups; the oracle computes the true transitive closure
+    // with a recursive CTE over the same pairs
+    "x22_dup_clusters" -> QueryDef(
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+         |bands AS ($duckBands),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+      Dedup.dupClusters(Dedup.lshCandidatePairs(Tables.documents(s, dir)))
+    },
+
     // exact dedup accounting: hash-groupBy per source
     "x01_dedup_exact_stats" -> QueryDef(
       """SELECT source, count(*) AS n_docs,

@@ -38,6 +38,27 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // text normalization: lowercase → strip non-alphanumerics →
+    // collapse/trim whitespace; the canonical form feeding exact dedup.
+    // Both engines replace globally (DuckDB needs the explicit 'g').
+    "x20_normalize" -> QueryDef(
+      """WITH n AS (SELECT source,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT source, count(DISTINCT md5(norm)) AS n_unique_norm,
+        |  sum(length(norm))::BIGINT AS total_len
+        |FROM n GROUP BY source""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm"))
+        .groupBy(col("source"))
+        .agg(countDistinct(md5(col("norm"))).as("n_unique_norm"),
+          sum(length(col("norm"))).as("total_len"))
+    },
+
     // language ID: marker-hit argmax, confusion matrix vs the label
     "x11_langid" -> QueryDef(
       s"""SELECT lang, $duckLangPred AS lang_pred, count(*) AS n

@@ -79,6 +79,14 @@ class DedupSpec extends SparkTestBase {
     assert(nGrams == nHashes, s"hash collision: $nGrams grams, $nHashes hashes")
   }
 
+  test("dupClusters: transitive closure via label propagation") {
+    // components {1,2,3} (chained), {7,9}; cluster = min member
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("ngramJaccard computes exact jaccard on candidates") {
     // shingles(0) = {a b c, b c d, c d e}; shingles(2) swaps last word:
     // {a b g, b g d... } — build a pair with known jaccard instead
