@@ -37,10 +37,19 @@ object Dedup {
     * mass-duplicated corpus (the same boilerplate page ×10⁶ lands in one
     * LSH band bucket on every band) would OOM that task or hit the 2 GB
     * array limit. Above the cap the expansion degrades to the star
-    * pattern (n-1 pairs through the first member) — the bucket's
-    * connected component survives for dedup clustering and every emitted
-    * pair is still exact-verified downstream. 1024² /2 ≈ 0.5 M structs
-    * ≈ 8 MB is a comfortable per-row ceiling. */
+    * pattern: n-1 pairs through the bucket's minimum member. 1024² / 2
+    * ≈ 0.5 M structs ≈ 8 MB is a comfortable per-row ceiling.
+    *
+    * Degradation semantics (mirrored exactly by the DuckDB oracles):
+    * for CANDIDATE generators whose pairs feed an exact verify over the
+    * full documents (LSH → jaccard/cluster, rare-gram → exact jaccard)
+    * the star keeps every bucket member reachable, so clustering via
+    * [[dupClusters]] still finds the component. For [[simhashPairs]],
+    * whose output is filtered by pairwise hamming AFTER expansion, a
+    * star edge through a far-from-both hub can be filtered even though
+    * the two leaves are near each other — i.e. capped SimHash buckets trade
+    * recall for boundedness. That trade only activates above 1024
+    * same-chunk documents, where the uncapped alternative is an OOM. */
   val MaxBucketOccupancy = 1024
 
   /** Portable 60-bit hash: first 15 hex chars of md5("<seed>|" + s).
@@ -86,7 +95,11 @@ object Dedup {
     * reference on the analyzed subtree (Dataset actions wrap the
     * existing analyzed plan, they don't re-analyze it). Listener
     * callbacks are async; a second action before delivery just
-    * recomputes without cache — correct, only slower. */
+    * recomputes without cache — correct, only slower. Caller contract:
+    * run at least one action on the returned DataFrame AS-IS (routing
+    * it through a re-analysis, e.g. a temp view + spark.sql, defeats
+    * the subtree match); a caller that discards the result without any
+    * action keeps the cache pinned until `spark.catalog.clearCache()`. */
   private def unpersistAfterFirstAction(result: DataFrame, handle: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
@@ -237,11 +250,14 @@ object Dedup {
     * candidates into duplicate GROUPS (keep the canonical doc, drop the
     * rest). Hash-min label propagation: every node starts labelled with
     * itself, each round takes the min of its own and its neighbours'
-    * labels, until fixpoint — the standard large-scale CC algorithm
-    * (O(diameter) rounds, each one join + agg, no driver-side graph).
-    * `localCheckpoint` cuts the growing lineage each round so the plan
-    * stays O(1) regardless of iteration count. Only documents that
-    * appear in at least one pair are emitted. */
+    * labels, plus a pointer-jumping step (each node re-reads the label
+    * OF its label), until fixpoint. The jump halves remaining chain
+    * depth every round, so convergence is O(log diameter) — 25 rounds
+    * covers any component a fixture could hold — and each round is two
+    * joins + an agg, no driver-side graph. `localCheckpoint` cuts the
+    * growing lineage each round so the plan stays O(1) regardless of
+    * iteration count. Only documents that appear in at least one pair
+    * are emitted. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -255,12 +271,22 @@ object Dedup {
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"), col("label"),
+      val propagated = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("new_label"))
+            .as("label"))
+      // pointer jumping: labels are themselves node ids (the running
+      // minimum is always a member of the component, hence present in
+      // the label table), so re-reading the label's own label halves
+      // the remaining chain depth
+      val jumpTo = propagated
+        .select(col("node").as("j_node"), col("label").as("j_label"))
+      val updated = propagated
+        .join(jumpTo, col("label") === col("j_node"), "left")
+        .select(col("node"), col("old_label"),
+          coalesce(col("j_label"), col("label")).as("new_label"))
         .localCheckpoint(true)
-      changed = updated.filter(col("new_label") =!= col("label")).count()
+      changed = updated.filter(col("new_label") =!= col("old_label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
       iters += 1
     }

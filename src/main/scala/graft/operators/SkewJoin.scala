@@ -26,6 +26,8 @@ object SkewJoin {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltFromCol: String, r: Int): DataFrame = {
     require(r > 0, s"salt fan-out must be positive, got $r")
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "inputs already carry a __salt column; drop or rename it first")
     val salted = probe.withColumn("__salt",
       pmod(hash(col(saltFromCol)), lit(r)))
     val replicated = build.withColumn("__salt",

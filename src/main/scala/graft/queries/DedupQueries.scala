@@ -61,6 +61,28 @@ object DedupQueries {
   private val JaccardThreshold = 0.5
   private val SimhashMaxHamming = 3
 
+  /** In-bucket pair generation with the occupancy cap mirrored from
+    * [[graft.functions.DedupKernels.unorderedPairs]]: buckets of up to
+    * [[MaxBucketOccupancy]] members expand to all i<j pairs; larger
+    * buckets degrade to the star pattern — only pairs whose lower
+    * member IS the bucket minimum. `rel` must expose doc_id and the
+    * bucket key columns. (The fixture never exceeds the cap; modeling
+    * it keeps the oracle semantics identical to the engine's for ANY
+    * input.) */
+  private def duckCappedPairs(rel: String, bucketKeys: Seq[String],
+                              extraSelect: String = ""): String = {
+    val part = bucketKeys.mkString(", ")
+    val on = bucketKeys.map(k => s"a.$k = b.$k").mkString(" AND ")
+    s"""bx AS (SELECT *,
+       |  count(*) OVER (PARTITION BY $part) AS bn,
+       |  min(doc_id) OVER (PARTITION BY $part) AS bm
+       |  FROM $rel)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b$extraSelect
+       |FROM bx a JOIN bx b
+       |  ON $on AND a.doc_id < b.doc_id
+       |WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // reproducible train/val/test split: the portable 60-bit hash of the
@@ -115,9 +137,14 @@ object DedupQueries {
          |hl AS (SELECT doc_id, $duckHashList hs FROM s),
          |sig AS (SELECT doc_id, $duckSigCols FROM hl),
          |bands AS ($duckBands),
+         |bx AS (SELECT *,
+         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
+         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
+         |  FROM bands),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b
-         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |          FROM bx a JOIN bx b
+         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |          WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
          |reach(a, b) AS (
@@ -155,10 +182,8 @@ object DedupQueries {
          |s AS (SELECT doc_id, $duckShingles gs FROM d),
          |hl AS (SELECT doc_id, $duckHashList hs FROM s),
          |sig AS (SELECT doc_id, $duckSigCols FROM hl),
-         |bands AS ($duckBands)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+         |bands AS ($duckBands),
+         |${duckCappedPairs("bands", Seq("band", "bucket"))}""".stripMargin) { (s, dir) =>
       Dedup.lshCandidatePairs(Tables.documents(s, dir))
     },
 
@@ -181,13 +206,10 @@ object DedupQueries {
          |chunks AS (
          |  SELECT doc_id, simhash, c AS chunk_idx,
          |         (simhash // (2**(c*12))::BIGINT) % 4096 AS chunk
-         |  FROM sh, unnest([0,1,2,3]) t(c))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM chunks a JOIN chunks b
-         |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
-         |  AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin) { (s, dir) =>
+         |  FROM sh, unnest([0,1,2,3]) t(c)),
+         |${duckCappedPairs("chunks", Seq("chunk_idx", "chunk"),
+            ",\n  bit_count(xor(a.simhash, b.simhash)) AS hamming")}
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin) { (s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), SimhashMaxHamming)
     },
 

@@ -57,29 +57,47 @@ object SimilarityQueries {
        |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
        |        FROM d) WHERE rn = 1)""".stripMargin
 
+  /** IVF entries. Building their oracle SQL trains the codebook (needs
+    * a session + the training fixture); a failure there must cost the
+    * two IVF queries, not abort the whole Verify/Bench run — the
+    * fallback keeps the queries declared (rows-only) so the failure
+    * surfaces per-query inside the harness's per-query try/catch. */
+  private lazy val ivfDefs: Map[String, QueryDef] =
+    try {
+      Map(
+        // IVF-quantized ANN: probe the NProbe nearest cells, exact
+        // cosine within the probed cells only — the codebook scale path
+        "x17_ann_ivf_topk" -> QueryDef(
+          s"""WITH $duckIvfAssign,
+             |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             |probe AS (SELECT c FROM d WHERE vec_id = 0 ORDER BY dist, c LIMIT ${Ivf.NProbe})
+             |SELECT e.vec_id, round(${duckCos("e.embedding", "q_emb")}, 6) AS cos_sim
+             |FROM embeddings e JOIN a ON a.vec_id = e.vec_id, q
+             |WHERE a.cell IN (SELECT c FROM probe) AND e.vec_id != 0
+             |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+          Ivf.topK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
+        },
+
+        // quantizer balance: IVF cell occupancy
+        "x18_ivf_cell_stats" -> QueryDef(
+          s"""WITH $duckIvfAssign
+             |SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell""".stripMargin) { (s, dir) =>
+          Ivf.cellStats(Tables.embeddings(s, dir))
+        })
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"[similarity] IVF codebook/oracle generation failed: ${t.getMessage}")
+        Map(
+          "x17_ann_ivf_topk" -> QueryDef.rowsOnly((s, dir) =>
+            Ivf.topK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)),
+          "x18_ivf_cell_stats" -> QueryDef.rowsOnly((s, dir) =>
+            Ivf.cellStats(Tables.embeddings(s, dir))))
+    }
+
   // defs is lazy: building the IVF oracle SQL trains the codebook,
   // which needs an active SparkSession
-  lazy val defs: Map[String, QueryDef] = Map(
-
-    // IVF-quantized ANN: probe the NProbe nearest cells, exact cosine
-    // within the probed cells only — the codebook scale path
-    "x17_ann_ivf_topk" -> QueryDef(
-      s"""WITH $duckIvfAssign,
-         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-         |probe AS (SELECT c FROM d WHERE vec_id = 0 ORDER BY dist, c LIMIT ${Ivf.NProbe})
-         |SELECT e.vec_id, round(${duckCos("e.embedding", "q_emb")}, 6) AS cos_sim
-         |FROM embeddings e JOIN a ON a.vec_id = e.vec_id, q
-         |WHERE a.cell IN (SELECT c FROM probe) AND e.vec_id != 0
-         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-      Ivf.topK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
-    },
-
-    // quantizer balance: IVF cell occupancy
-    "x18_ivf_cell_stats" -> QueryDef(
-      s"""WITH $duckIvfAssign
-         |SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell""".stripMargin) { (s, dir) =>
-      Ivf.cellStats(Tables.embeddings(s, dir))
-    },
+  lazy val defs: Map[String, QueryDef] = ivfDefs ++ Map(
 
     // brute-force exact top-k: the correctness baseline every ANN
     // variant is judged against

@@ -44,10 +44,17 @@ object Ivf {
   /** Deterministic k-means codebook (see class doc). Computed once per
     * JVM; ~500×64 floats driver-side is microseconds of work. */
   lazy val centroids: Array[Array[Double]] = {
+    // fallback session (no session yet, e.g. defs built first in a
+    // test JVM): configure it like the real ones so later getOrCreate
+    // callers inherit sane SQL confs
     val spark = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .getOrElse(SparkSession.builder()
-        .master("local[4]").appName("graft-ivf-train").getOrCreate())
+        .master("local[4]").appName("graft-ivf-train")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
     val rows = graft.Tables.embeddings(spark, TrainDir)
       .select(col("vec_id"), col("embedding"))
       .collect()
