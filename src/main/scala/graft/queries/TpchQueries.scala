@@ -218,6 +218,24 @@ object TpchQueries {
     },
 
     // scalar subquery: customers above the mean account balance
+    // group-wise top-k via the custom GroupTopKNode/Strategy/Exec
+    // operator (bounded per-group heaps, partial + final around one
+    // winners-only shuffle) — the oracle states the same contract with
+    // the window-rank idiom
+    "q30_group_topk" -> QueryDef(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      graft.plans.GroupTopK.topK(
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice", k = 3, desc = true,
+        tieBreak = "o_orderkey")
+    },
+
     // exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition; both
     // rounded to 6 decimals to absorb last-bit interpolation order

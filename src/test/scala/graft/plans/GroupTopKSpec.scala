@@ -1,0 +1,48 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GroupTopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+    ("b", 5L, 5.0), ("b", 6L, 7.0),
+    ("c", 7L, 1.0)
+  ).toDF("g", "id", "score")
+
+  test("matches the window-rank idiom, ties broken by id") {
+    val got = GroupTopK.topK(df, Seq("g"), "score", k = 2, desc = true,
+      tieBreak = "id")
+      .select($"g", $"id").as[(String, Long)].collect().toSet
+    // a: 30.0@id2, 30.0@id4 (tie -> lower ids win); b: 7.0, 5.0; c: 1.0
+    assert(got == Set(("a", 2L), ("a", 4L), ("b", 6L), ("b", 5L), ("c", 7L)))
+  }
+
+  test("physical plan is partial+final GroupTopKExec with one exchange") {
+    val plan = GroupTopK.topK(df, Seq("g"), "score", 1, desc = false,
+      tieBreak = "id")
+    plan.collect() // settle AQE
+    val s = plan.queryExecution.executedPlan.toString
+    assert(s.contains("GroupTopK"), s)
+    // partial + final both present around the exchange
+    assert("GroupTopK \\[".r.findAllIn(s).length >= 2, s)
+    assert(s.contains("Exchange hashpartitioning"), s)
+  }
+
+  test("agrees with window rank on a real table") {
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    val custom = GroupTopK.topK(orders, Seq("o_orderpriority"),
+      "o_totalprice", k = 3, desc = true, tieBreak = "o_orderkey")
+      .as[(String, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val idiom = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .as[(String, Long, Double)].collect().toSet
+    assert(custom == idiom)
+  }
+}
