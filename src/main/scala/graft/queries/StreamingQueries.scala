@@ -27,6 +27,17 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.partitionCounts(s, dir)
     },
 
+    // stream-static join: per-batch re-planned static dimension joined
+    // into the stream before a stateful aggregation
+    "s05_stream_static_join" -> QueryDef(
+      """WITH d AS (SELECT event_type, count(*) AS type_total
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n_rows, min(d.type_total) AS type_total
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY e.event_type""".stripMargin) {
+      (s, dir) => StreamingJobs.streamStaticJoin(s, dir)
+    },
+
     // streaming exact dedup: one state entry per key, first arrival
     // emitted (append mode) — the streaming face of x01/x02
     "s04_stream_dedup" -> QueryDef(

@@ -118,6 +118,28 @@ object StreamingJobs {
     runToCompletion(dd, mode = "append")
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (per-type totals computed batch-side), then aggregated.
+    * The static side is re-planned per micro-batch (Spark's
+    * stream-static contract), so a dimension refresh is picked up at
+    * the next trigger; on a cluster the small dim side broadcasts into
+    * each micro-batch. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staticDim = eventsBatch(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_total"))
+    val joined = eventsStream(spark, dir)
+      .join(staticDim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), min(col("type_total")).as("type_total"))
+    runToCompletion(joined)
+  }
+
+  /** Batch read of the same fixture (ns-timestamp handling matches
+    * [[eventsStream]]). */
+  private def eventsBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * event count + value sum held in explicit GroupState (the
     * KeyValueGroupedDataset path the built-in aggs can't express when
