@@ -38,6 +38,33 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // capstone curation funnel: exact dedup (keep-first) → language
+    // filter → quality filter → surviving-corpus stats, i.e. the whole
+    // training-data pipeline as ONE declarative plan — every stage is an
+    // operator already verified in isolation (x02, x11, x12, x13)
+    "x23_curation_pipeline" -> QueryDef(
+      s"""WITH kept AS (SELECT min(doc_id) AS doc_id
+         |              FROM documents GROUP BY md5(text)),
+         |f AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)
+         |      WHERE ($duckLangPred) = 'en'
+         |        AND round(0.4 * ($duckStopRatio) +
+         |              0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
+         |              0.3 * (1.0 - ($duckDigitRatio)), 6) >= 0.5)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(len(string_split(text,' ')))::BIGINT AS total_tokens
+         |FROM f GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val kept = docs.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs.join(kept, Seq("doc_id"))
+        .filter(langPred(col("text")) === "en" &&
+          qualityScore(col("text")) >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wsTokens(col("text"))).as("total_tokens"))
+    },
+
     // text normalization: lowercase → strip non-alphanumerics →
     // collapse/trim whitespace; the canonical form feeding exact dedup.
     // Both engines replace globally (DuckDB needs the explicit 'g').
