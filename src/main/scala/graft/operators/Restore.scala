@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Stringify
+
+/** Restore — the inverse of [[Backup]], completing the reference's
+  * advertised-but-unregistered story: its README promises "backup and
+  * restore" (`README.md:3`) and `main.go:29` names the tool a
+  * backup/restore CLI, but only the `backup` command is registered
+  * (`main.go:30-32`). Here restore is a first-class operator: read the
+  * gz-NDJSON chunk tree a backup wrote, undo the faithful
+  * stringification ([[Stringify]]: every scalar leaf stringified, SQL
+  * NULL carried as the literal `"NULL"` — `helpers/helpers.go:5-10`),
+  * and land a typed parquet table equal to the backed-up window.
+  *
+  * Shape at scale: schema-directed read (NO inference pass — inference
+  * would re-read and full-parse every gzip chunk), per-row cast
+  * projection inside whole-stage codegen, partition-parallel parquet
+  * write. Zero shuffles: chunk files are already grouped by partition
+  * value in the directory layout, and restore preserves that grouping
+  * task-side. A 100 TB backup restores as one scan→project→write plan
+  * whose parallelism is the chunk-file count.
+  */
+object Restore {
+
+  private val Sentinel = "NULL"
+
+  /** The schema a faithful backup actually carries on disk: every
+    * scalar leaf becomes a string, composites keep their shape
+    * (mirrors [[Stringify.expr]] recursion). */
+  def stringifiedSchema(dt: DataType): DataType = dt match {
+    case StructType(fields) =>
+      StructType(fields.map(f => f.copy(dataType = stringifiedSchema(f.dataType))))
+    case ArrayType(et, n) => ArrayType(stringifiedSchema(et), n)
+    case MapType(kt, vt, n) =>
+      MapType(stringifiedSchema(kt), stringifiedSchema(vt), n)
+    case _ => StringType
+  }
+
+  /** Invert [[Stringify.expr]] for one column: `"NULL"` sentinel back to
+    * SQL NULL at scalar leaves, then cast to the target type; recurse
+    * through composites (whose nulls were never sentineled). Timestamps
+    * go through to_timestamp, which accepts both the sink's fixed-width
+    * `yyyy-MM-dd HH:mm:ss.SSSSSS` and cast-produced variable-width
+    * fractions. */
+  def unstringify(c: Column, dt: DataType): Column = dt match {
+    case StructType(fields) =>
+      when(c.isNotNull, struct(
+        fields.map(f => unstringify(c.getField(f.name), f.dataType).as(f.name))
+          .toSeq: _*))
+    case ArrayType(et, _) => transform(c, x => unstringify(x, et))
+    case MapType(kt, vt, _) =>
+      map_from_arrays(
+        transform(map_keys(c), k => unstringify(k, kt)),
+        transform(map_values(c), v => unstringify(v, vt)))
+    case TimestampType =>
+      when(c === lit(Sentinel), lit(null)).otherwise(to_timestamp(c))
+    case _ =>
+      when(c === lit(Sentinel), lit(null)).otherwise(c.cast(dt))
+  }
+
+  /** Read a [[Backup]] output tree (faithfulStrings mode) back into the
+    * typed `target` schema and write it as parquet at `outputPath`.
+    *
+    * `target` is the schema of the ORIGINAL table (what `Backup.run`
+    * saw); `partitionColumn` is the backup's partition column, whose
+    * values live in the directory names together with the derived
+    * `date_dir` (dropped here — it is re-derivable from the time
+    * column). Returns the restored table re-read from `outputPath`.
+    */
+  def run(spark: SparkSession, backupDir: String, target: StructType,
+          partitionColumn: String, outputPath: String): DataFrame = {
+    require(target.fieldNames.contains(partitionColumn),
+      s"partition column $partitionColumn not in target schema " +
+        target.fieldNames.mkString(","))
+    // Schema-directed read: data fields arrive stringified; listing the
+    // partition columns in the read schema pins their type (partition
+    // discovery would otherwise guess, e.g. date_dir -> int).
+    val readSchema = StructType(
+      target.fields.filterNot(_.name == partitionColumn)
+        .map(f => f.copy(dataType = stringifiedSchema(f.dataType))) :+
+        StructField(partitionColumn,
+          stringifiedSchema(target(partitionColumn).dataType)) :+
+        StructField("date_dir", StringType))
+    val raw = spark.read.schema(readSchema).json(backupDir)
+    val typed = raw.select(target.fields.toSeq.map { f =>
+      unstringify(col(f.name), f.dataType).as(f.name)
+    }: _*)
+    typed.write.mode("overwrite").parquet(outputPath)
+    spark.read.parquet(outputPath)
+  }
+}

@@ -47,6 +47,7 @@ final case class GroupTopKExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxPartialGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -63,29 +64,68 @@ final case class GroupTopKExec(
     val orderLocal = order
     val kLocal = k
     val childOutput = child.output
+    // Memory guard: the partial pass sees arbitrary group cardinality
+    // per input partition (a 100×-scale group column could put 10⁷
+    // distinct groups in one partition), so its group map is capped —
+    // when the map reaches the cap, current heap contents are FLUSHED
+    // downstream and the map restarts empty. Correctness is preserved:
+    // every flushed row still carries its group key, the shuffle routes
+    // all fragments of a group to one final-pass partition, and the
+    // final pass re-heaps them (k per fragment ≥ the true top-k union).
+    // This is the same partial-agg degradation HashAggregate uses when
+    // its hash map is full (emit partial results, let the final merge
+    // fix it up) — bounded memory at the cost of a larger shuffle only
+    // when group cardinality actually explodes. The final pass must see
+    // every row of a group before emitting, so it never flushes; its
+    // memory is O(k · groups-in-partition) = proportional to its output.
+    val flushThreshold = if (partial) maxPartialGroups else Int.MaxValue
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ord = RowOrdering.create(orderLocal, childOutput)
-      // per group: bounded heap whose HEAD is the worst retained row
-      // (max under the requested ordering), so admission is one compare
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val worstFirst = ord.reverse
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal, worstFirst)
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        // per group: bounded heap whose HEAD is the worst retained row
+        // (max under the requested ordering), so admission is one compare
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var drain: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator[InternalRow]()
+
+        private def startDrain(): Unit = {
+          val all = new java.util.ArrayList[InternalRow]()
+          heaps.values.forEach(h => { all.addAll(h); () })
+          heaps.clear()
+          drain = all.iterator()
         }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy()): Unit
+
+        private def advance(): Unit = {
+          while (!drain.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = groupProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](kLocal, worstFirst)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < kLocal) heap.add(row.copy()): Unit
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy()): Unit
+            }
+            if (heaps.size >= flushThreshold) startDrain()
+          }
+          if (!drain.hasNext && !iter.hasNext && !heaps.isEmpty) startDrain()
+        }
+
+        override def hasNext: Boolean = {
+          if (!drain.hasNext) advance()
+          drain.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          drain.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.iterator.asScala.flatMap(_.iterator.asScala)
     }, preservesPartitioning = true)
   }
 }
@@ -93,18 +133,39 @@ final case class GroupTopKExec(
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopKNode(g, o, k, child) =>
-      val partialExec = GroupTopKExec(g, o, k, partial = true, planLater(child))
-      GroupTopKExec(g, o, k, partial = false, partialExec) :: Nil
+      val cap = math.max(1, org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(GroupTopK.MaxPartialGroupsKey,
+          GroupTopK.DefaultMaxPartialGroups.toString).toInt)
+      val partialExec =
+        GroupTopKExec(g, o, k, partial = true, cap, planLater(child))
+      GroupTopKExec(g, o, k, partial = false, cap, partialExec) :: Nil
     case _ => Nil
   }
 }
 
 object GroupTopK {
 
+  /** Session conf key capping the partial pass's per-partition group
+    * map (see [[GroupTopKExec.doExecute]]). */
+  val MaxPartialGroupsKey = "spark.graft.topk.maxPartialGroups"
+
+  /** Default cap: 2¹⁷ groups × k row copies is tens of MB for typical
+    * row widths — well inside an executor task's share, far above any
+    * grouping a top-k query normally runs on. */
+  val DefaultMaxPartialGroups: Int = 1 << 17
+
   /** Top `k` rows per group of `df`, ordered by `orderCol`
     * (descending when `desc`) with `tieBreak` ascending as the total
     * tie-break — same contract as
-    * `row_number() OVER (PARTITION BY group ORDER BY ...) <= k`. */
+    * `row_number() OVER (PARTITION BY group ORDER BY ...) <= k`.
+    *
+    * Tie contract: `(orderCol, tieBreak)` must be a TOTAL order within
+    * each group (e.g. tieBreak = a unique id, as q30's `o_orderkey`).
+    * Heap admission compares against the worst retained row strictly, so
+    * rows that tie with the boundary on BOTH columns are dropped
+    * arbitrarily — exactly like `row_number()`, whose rank among full
+    * ties is also arbitrary, but the SET of returned rows then differs
+    * run-to-run; a unique tie-break makes both deterministic. */
   def topK(df: DataFrame, groupCols: Seq[String], orderCol: String,
            k: Int, desc: Boolean = true, tieBreak: String): DataFrame = {
     val spark = df.sparkSession

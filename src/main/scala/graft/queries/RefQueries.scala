@@ -180,6 +180,35 @@ object RefQueries {
         .groupBy(col("event_type").cast("string").as("event_type"),
           col("date_dir").cast("string").as("date_dir"))
         .agg(count(lit(1)).as("n_rows"))
+    },
+
+    // [ABSENT in reference, advertised by it] — restore: the README
+    // promises "backup and restore" (README.md:3) but main.go:30-32
+    // registers only backup. Full inverse roundtrip: faithful-strings
+    // backup (every leaf stringified, NULL sentinel) → Restore undoes
+    // the stringification into the typed schema → parquet → row-level
+    // compare against the original window. Hash equality here proves
+    // the backup+restore pair is lossless end-to-end.
+    "r12_restore_roundtrip" -> QueryDef(
+      s"""SELECT event_id, user_id, event_type, value,
+         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, props
+         |FROM events
+         |WHERE $oracleWindow AND event_type IS NOT NULL""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r12_backup", dir)
+      val restoredDir = QueryDef.scratchDir("r12_restored", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+        to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
+      graft.operators.Backup.run(s, cfg, faithfulStrings = true)
+      val target = Tables.events(s, dir).schema
+      graft.operators.Restore
+        .run(s, out, target, cfg.partitionColumn, restoredDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("props"))
     }
   )
 }

@@ -31,6 +31,34 @@ class GroupTopKSpec extends SparkTestBase {
     assert(s.contains("Exchange hashpartitioning"), s)
   }
 
+  test("partial pass stays bounded under high group cardinality (flush path)") {
+    // 10⁶ rows, ~every row its own group, all in few input partitions —
+    // the shape the unguarded map OOMed on at scale. A tiny cap forces
+    // thousands of mid-partition flushes; correctness must survive
+    // because the final pass re-heaps the fragments.
+    val key = GroupTopK.MaxPartialGroupsKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "64")
+    try {
+      val big = spark.range(0, 1000000, 1, 4)
+        .selectExpr("id % 500000 AS g", "id", "CAST(id % 7 AS DOUBLE) AS score")
+      val got = GroupTopK.topK(big, Seq("g"), "score", k = 1, desc = true,
+        tieBreak = "id")
+      // 500k groups of 2 rows {g, g+500000}; score = id%7 decides, tie -> lower id
+      assert(got.count() == 500000L)
+      val sample = got.filter($"g" < 100)
+        .select($"g", $"id").as[(Long, Long)].collect().toMap
+      (0L until 100L).foreach { g =>
+        val (lo, hi) = (g, g + 500000L)
+        val expected = if (hi % 7 > lo % 7) hi else if (lo % 7 > hi % 7) lo
+          else math.min(lo, hi)
+        assert(sample(g) == expected, s"group $g")
+      }
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("agrees with window rank on a real table") {
     val orders = graft.Tables.orders(spark, sf0001)
       .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
