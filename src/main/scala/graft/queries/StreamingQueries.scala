@@ -45,6 +45,15 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.streamDedupKeys(s, dir)
     },
 
+    // bounded-state streaming dedup: dropDuplicatesWithinWatermark ages
+    // expired keys out of the state store — the production shape when
+    // the key space is unbounded. The watermark delay covers the whole
+    // fixture span, so the emitted key set equals batch DISTINCT.
+    "s06_stream_dedup_watermark" -> QueryDef(
+      "SELECT DISTINCT user_id FROM events") {
+      (s, dir) => StreamingJobs.streamDedupKeysWatermarked(s, dir)
+    },
+
     // arbitrary custom state via flatMapGroupsWithState (per-user
     // running count + exact value sum held in GroupState)
     "s03_stream_custom_state" -> QueryDef(

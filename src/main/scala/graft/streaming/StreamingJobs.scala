@@ -48,18 +48,27 @@ object StreamingJobs {
     * that is 32 HDFS-backed store inits + checkpoint commits for
     * aggregations whose key cardinality is ≤150 (event types, users).
     * The store setup — not the arithmetic — dominated the driver bench
-    * (r02: s01+s02+s03 = 111 s for ~6.6 k rows), so the stream runs with
-    * [[StreamShufflePartitions]] and the session value is restored
-    * after. State stores + their maintenance thread are torn down
-    * afterwards so later batch queries don't run under leftover
-    * streaming state. */
+    * (r02: s01+s02+s03 = 111 s for ~6.6 k rows), so each job runs on an
+    * isolated [[streamSession]] pinned to [[StreamShufflePartitions]].
+    * State stores + their maintenance thread are torn down afterwards so
+    * later batch queries don't run under leftover streaming state. */
   val StreamShufflePartitions = 4
+
+  /** Isolated child session for one streaming job: shares the
+    * SparkContext (no second JVM/scheduler) but owns its SQLConf and
+    * catalog, so pinning the stream's shuffle partitions cannot leak
+    * into — or race with — concurrent batch queries planned on the
+    * caller's session, and the memory-sink table never lands in the
+    * caller's catalog. */
+  private def streamSession(spark0: SparkSession): SparkSession = {
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    s
+  }
 
   def runToCompletion(agg: DataFrame, mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
     try {
       val q = agg.writeStream
         .outputMode(mode)
@@ -70,18 +79,18 @@ object StreamingJobs {
         q.processAllAvailable()
       } finally q.stop()
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
       // unload loaded state store providers + stop the maintenance
       // thread; the next streaming query restarts them lazily
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.table(name)
   }
 
   /** Tumbling 1-hour event-time windows with a 10-minute watermark:
     * count + exact value sum per (window, event_type). */
-  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -96,7 +105,8 @@ object StreamingJobs {
 
   /** Stateful running per-partition counts — the streaming analogue of
     * the reference's totalRowsPerPartitions map. */
-  def partitionCounts(spark: SparkSession, dir: String): DataFrame = {
+  def partitionCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val agg = eventsStream(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"))
@@ -111,10 +121,33 @@ object StreamingJobs {
     * bounded by key cardinality; an unbounded deployment with an
     * unbounded key space would use `dropDuplicatesWithinWatermark` to
     * let expired keys age out. */
-  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedupKeys(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val dd = eventsStream(spark, dir)
       .select(col("user_id"))
       .dropDuplicates("user_id")
+    runToCompletion(dd, mode = "append")
+  }
+
+  /** Bounded-state streaming dedup — the production shape for unbounded
+    * key spaces: `dropDuplicatesWithinWatermark` keeps a key's state
+    * only until the watermark passes its event time + delay, so expired
+    * keys age out instead of accumulating forever (s04's
+    * `dropDuplicates` state grows with key cardinality for the life of
+    * the query). The event-time column must be retained through the
+    * dedup for the watermark to govern it. The fixture spans ~30 days
+    * and the delay covers the whole span, so every duplicate falls
+    * within one watermark window and the emitted key set equals batch
+    * DISTINCT — which is what makes the oracle exact; in production the
+    * delay is the dedup horizon (a key re-arriving after it is emitted
+    * again, by design). */
+  def streamDedupKeysWatermarked(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val dd = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "40 days")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select(col("user_id"))
     runToCompletion(dd, mode = "append")
   }
 
@@ -124,7 +157,8 @@ object StreamingJobs {
     * stream-static contract), so a dimension refresh is picked up at
     * the next trigger; on a cluster the small dim side broadcasts into
     * each micro-batch. */
-  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val staticDim = eventsBatch(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("type_total"))
@@ -147,7 +181,8 @@ object StreamingJobs {
     * one micro-batch → each group emits exactly once with its final
     * state, so the result is deterministic and batch-checkable.
     */
-  def customStateCounts(spark: SparkSession, dir: String): DataFrame = {
+  def customStateCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 

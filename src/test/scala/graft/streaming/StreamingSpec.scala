@@ -17,6 +17,21 @@ class StreamingSpec extends SparkTestBase {
     assert(s == b)
   }
 
+  test("watermarked streaming dedup equals batch distinct on bounded input") {
+    val streamed = StreamingJobs.streamDedupKeysWatermarked(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val batch = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+  }
+
+  test("stream jobs do not mutate the caller session's shuffle partitions") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    StreamingJobs.partitionCounts(spark, sf0001).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("stateful partition counts equal batch group counts") {
     val streamed = StreamingJobs.partitionCounts(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
