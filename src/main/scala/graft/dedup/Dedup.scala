@@ -100,14 +100,29 @@ object Dedup {
     * it through a re-analysis, e.g. a temp view + spark.sql, defeats
     * the subtree match); a caller that discards the result without any
     * action keeps the cache pinned until `spark.catalog.clearCache()`. */
+  /** Unrelated-execution budget before a listener gives up waiting for
+    * its subtree match: a caller that re-analyzed the result (temp view
+    * + spark.sql) or dropped it would otherwise leak the pinned cache
+    * AND a listener scanning every later query execution, forever. */
+  private val ListenerMissBudget = 64
+
   private def unpersistAfterFirstAction(result: DataFrame, handle: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val session = result.sparkSession
     val target = result.queryExecution.analyzed
     val listener: QueryExecutionListener = new QueryExecutionListener {
+      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private def done(qe: QueryExecution): Unit =
         if (qe.analyzed.exists(_ eq target)) {
+          handle.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        } else if (misses.incrementAndGet() >= ListenerMissBudget) {
+          // the expected action evidently isn't coming AS-IS: release
+          // both the cache and the listener. If the caller's re-analyzed
+          // plan runs later it just recomputes without cache — correct,
+          // only slower — instead of accumulating pinned relations and
+          // one listener per call for the session's lifetime.
           handle.unpersist(blocking = false)
           session.listenerManager.unregister(this)
         }
@@ -299,11 +314,17 @@ object Dedup {
     // NARROW representation: each document's distinct shingle set is
     // carried as its sorted 60-bit md5 gram hashes (the same
     // [[hash60Sql]] family everything else uses), not as the gram
-    // strings. Distinct grams ↔ distinct hashes (a 60-bit collision
-    // among ~10⁵ grams has probability ~10⁻⁸, and hashing n-grams is
-    // the standard posting-list representation at corpus scale), so
-    // df-counts, candidate pairs and |A∩B| are identical to the
-    // string-based computation the DuckDB oracle runs — while every
+    // strings. Collision bound: among D distinct grams the expected
+    // number of 60-bit collisions is ~D²/2⁶¹ — negligible through
+    // D≈10⁷ (~10⁻⁷), but at full-corpus scale (D≳10⁹) collisions
+    // become expected (~1 at 1.5·10⁹), each one inflating a df count
+    // or an |A∩B| by one. So the computation is exact-to-the-oracle at
+    // the scales this fixture family covers and PROBABILISTICALLY
+    // exact beyond; a deployment hashing >10⁸ distinct grams should
+    // widen the verify-side hash to two longs (120-bit), which keeps
+    // the merge-count kernel shape. Under that bound df-counts,
+    // candidate pairs and |A∩B| match the string-based computation
+    // the DuckDB oracle runs — while every
     // shuffle carries longs instead of ~18-char strings and the
     // exact-verify is a primitive merge over two presorted long arrays
     // (~0.5 µs/pair vs ~85 µs/pair measured for per-pair hash-set

@@ -37,25 +37,38 @@ object Ivf {
   val Iters = 5
   val Dim = Ann.Dim
 
-  /** Fixed training sample — present in every environment this library
-    * targets; the codebook must not depend on the query-time sf. */
-  val TrainDir = "/root/testdata/sf0.001"
+  /** Conf key overriding the codebook training source (a dir holding
+    * `embeddings.parquet`); env `SPARK_GRAFT_IVF_TRAIN_DIR` is the
+    * session-less fallback. */
+  val TrainDirKey = "spark.graft.ivf.trainDir"
+
+  /** Default training sample — the fixed fixture, so the codebook (and
+    * the oracle SQL generated from it) does not depend on the
+    * query-time sf. Overridable per deployment via [[TrainDirKey]]. */
+  val DefaultTrainDir = "/root/testdata/sf0.001"
+
+  /** Resolved training source: session conf → env → default. Read at
+    * first [[centroids]] use; the codebook is then fixed for the JVM. */
+  def trainDir: String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(TrainDirKey))
+      .orElse(sys.env.get("SPARK_GRAFT_IVF_TRAIN_DIR"))
+      .getOrElse(DefaultTrainDir)
 
   /** Deterministic k-means codebook (see class doc). Computed once per
-    * JVM; ~500×64 floats driver-side is microseconds of work. */
+    * JVM; ~500×64 floats driver-side is microseconds of work. Requires
+    * an active SparkSession — a library object must not spin one up as
+    * a side effect of first use (`graft_ivf_cell` is registered into
+    * every session by VectorFunctions, so a silent fallback session
+    * here would be a global surprise). */
   lazy val centroids: Array[Array[Double]] = {
-    // fallback session (no session yet, e.g. defs built first in a
-    // test JVM): configure it like the real ones so later getOrCreate
-    // callers inherit sane SQL confs
     val spark = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
-      .getOrElse(SparkSession.builder()
-        .master("local[4]").appName("graft-ivf-train")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate())
-    val rows = graft.Tables.embeddings(spark, TrainDir)
+      .getOrElse(throw new IllegalStateException(
+        "graft.similarity.Ivf codebook training needs an active " +
+          "SparkSession; create the session before first use of " +
+          "graft_ivf_cell/graft_ivf_dists or Ivf.* operators"))
+    val rows = graft.Tables.embeddings(spark, trainDir)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
