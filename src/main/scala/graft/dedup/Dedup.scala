@@ -254,11 +254,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs with rare-gram candidate
-    * blocking: only grams with document frequency in [2, maxDf] generate
-    * candidates (caps inverted-index fan-out — the PPJoin-style prefix
-    * idea), then the exact |A∩B| is recomputed over ALL grams of the
-    * candidate pairs, so the reported jaccard is exact.
+  /** Exact n-gram Jaccard near-dup pairs with two-stage candidate
+    * blocking: (1) PPJoin prefix filtering — each document posts only
+    * its rarest |g|−⌈t·|g|⌉+1 grams under the global (df, hash) order,
+    * which is lossless for pairs with jaccard ≥ t (prefix lemma, see
+    * inline note) — and (2) the rare-gram df-window [2, maxDf], which
+    * caps every posting list. The exact |A∩B| is then recomputed over
+    * ALL grams of each candidate pair, so the reported jaccard is
+    * exact.
     */
   /** Connected components over near-dup pairs: cluster_id = min doc_id
     * reachable in the pair graph — the step that turns pairwise
@@ -338,17 +341,36 @@ object Dedup {
     val g = materialize(withShingles(docs, textCol)
       .select(col("doc_id"), size(col("gs")).as("n_gs"),
         sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")))
-    val exploded = g.select(col("doc_id"), explode(col("hs")).as("h"))
+    val exploded = g.select(col("doc_id"), col("n_gs"),
+      explode(col("hs")).as("h"))
 
-    // df-filter FIRST (partial-aggregated count — a stop-gram never
-    // materializes a posting list), THEN posting lists only for rare
-    // grams, each bounded by maxDf. No broadcast hint: the rare-gram
-    // set is small here but can be huge in a diverse corpus; AQE picks
-    // broadcast vs shuffle join from the observed size.
-    val rareGrams = exploded.groupBy(col("h"))
+    // Shareable-gram dictionary (df >= 2), partial-aggregated — a
+    // df-unique gram can never produce a candidate. No broadcast hint:
+    // the dictionary is small here but can be huge in a diverse corpus;
+    // AQE picks broadcast vs shuffle join from the observed size.
+    val dfTab = exploded.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("h"))
+      .filter(col("df") >= 2)
+
+    // PPJoin-style prefix filtering (Xiao et al., WWW'08; Chaudhuri et
+    // al. SSJoin prefix lemma): under ANY global total order on grams,
+    // two sets with jaccard >= t must share a gram inside both of their
+    // first (|g| - ceil(t*|g|) + 1) grams — because |A∩B| >= ceil(t*|A|)
+    // and the smallest common gram has >= |A∩B|-1 common grams above it,
+    // pushing it out of the last ceil(t*|A|)-1 positions of BOTH sets.
+    // Order rarest-first (df asc, hash asc — total, hashes are distinct
+    // per doc) so the prefix holds the most selective grams; df-unique
+    // grams sort after every dictionary gram by construction (they
+    // never join df2), which only strengthens the prefix. Posting is
+    // then prefix ∩ df-window [2, maxDf] — strictly fewer candidates
+    // than df-blocking alone, exactly mirrored by the DuckDB oracle.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val posted = exploded.join(dfTab, Seq("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <=
+        col("n_gs") - ceil(col("n_gs") * lit(threshold)) + lit(1))
+      .filter(col("df") <= maxDf)
 
     // Explicit post-distinct barrier: the candidate set is small in
     // BYTES (~16 B/pair) but each pair costs a full verify downstream.
@@ -357,7 +379,7 @@ object Dedup {
     // (measured: the same verify ran 5 s on 32 cores or 20-200 s when
     // coalesced). A user repartition with an explicit count is exempt
     // from AQE coalescing.
-    val cand = exploded.join(rareGrams, Seq("h"))
+    val cand = posted
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(elementPairs("ids")).as("p"))

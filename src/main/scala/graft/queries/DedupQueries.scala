@@ -213,16 +213,26 @@ object DedupQueries {
       Dedup.simhashPairs(Tables.documents(s, dir), SimhashMaxHamming)
     },
 
-    // exact n-gram Jaccard with rare-gram candidate blocking
+    // exact n-gram Jaccard with PPJoin prefix + rare-gram blocking:
+    // each doc posts only its rarest len(gs)-ceil(t*len(gs))+1 grams
+    // under the global (df, hash60) order, intersected with the
+    // df-window [2, maxDf] — byte-identical mirror of
+    // Dedup.ngramJaccardPairs' candidate stage
     "x06_ngram_jaccard_pairs" -> QueryDef(
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |ex AS (SELECT doc_id, unnest(gs) AS gram FROM s),
+         |ex AS (SELECT doc_id, len(gs) AS n_gs, unnest(gs) AS gram FROM s),
          |df AS (SELECT gram, count(*) AS c FROM ex GROUP BY gram
-         |       HAVING count(*) BETWEEN 2 AND $JaccardMaxDf),
-         |rare AS (SELECT ex.doc_id, ex.gram FROM ex JOIN df USING (gram)),
+         |       HAVING count(*) >= 2),
+         |ranked AS (SELECT ex.doc_id, ex.gram, df.c, ex.n_gs,
+         |  row_number() OVER (PARTITION BY ex.doc_id
+         |    ORDER BY df.c, ${duckHash("ex.gram", 0)}) AS rnk
+         |  FROM ex JOIN df USING (gram)),
+         |posted AS (SELECT doc_id, gram FROM ranked
+         |  WHERE rnk <= n_gs - CAST(ceil($JaccardThreshold * n_gs) AS BIGINT) + 1
+         |    AND c <= $JaccardMaxDf),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM rare a JOIN rare b
+         |         FROM posted a JOIN posted b
          |         ON a.gram = b.gram AND a.doc_id < b.doc_id),
          |j AS (
          |  SELECT doc_a, doc_b,

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
@@ -88,6 +89,48 @@ class DedupSpec extends SparkTestBase {
     val got = Dedup.dupClusters(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("PPJoin prefix filtering shrinks candidates and loses no fixture pair") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // reference: candidates from the df-window alone (no prefix), exact
+    // jaccard over the string shingle sets — the pre-PPJoin semantics
+    val g = Dedup.withShingles(docs).select($"doc_id", $"gs")
+    val ex = g.select($"doc_id", explode($"gs").as("gram"))
+    val dfTab = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    val rare = dfTab.filter($"df" >= 2 && $"df" <= 10).select("gram")
+    val candOld = ex.join(rare, "gram")
+      .groupBy("gram").agg(collect_list($"doc_id").as("ids"))
+      .select(explode(expr(s"graft_pairs(array_sort(ids), 1024)")).as("p"))
+      .select($"p.l".as("doc_a"), $"p.r".as("doc_b")).distinct()
+    val expected = candOld
+      .join(g.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
+      .join(g.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
+      .withColumn("ni", size(array_intersect($"gs_a", $"gs_b")))
+      .withColumn("jaccard", round($"ni".cast("double") /
+        (size($"gs_a") + size($"gs_b") - $"ni"), 6))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(got == expected)
+
+    // and the prefix actually prunes: posted grams < rare posted grams
+    val nOld = ex.join(rare, "gram").count()
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"gram")
+    val nNew = ex.join(dfTab.filter($"df" >= 2), "gram")
+      .join(g.select($"doc_id", size($"gs").as("n_gs")), "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= $"n_gs" - ceil($"n_gs" * lit(0.5)) + lit(1))
+      .filter($"df" <= 10)
+      .count()
+    info(s"posted grams: df-blocking=$nOld, +prefix=$nNew")
+    assert(nNew < nOld)
   }
 
   test("ngramJaccard computes exact jaccard on candidates") {
