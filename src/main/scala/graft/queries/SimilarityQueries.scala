@@ -14,6 +14,10 @@ object SimilarityQueries {
 
   private val Dim = Ann.Dim
 
+  /** Near-dup cosine threshold for x24: the fixture's pairwise cosine
+    * tops out near 0.49 with p99 ≈ 0.30, so 0.3 selects a real tail. */
+  private val DupMinCosine = 0.3
+
   /** DuckDB cosine with the same accumulation order as CosineSimF. */
   private def duckCos(a: String, b: String): String =
     s"""(list_sum([($a[i]::DOUBLE * $b[i]::DOUBLE) for i in range(1, ${Dim + 1})]) /
@@ -134,6 +138,25 @@ object SimilarityQueries {
          |    ORDER BY cos_sim DESC, nn_id) AS rn FROM s)
          |WHERE rn = 1""".stripMargin) { (s, dir) =>
       Ann.nearestNeighbors(s, Tables.embeddings(s, dir), probeMaxId = 100)
+    },
+
+    // embedding-cosine near-dup PAIRS: LSH bucket candidates + exact
+    // cosine threshold — the vector-side analogue of x03/x06, with the
+    // shared bucket-occupancy cap mirrored (star degradation above cap)
+    "x24_embedding_dup_pairs" -> QueryDef(
+      s"""WITH sg AS (SELECT vec_id, embedding, $duckSignature AS bucket
+         |            FROM embeddings),
+         |bx AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn,
+         |         min(vec_id) OVER (PARTITION BY bucket) AS bm FROM sg),
+         |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |       FROM bx a JOIN bx b
+         |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |       WHERE (a.bn <= ${graft.dedup.Dedup.MaxBucketOccupancy}
+         |              OR a.vec_id = a.bm))
+         |SELECT vec_a, vec_b, cos_sim FROM pr
+         |WHERE cos_sim >= $DupMinCosine""".stripMargin) { (s, dir) =>
+      Ann.dupPairs(Tables.embeddings(s, dir), DupMinCosine)
     },
 
     // bucket occupancy: the ANN tuning view (recall/cost trade-off)

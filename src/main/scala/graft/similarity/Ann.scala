@@ -91,6 +91,36 @@ object Ann {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS — the dedup application of
+    * the LSH path (the vector analogue of
+    * [[graft.dedup.Dedup.lshCandidatePairs]]): vectors sharing a
+    * hyperplane bucket are candidates, exact fused-kernel cosine keeps
+    * pairs at or above `minCosine`. One shuffle on the bucket key, then
+    * the in-bucket pair kernel with the shared occupancy cap — never an
+    * all-pairs join, no self-join for AQE to replan. Recall is tuned by
+    * plane count (more planes → smaller buckets → fewer candidates),
+    * exactly like [[lshTopK]]; the DuckDB oracle mirrors the bucket
+    * candidates AND the cap's star degradation, so both engines agree
+    * on any input. */
+  def dupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.DedupFunctions.register(embeddings.sparkSession)
+    val cap = graft.dedup.Dedup.MaxBucketOccupancy
+    withSignature(embeddings)
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("members"))
+      .filter(size(col("members")) >= 2)
+      // explicit barrier: bucket rows are few but each pair costs a
+      // 64-dim cosine — don't let AQE serialize the expansion
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(expr(s"graft_pairs(members, $cap)")).as("p"))
+      .select(col("p.l.vec_id").as("vec_a"), col("p.r.vec_id").as("vec_b"),
+        round(expr("graft_cosine(p.l.embedding, p.r.embedding)"), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   /** Exact nearest neighbour for each of a (small) probe set of vectors:
     * broadcast the probes, fused-loop dot product against the full
     * corpus, rank per probe. Norms are precomputed ONCE per row on each

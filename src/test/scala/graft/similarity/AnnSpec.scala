@@ -62,6 +62,25 @@ class AnnSpec extends SparkTestBase {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("dupPairs: same-bucket candidates only, exact cosine, ordered ids") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pairs = Ann.dupPairs(emb, minCosine = 0.25)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => a < b && c >= 0.25 })
+    // every pair shares a hyperplane bucket (the candidate contract)
+    val buckets = Ann.withSignature(emb)
+      .select($"vec_id", $"bucket").as[(Long, Int)].collect().toMap
+    pairs.foreach { case (a, b, _) => assert(buckets(a) == buckets(b)) }
+    // and each reported cosine equals the exact brute-force value
+    val sample = pairs.take(5)
+    sample.foreach { case (a, b, c) =>
+      val exact = Ann.bruteForceTopK(spark, emb, a, 1000)
+        .as[(Long, Double)].collect().toMap
+      assert(math.abs(exact(b) - c) < 1e-9)
+    }
+  }
+
   test("lshTopK results are a subset ranking consistent with brute force bucket") {
     val ann = Ann.lshTopK(spark,
       Tables.embeddings(spark, sf0001), queryVecId = 0, k = 10)
