@@ -84,6 +84,10 @@ object Bench {
     // SPARK_GRAFT_REPEAT>1 (local debugging): time each query N times in
     // this one JVM to separate JIT/codegen warmup from plan variance.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // fresh progress sidecar per run
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("/tmp/bench_progress.jsonl")): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
     // Locale.ROOT: the f-interpolator honours the default locale, and a
     // comma-decimal locale would emit invalid JSON
     def f3(x: Double): String =
@@ -101,12 +105,22 @@ object Bench {
         val run_s = (taskRunMs.get - r0) / 1e3
         val cpu_s = (taskCpuNs.get - c0) / 1e9
         val gc_s = (taskGcMs.get - g0) / 1e3
-        // Per-query telemetry AS IT COMPLETES, on stderr: a stalled run
-        // killed mid-suite is still diagnosable even when stdout is
-        // tail-truncated (r03's failure mode).
+        // Per-query telemetry AS IT COMPLETES, on stderr AND appended to
+        // a progress sidecar: a stalled run killed mid-suite is still
+        // diagnosable even when stdout is tail-truncated (r03's failure
+        // mode) or the JVM never reaches the summary.
         System.err.println(
           s"BENCHQ $name ok=$ok wall=${f3(sec)} run_s=${f3(run_s)} " +
             s"cpu_s=${f3(cpu_s)} gc_s=${f3(gc_s)}")
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("/tmp/bench_progress.jsonl"),
+            (s"""{"q":"$name","ok":$ok,"wall":${f3(sec)},"run_s":${f3(run_s)},""" +
+              s""""cpu_s":${f3(cpu_s)},"gc_s":${f3(gc_s)}}""" + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND): Unit
+        } catch { case scala.util.control.NonFatal(_) => () }
         // Release per-query state so later queries aren't timed under
         // the accumulated weight of earlier ones (cached relations,
         // streaming memory-sink tables): r01 showed the streaming
