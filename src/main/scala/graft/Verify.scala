@@ -21,9 +21,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query progress on stderr: a stalled/killed run shows how
+        // far it got and where the time went (same insurance as Bench)
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query state (caches, streaming memory-sink views) so

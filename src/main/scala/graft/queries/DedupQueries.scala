@@ -111,6 +111,34 @@ object DedupQueries {
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
     },
 
+    // deterministic stratified sampling — the data-mixing op: each
+    // stratum (source) keeps its own fraction, membership decided by
+    // the portable 60-bit hash of the doc id under a dedicated seed
+    // (independent of x19's split seed). No RNG, no seed state: the
+    // sample is identical on any engine, stable under reruns and
+    // repartitioning, and composes with the split (a doc's split and
+    // sample memberships are independent hash bits). The high-resource
+    // strata (src0-src9) keep 80%, the rest 40% — a mixing recipe, not
+    // a uniform rate.
+    "x25_stratified_sample" -> QueryDef(
+      s"""WITH s AS (SELECT source, doc_id,
+         |  ${duckHash("CAST(doc_id AS VARCHAR)", 7)} % 100 AS bucket
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept FROM s
+         |WHERE bucket < CASE WHEN substr(source, 4) ~ '^[0-9]${"$"}'
+         |                    THEN 80 ELSE 40 END
+         |GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.functions.DedupFunctions.register(s)
+      docs
+        .withColumn("bucket",
+          expr("element_at(graft_hash60_array(array(CAST(doc_id AS STRING)), 7), 1) % 100"))
+        .withColumn("frac",
+          when(col("source").rlike("^src[0-9]$"), 80).otherwise(40))
+        .filter(col("bucket") < col("frac"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    },
+
     // vocabulary / stop-gram analysis: top shingles by document
     // frequency with a total tie-break order — the view that drives
     // maxDf choices for the jaccard blocking above
