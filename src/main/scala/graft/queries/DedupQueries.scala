@@ -215,6 +215,47 @@ object DedupQueries {
       Dedup.lshCandidatePairs(Tables.documents(s, dir))
     },
 
+    // MinHash-as-estimator: estimated jaccard (signature agreement
+    // fraction, the unbiased MinHash estimate) for every LSH candidate
+    // pair — the sketch-quality view next to x06's exact verify. At
+    // corpus scale this is the cheap first-pass score: H long
+    // comparisons per pair instead of a gram-set intersection.
+    "x26_minhash_jaccard_estimate" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+         |bands AS ($duckBands),
+         |bx AS (SELECT *,
+         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
+         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
+         |  FROM bands),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bx a JOIN bx b
+         |       ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.doc_id < b.doc_id
+         |       WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm))
+         |SELECT pr.doc_a, pr.doc_b,
+         |  round((${(0 until MinHashH).map(i =>
+             s"(sa.sig$i = sb.sig$i)::INT").mkString(" + ")})
+         |    / ${MinHashH}.0, 6) AS est_jaccard
+         |FROM pr
+         |JOIN sig sa ON sa.doc_id = pr.doc_a
+         |JOIN sig sb ON sb.doc_id = pr.doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sigd = Dedup.withMinhashSig(docs).select(col("doc_id"), col("sig"))
+      val agree = (0 until MinHashH).map(i =>
+        when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
+          1).otherwise(0)).reduce(_ + _)
+      Dedup.lshCandidatePairs(docs)
+        .join(sigd.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          Seq("doc_a"))
+        .join(sigd.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(agree.cast("double") / MinHashH, 6).as("est_jaccard"))
+    },
+
     // SimHash fingerprints (48-bit, shingle-based)
     "x04_simhash" -> QueryDef(
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
