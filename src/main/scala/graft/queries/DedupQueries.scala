@@ -184,6 +184,45 @@ object DedupQueries {
       Dedup.dupClusters(Dedup.lshCandidatePairs(Tables.documents(s, dir)))
     },
 
+    // near-dup dedup APPLIED: keep each cluster's canonical (minimum)
+    // document plus every unclustered document — the corpus a pipeline
+    // actually ships after x22's clustering. Left-anti join against the
+    // non-canonical cluster members; per-source counts keep the
+    // checkable output small while covering every row's keep/drop
+    // decision.
+    "x27_neardup_dedup_apply" -> QueryDef(
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+         |bands AS ($duckBands),
+         |bx AS (SELECT *,
+         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
+         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
+         |  FROM bands),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bx a JOIN bx b
+         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |          WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |       FROM reach GROUP BY a)
+         |SELECT source, count(*) AS n_kept FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
+         |GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(docs))
+      val dropIds = clusters
+        .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    },
+
     // exact dedup accounting: hash-groupBy per source
     "x01_dedup_exact_stats" -> QueryDef(
       """SELECT source, count(*) AS n_docs,
