@@ -12,6 +12,22 @@ import org.apache.spark.sql.SparkSession
   * reflect the engine, not the JVM cold start.
   */
 object Bench {
+  // Locale.ROOT: the f-interpolator honours the default locale, and a
+  // comma-decimal locale would emit invalid JSON
+  private[graft] def f3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+  /** The FINAL stdout line — the driver's parse contract. The driver
+    * stores only the tail of stdout (2000 bytes observed in r03/r04);
+    * this line is value-only and ~130 bytes, so it can never be clipped
+    * regardless of how many queries the suite grows to. The per-query
+    * map goes on its OWN earlier line — never here. BenchSpec pins both
+    * the size bound and the absence of a "queries" key.
+    */
+  private[graft] def finalLine(
+      total: Double, totalOk: Double, nFailed: Int, sfDir: String): String =
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,11 +87,20 @@ object Bench {
       val emb = Tables.embeddings(spark, sfDir).limit(200)
       graft.similarity.Ann.withSignature(emb).count()
       graft.similarity.Ivf.cellStats(emb).count()
-      // gzip-JSON sink path: first-touch classloading of the Hadoop
-      // output committer + codec costs ~17 s (measured: r9 first run
-      // 19.4 s vs 2.7 s repeats) and belongs to the JVM, not the plan
-      e.limit(2).write.mode("overwrite").option("compression", "gzip")
-        .json(s"${System.getProperty("java.io.tmpdir")}/graft_warm_json")
+      // Backup sink + read-back path: first-touch classloading of the
+      // Hadoop output committer, gzip codec, schema-directed JSON read
+      // and FS open/CRC/rename costs ~17 s (measured: r9 first run
+      // 19.4 s vs 2.7 s repeats; r04 driver showed 14.4 s vs the 2.7 s
+      // steady state — the write-only warm-up missed finalizeChunkNames'
+      // read+rename classloading). Run the WHOLE Backup.run surface on a
+      // 2-row table so the timed r9 measures the plan, not the JVM.
+      val warmDir = s"${System.getProperty("java.io.tmpdir")}/graft_warm_backup"
+      e.limit(2).write.mode("overwrite").parquet(s"$warmDir/in.parquet")
+      graft.operators.Backup.run(spark, graft.config.BackupConfig(
+        inputPath = s"$warmDir/in.parquet", outputPath = s"$warmDir/out",
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse("2000-01-01T00:00:00Z"),
+        to = java.time.Instant.parse("2100-01-01T00:00:00Z")))
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
@@ -89,14 +114,14 @@ object Bench {
     // SPARK_GRAFT_REPEAT>1 (local debugging): time each query N times in
     // this one JVM to separate JIT/codegen warmup from plan variance.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Sidecar paths are pid-suffixed so two concurrent bench runs can't
+    // clobber each other's telemetry (the GC log already isolates via %p).
+    val pid = ProcessHandle.current().pid()
+    val progressPath = java.nio.file.Paths.get(s"/tmp/bench_progress.$pid.jsonl")
+    val metricsPath = java.nio.file.Paths.get(s"/tmp/bench_metrics.$pid.json")
     // fresh progress sidecar per run
-    try java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get("/tmp/bench_progress.jsonl")): Unit
+    try java.nio.file.Files.deleteIfExists(progressPath): Unit
     catch { case scala.util.control.NonFatal(_) => () }
-    // Locale.ROOT: the f-interpolator honours the default locale, and a
-    // comma-decimal locale would emit invalid JSON
-    def f3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
         val (r0, c0, g0) = (taskRunMs.get, taskCpuNs.get, taskGcMs.get)
@@ -119,7 +144,7 @@ object Bench {
             s"cpu_s=${f3(cpu_s)} gc_s=${f3(gc_s)}")
         try {
           java.nio.file.Files.write(
-            java.nio.file.Paths.get("/tmp/bench_progress.jsonl"),
+            progressPath,
             (s"""{"q":"$name","ok":$ok,"wall":${f3(sec)},"run_s":${f3(run_s)},""" +
               s""""cpu_s":${f3(cpu_s)},"gc_s":${f3(gc_s)}}""" + "\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -153,22 +178,23 @@ object Bench {
     // would otherwise deflate `total` relative to a slow success).
     val totalOk = results.filter(_._3).map(_._2).sum
     val nFailed = results.count(!_._3)
-    // The driver stores only the tail of stdout. In r03 a single line
-    // carrying value+queries+task_metrics+failed outgrew that window and
-    // the head (with "value") was cut off -> BENCH_r03.json parsed:null.
-    // Channel split: task_metrics + failed go to stderr and a sidecar
-    // file; the FINAL stdout line is the compact driver contract
-    // (metric/value/total_ok/n_failed/queries/sf — same shape that
-    // parsed fine in r01/r02, ~2 KB for 70 queries).
+    // The driver stores only the tail of stdout — 2000 bytes, measured
+    // from BENCH_r03/r04. In r03 one line carrying everything outgrew the
+    // window; in r04 the 73-entry queries map alone pushed the line to
+    // ~2.6 KB and the head (with "value") was clipped again -> parsed:null
+    // two rounds running. Permanent fix: the per-query map gets its OWN
+    // stdout line printed FIRST, and the LAST line is value-only (~130 B)
+    // so no amount of query growth can ever re-clip the parse contract.
     val sidecar =
       s"""{"task_metrics":$metrics,"failed":$failed,"sf":"$sfDir"}"""
     System.err.println(s"BENCH_METRICS $sidecar")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/tmp/bench_metrics.json"),
+        metricsPath,
         sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     } catch { case scala.util.control.NonFatal(_) => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(finalLine(total, totalOk, nFailed, sfDir))
     spark.stop()
   }
 }
