@@ -128,6 +128,33 @@ object VectorKernels extends Serializable {
     }
     bucket
   }
+
+  /** Banded LSH signature: planes are split into `bands` groups of
+    * `bits` planes; element b of the result is band b's bucket id
+    * (bit i set iff dot(planes(b*bits+i), emb) > 0). Same element-order
+    * double accumulation as [[hyperplaneSig]] so the DuckDB oracle is
+    * bit-identical. One fused loop over all bands*bits planes per row. */
+  def bandedSig(emb: ArrayData, planes: Array[Array[Double]],
+                bands: Int, bits: Int): ArrayData = {
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        val plane = planes(b * bits + j)
+        val n = math.min(plane.length, emb.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += plane(i) * emb.getFloat(i).toDouble; i += 1 }
+        if (acc > 0) bucket |= 1 << j
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** IVF kernels shared by eval and generated code. */
@@ -234,6 +261,34 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = c)
 }
 
+/** banded_sig(emb): per-band LSH bucket ids (array of `bands` ints) from
+  * a ±1 plane matrix of `bands*bits` rows carried as a codegen reference
+  * object. The banding (OR over bands at pair time) is what lets bucket
+  * geometry scale with corpus size: more bits → smaller buckets, more
+  * bands → recovered recall — unlike a single fixed 2^k bucket space. */
+case class BandedSigExpr(child: Expression, planes: Array[Array[Double]],
+                         bands: Int, bits: Int)
+    extends UnaryExpression {
+  require(planes.length == bands * bits,
+    s"plane matrix has ${planes.length} rows, need bands*bits = ${bands * bits}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.bandedSig(a.asInstanceOf[ArrayData], planes, bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("vectorKernels", VectorKernels,
+      "graft.functions.VectorKernels$")
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernels.bandedSig($c, $planesRef, $bands, $bits);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorFunctions {
 
@@ -248,6 +303,15 @@ object VectorFunctions {
       es => CosineSimF(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_sig",
       es => HyperplaneSigExpr(es.head, graft.similarity.Ann.planeMatrix), "scala_udf")
+    // bands/bits must be literals: the plane matrix is a compile-time
+    // reference object sized bands*bits
+    reg.createOrReplaceTempFunction("graft_banded_sig",
+      es => {
+        val bands = es(1).eval().asInstanceOf[Int]
+        val bits = es(2).eval().asInstanceOf[Int]
+        BandedSigExpr(es.head,
+          graft.similarity.Ann.bandedPlaneMatrix(bands * bits), bands, bits)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_ivf_cell",
       es => IvfCellExpr(es.head, graft.similarity.Ivf.centroids), "scala_udf")
     reg.createOrReplaceTempFunction("graft_ivf_dists",

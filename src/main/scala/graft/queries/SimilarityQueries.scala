@@ -35,6 +35,20 @@ object SimilarityQueries {
     bits.mkString("(", " + ", ")")
   }
 
+  /** DuckDB mirror of one banded-signature bucket (band `b` of
+    * [[graft.functions.VectorKernels.bandedSig]]): bit j set iff
+    * dot(plane(b*bits+j), emb) > 0, same md5-derived ±1 components. */
+  private def duckBandBucket(b: Int, bits: Int): String = {
+    val terms = (0 until bits).map { j =>
+      val p = b * bits + j
+      val comp = s"(CASE WHEN ('0x'||substr(md5('${Ann.PlaneSeed}|${p}_'||d),1,15))::BIGINT % 2 = 1 " +
+        "THEN 1.0 ELSE -1.0 END)"
+      s"""(CASE WHEN list_sum([$comp * embedding[d+1]::DOUBLE
+         |  for d in range(0, $Dim)]) > 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
   /** The trained codebook as a DuckDB VALUES table. Centroids are
     * deterministic (driver-side Lloyd on the fixed sf0.001 sample, see
     * [[Ivf]]) and Double.toString round-trips exactly, so both engines
@@ -140,22 +154,28 @@ object SimilarityQueries {
       Ann.nearestNeighbors(s, Tables.embeddings(s, dir), probeMaxId = 100)
     },
 
-    // embedding-cosine near-dup PAIRS: LSH bucket candidates + exact
-    // cosine threshold — the vector-side analogue of x03/x06, with the
-    // shared bucket-occupancy cap mirrored (star degradation above cap)
-    "x24_embedding_dup_pairs" -> QueryDef(
-      s"""WITH sg AS (SELECT vec_id, embedding, $duckSignature AS bucket
-         |            FROM embeddings),
-         |bx AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn,
-         |         min(vec_id) OVER (PARTITION BY bucket) AS bm FROM sg),
-         |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
-         |       FROM bx a JOIN bx b
-         |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |       WHERE (a.bn <= ${graft.dedup.Dedup.MaxBucketOccupancy}
-         |              OR a.vec_id = a.bm))
-         |SELECT vec_a, vec_b, cos_sim FROM pr
-         |WHERE cos_sim >= $DupMinCosine""".stripMargin) { (s, dir) =>
+    // embedding-cosine near-dup PAIRS: banded-LSH bucket candidates +
+    // exact cosine threshold — the vector-side analogue of x03/x06. The
+    // oracle mirrors the banded geometry, the pre-collect rank cap, and
+    // the multi-band pair dedup exactly.
+    "x24_embedding_dup_pairs" -> QueryDef({
+      val bandSelects = (0 until Ann.DupBands).map { b =>
+        s"SELECT vec_id, embedding, $b AS band, " +
+          s"${duckBandBucket(b, Ann.DupBandBits)} AS bucket FROM embeddings"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH bands AS (
+         |  $bandSelects),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY band, bucket
+         |                                    ORDER BY vec_id) AS rn
+         |       FROM bands),
+         |kept AS (SELECT * FROM rk
+         |         WHERE rn <= ${graft.dedup.Dedup.MaxBucketOccupancy})
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM kept a JOIN kept b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${duckCos("a.embedding", "b.embedding")}, 6) >= $DupMinCosine""".stripMargin
+    }) { (s, dir) =>
       Ann.dupPairs(Tables.embeddings(s, dir), DupMinCosine)
     },
 

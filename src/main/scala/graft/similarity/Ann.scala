@@ -19,10 +19,19 @@ import graft.functions.VectorFunctions
   */
 object Ann {
 
-  /** Hyperplane count → 2^NPlanes buckets. */
+  /** Hyperplane count → 2^NPlanes buckets (single-bucket signature used
+    * by [[lshTopK]]/bucket stats). */
   val NPlanes = 4
   val Dim = 64
   val PlaneSeed = 777
+
+  /** Banded geometry for [[dupPairs]]: bands × bandBits planes. 4×4 by
+    * default (64-key space, ~4× the recall of one 4-bit bucket at equal
+    * per-band occupancy); at larger corpus scale raise `bandBits` so
+    * buckets shrink with 2^bits and add bands to recover recall — the
+    * knobs a fixed 2^NPlanes space doesn't have. */
+  val DupBands = 4
+  val DupBandBits = 4
 
   /** ±1 Rademacher plane components, derived from the md5 hash family
     * (`parity of hash60("777|p_d")`) — computed ONCE driver-side and
@@ -31,8 +40,11 @@ object Ann {
     * Spark plan (256 md5/row) was pure waste — the components are
     * row-independent.
     */
-  lazy val planeComponents: IndexedSeq[IndexedSeq[Double]] = {
-    (0 until NPlanes).map { p =>
+  lazy val planeComponents: IndexedSeq[IndexedSeq[Double]] =
+    planeRows(NPlanes)
+
+  private def planeRows(n: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until n).map { p =>
       (0 until Dim).map { d =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(s"$PlaneSeed|${p}_$d".getBytes("UTF-8"))
@@ -40,11 +52,19 @@ object Ann {
         if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0 else -1.0
       }
     }
-  }
 
   /** Plane matrix as primitive arrays for the codegen kernel. */
   lazy val planeMatrix: Array[Array[Double]] =
     planeComponents.map(_.toArray).toArray
+
+  /** Plane matrices for the banded signature, any plane count — same
+    * md5-derived family as [[planeComponents]] (plane p is identical
+    * regardless of how many planes a caller asks for), cached per count
+    * since the matrix rides into codegen as a reference object. */
+  private val bandedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  def bandedPlaneMatrix(n: Int): Array[Array[Double]] =
+    bandedCache.computeIfAbsent(n, k => planeRows(k).map(_.toArray).toArray)
 
   /** One small parquet file → one input partition; spread before the
     * CPU-heavy signature/cosine stages so all cores participate. */
@@ -93,32 +113,55 @@ object Ann {
 
   /** Embedding-cosine near-duplicate PAIRS — the dedup application of
     * the LSH path (the vector analogue of
-    * [[graft.dedup.Dedup.lshCandidatePairs]]): vectors sharing a
-    * hyperplane bucket are candidates, exact fused-kernel cosine keeps
-    * pairs at or above `minCosine`. One shuffle on the bucket key, then
-    * the in-bucket pair kernel with the shared occupancy cap — never an
-    * all-pairs join, no self-join for AQE to replan. Recall is tuned by
-    * plane count (more planes → smaller buckets → fewer candidates),
-    * exactly like [[lshTopK]]; the DuckDB oracle mirrors the bucket
-    * candidates AND the cap's star degradation, so both engines agree
-    * on any input. */
-  def dupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    * [[graft.dedup.Dedup.lshCandidatePairs]]): vectors sharing any LSH
+    * band bucket are candidates, exact fused-kernel cosine keeps pairs
+    * at or above `minCosine`.
+    *
+    * Scale geometry (round-4 fix — the old shape was a single 2^4=16
+    * bucket space whose uncapped `collect_list` materialized ~n/16
+    * vectors per row): the signature is BANDED like MinHash LSH —
+    * `bands` buckets of `bandBits` sign bits each, so the key space is
+    * `bands·2^bandBits` and both knobs scale with the corpus (more bits
+    * → smaller buckets; more bands → recovered recall). The occupancy
+    * bound now binds BEFORE collection: a rank window keeps only the
+    * first `cap` members per (band, bucket), so the collected member
+    * list is ≤ cap entries regardless of bucket occupancy — no 2 GB
+    * array / task OOM at any corpus size (members beyond the cap lose
+    * candidacy in that band; dense regions degrade gracefully instead
+    * of OOMing). The window and the groupBy share the (band, bucket)
+    * key, so the plan still has ONE shuffle before the pair explode.
+    * A pair colliding in several bands is deduped after the threshold
+    * filter (cos_sim is deterministic, so distinct sees equal rows).
+    * The DuckDB oracle mirrors bands, rank cap and dedup exactly. */
+  def dupPairs(embeddings: DataFrame, minCosine: Double,
+               bands: Int = DupBands, bandBits: Int = DupBandBits,
+               cap: Int = graft.dedup.Dedup.MaxBucketOccupancy): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     graft.functions.DedupFunctions.register(embeddings.sparkSession)
-    val cap = graft.dedup.Dedup.MaxBucketOccupancy
-    withSignature(embeddings)
-      .groupBy(col("bucket"))
+    val perBand = spread(embeddings)
+      .withColumn("bks", expr(s"graft_banded_sig(embedding, $bands, $bandBits)"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("vec_id"))
+    perBand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("members"))
       .filter(size(col("members")) >= 2)
       // explicit barrier: bucket rows are few but each pair costs a
       // 64-dim cosine — don't let AQE serialize the expansion
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      // the rank filter already bounds members ≤ cap, so graft_pairs'
+      // star degradation can never trigger here — full pairs always
       .select(explode(expr(s"graft_pairs(members, $cap)")).as("p"))
       .select(col("p.l.vec_id").as("vec_a"), col("p.r.vec_id").as("vec_b"),
         round(expr("graft_cosine(p.l.embedding, p.r.embedding)"), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
+      .distinct()
   }
 
   /** Exact nearest neighbour for each of a (small) probe set of vectors:

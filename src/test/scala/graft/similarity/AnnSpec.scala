@@ -62,16 +62,22 @@ class AnnSpec extends SparkTestBase {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
-  test("dupPairs: same-bucket candidates only, exact cosine, ordered ids") {
+  test("dupPairs: banded candidates only, exact cosine, ordered deduped ids") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Ann.dupPairs(emb, minCosine = 0.25)
       .as[(Long, Long, Double)].collect()
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b, c) => a < b && c >= 0.25 })
-    // every pair shares a hyperplane bucket (the candidate contract)
-    val buckets = Ann.withSignature(emb)
-      .select($"vec_id", $"bucket").as[(Long, Int)].collect().toMap
-    pairs.foreach { case (a, b, _) => assert(buckets(a) == buckets(b)) }
+    // a pair colliding in several bands must still appear exactly once
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // every pair shares at least one band bucket (the candidate contract)
+    VectorFunctions.register(spark)
+    val sigs = emb.withColumn("bks",
+      expr(s"graft_banded_sig(embedding, ${Ann.DupBands}, ${Ann.DupBandBits})"))
+      .select($"vec_id", $"bks").as[(Long, Seq[Int])].collect().toMap
+    pairs.foreach { case (a, b, _) =>
+      assert(sigs(a).lazyZip(sigs(b)).exists(_ == _),
+        s"pair ($a,$b) shares no band bucket") }
     // and each reported cosine equals the exact brute-force value
     val sample = pairs.take(5)
     sample.foreach { case (a, b, c) =>
@@ -79,6 +85,35 @@ class AnnSpec extends SparkTestBase {
         .as[(Long, Double)].collect().toMap
       assert(math.abs(exact(b) - c) < 1e-9)
     }
+  }
+
+  test("dupPairs: occupancy bound binds BEFORE collection (rank cap)") {
+    // 40 identical vectors land in one bucket per band; with cap=8 only
+    // the 8 lowest vec_ids stay candidates -> exactly C(8,2)=28 pairs,
+    // and the collected member lists can never exceed the cap (the r4
+    // scale-killer was an uncapped collect_list at n/16 per bucket).
+    val emb = (0L until 40L).map(i => (i, Array.fill(Ann.Dim)(1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.dupPairs(emb, minCosine = 0.9, cap = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 28, s"got ${pairs.length} pairs")
+    assert(pairs.forall { case (a, b, _) => a < 8 && b < 8 })
+  }
+
+  test("dupPairs bucket-key space exceeds the old fixed 16-bucket geometry") {
+    VectorFunctions.register(spark)
+    val keys = Tables.embeddings(spark, sf0001)
+      .withColumn("bks",
+        expr(s"graft_banded_sig(embedding, ${Ann.DupBands}, ${Ann.DupBandBits})"))
+      .select(posexplode($"bks")).distinct().count()
+    assert(keys > 16, s"only $keys distinct (band,bucket) keys observed")
+    // kernel/driver parity: band 0 of the banded signature must equal
+    // the 4-plane single signature (same plane family, same order)
+    val both = Tables.embeddings(spark, sf0001).limit(50)
+      .withColumn("bks", expr(s"graft_banded_sig(embedding, 1, ${Ann.NPlanes})"))
+      .withColumn("sig", expr("graft_hyperplane_sig(embedding)"))
+      .select($"bks".getItem(0), $"sig").as[(Int, Int)].collect()
+    both.foreach { case (b, s) => assert(b == s) }
   }
 
   test("lshTopK results are a subset ranking consistent with brute force bucket") {
