@@ -312,8 +312,18 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** `wideHash = true` switches the VERIFY side to 120-bit gram hashes
+    * ([[graft.functions.DedupKernels.hash120Array]]): the exact-jaccard
+    * claim then holds past ~10⁸ distinct grams, where single 60-bit
+    * hashes start colliding (~1 expected at 1.5·10⁹ — each collision
+    * inflates an |A∩B| by one). Posting/df stay 60-bit either way (the
+    * wide pair's FIRST long is the posting hash), so candidates are
+    * identical in both modes; only the verify join carries the 2×-wide
+    * array. Default off: the narrow row keeps the verify build side
+    * well under the broadcast threshold at fixture scales. */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        wideHash: Boolean = false): DataFrame = {
     // NARROW representation: each document's distinct shingle set is
     // carried as its sorted 60-bit md5 gram hashes (the same
     // [[hash60Sql]] family everything else uses), not as the gram
@@ -338,9 +348,10 @@ object Dedup {
     //
     // The table feeds THREE consumers (candidate generation and both
     // sides of the exact-verify join) — materialize it once.
-    val g = materialize(withShingles(docs, textCol)
-      .select(col("doc_id"), size(col("gs")).as("n_gs"),
-        sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")))
+    val gCols = Seq(col("doc_id"), size(col("gs")).as("n_gs"),
+      sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")) ++
+      (if (wideHash) Seq(expr("graft_hash120_array(gs)").as("hs2")) else Nil)
+    val g = materialize(withShingles(docs, textCol).select(gCols: _*))
     val exploded = g.select(col("doc_id"), col("n_gs"),
       explode(col("hs")).as("h"))
 
@@ -388,13 +399,17 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     // exact |A∩B| on the candidate pairs only, via the compiled
-    // long-merge kernel (count-only: no intersection array)
+    // long-merge kernel (count-only: no intersection array); wide mode
+    // merges (h0,h1) pairs so a 60-bit collision can't inflate the count
+    val vc = if (wideHash) "hs2" else "hs"
+    val interKernel =
+      if (wideHash) "graft_sorted_inter_count_long2" else "graft_sorted_inter_count_long"
     val result = cand
       .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
-        col("hs").as("hs_a")), Seq("doc_a"))
+        col(vc).as("v_a")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
-        col("hs").as("hs_b")), Seq("doc_b"))
-      .withColumn("n_inter", expr("graft_sorted_inter_count_long(hs_a, hs_b)"))
+        col(vc).as("v_b")), Seq("doc_b"))
+      .withColumn("n_inter", expr(s"$interKernel(v_a, v_b)"))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))

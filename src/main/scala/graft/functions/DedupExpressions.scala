@@ -58,6 +58,44 @@ object DedupKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** 120-bit gram hashes as a FLAT interleaved long array, sorted by
+    * (first, second) pair: element 2i is hash60(gram_i, seedA) — the
+    * same value the 60-bit posting path uses — and element 2i+1 is
+    * hash60(gram_i, seedB), an independent md5 draw. Two distinct grams
+    * collide only if BOTH hashes agree: ~D²/2^121 expected collisions —
+    * negligible past 10^17 distinct grams, vs ~1 expected at 1.5·10⁹
+    * for the single 60-bit hash. Pairs are sorted HERE (a flat
+    * sort_array would destroy the interleaving), so the merge kernel
+    * below can walk both arrays in pair steps. */
+  def hash120Array(gs: ArrayData, seedA: Int, seedB: Int): ArrayData = {
+    val n = gs.numElements()
+    val h0 = new Array[Long](n)
+    val h1 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val g = gs.getUTF8String(i)
+      h0(i) = hash60(g, seedA)
+      h1(i) = hash60(g, seedB)
+      i += 1
+    }
+    val idx = Array.range(0, n)
+    // hash60 values fit in 60 bits -> always non-negative; signed
+    // comparison is the pair order the merge kernel assumes
+    val boxed = idx.map(Integer.valueOf).sortWith { (a, b) =>
+      val ai = a.intValue(); val bi = b.intValue()
+      h0(ai) < h0(bi) || (h0(ai) == h0(bi) && h1(ai) < h1(bi))
+    }
+    val out = new Array[Long](2 * n)
+    i = 0
+    while (i < n) {
+      val k = boxed(i).intValue()
+      out(2 * i) = h0(k)
+      out(2 * i + 1) = h1(k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word-k-gram shingles, mirroring the HOF SQL exactly:
     * words = split(text,' ') (trailing/empty tokens KEPT, as in Java
     * regex split with limit -1); grams for i in 1..max(n-k+1, 1) of
@@ -178,6 +216,29 @@ object DedupKernels extends Serializable {
     n
   }
 
+  /** |A∩B| over two [[hash120Array]] outputs: the same presorted merge,
+    * stepping in (first, second) PAIRS — a match requires both longs to
+    * agree, so a 60-bit collision alone can no longer inflate the
+    * count. Same kernel shape and cost as the single-long merge. */
+  def sortedIntersectCountLong2(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements() / 2
+    val nb = b.numElements() / 2
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val xa = a.getLong(2 * i); val ya = a.getLong(2 * i + 1)
+      val xb = b.getLong(2 * j); val yb = b.getLong(2 * j + 1)
+      val c =
+        if (xa != xb) java.lang.Long.compare(xa, xb)
+        else java.lang.Long.compare(ya, yb)
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** Polynomial rolling hash over code points:
     * fold(acc*31 + codepoint) mod m. Replaces the interpreted
     * `aggregate(filter(split(text,'')))` HOF chain, which allocated a
@@ -278,6 +339,20 @@ case class Hash60ArrayExpr(child: Expression, seed: Int) extends DedupKernelUnar
     copy(child = c)
 }
 
+/** hash120_array(gs): pair-sorted interleaved 120-bit gram hashes (see
+  * [[DedupKernels.hash120Array]]) — the wide verify-hash mode for
+  * corpora past ~10⁸ distinct grams. */
+case class Hash120ArrayExpr(child: Expression, seedA: Int, seedB: Int)
+    extends DedupKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    DedupKernels.hash120Array(a.asInstanceOf[ArrayData], seedA, seedB)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"${kernelRef(ctx)}.hash120Array($c, $seedA, $seedB)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_sig(hs): H universal-hash minima over the base hashes. */
 case class MinHashSigExpr(child: Expression) extends DedupKernelUnary {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -367,6 +442,24 @@ case class SortedIntersectCountLongExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** sorted_inter_count_long2(a, b): pair-stepping |A∩B| over two
+  * [[DedupKernels.hash120Array]] outputs. */
+case class SortedIntersectCountLong2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.sortedIntersectCountLong2(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("dedupKernels", DedupKernels,
+      "graft.functions.DedupKernels$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $k.sortedIntersectCountLong2($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** SQL registration so `expr("graft_shingles(text, 3)")` etc. work from
   * the Column API (same route as [[VectorFunctions]]). */
 object DedupFunctions {
@@ -386,6 +479,10 @@ object DedupFunctions {
         if (es.length > 1) lit(es(1)) else 0), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_inter_count",
       es => SortedIntersectCountExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hash120_array",
+      es => Hash120ArrayExpr(es.head, 0, 1), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_inter_count_long2",
+      es => SortedIntersectCountLong2Expr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sorted_inter_count_long",
       es => SortedIntersectCountLongExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rolling_hash",

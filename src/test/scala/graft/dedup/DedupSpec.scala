@@ -147,4 +147,20 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.head._1 == 0L && pairs.head._2 == 1L)
     assert(math.abs(pairs.head._3 - 0.5) < 1e-9)
   }
+
+  test("ngramJaccard wide-hash mode agrees with 60-bit mode on real docs") {
+    // Same candidates by construction (posting stays 60-bit); the
+    // verify counts agree wherever 60-bit collisions are absent — i.e.
+    // everywhere at fixture scale. Past ~10^8 distinct grams only the
+    // wide mode keeps the exact-jaccard claim (DedupKernelsSpec pins
+    // the collision behavior at kernel level).
+    val docs = graft.Tables.documents(spark, sf0001).limit(300)
+    val narrow = Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val wide = Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5,
+      wideHash = true)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(narrow.nonEmpty)
+    assert(narrow.toSeq == wide.toSeq)
+  }
 }
