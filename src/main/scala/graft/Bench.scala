@@ -101,6 +101,12 @@ object Bench {
         timeColumn = "ts", partitionColumn = "event_type",
         from = java.time.Instant.parse("2000-01-01T00:00:00Z"),
         to = java.time.Instant.parse("2100-01-01T00:00:00Z")))
+      // ImageIO/AWT first-touch (~5s of codec+headless classloading)
+      // belongs to the JVM, not x15's plan (same JVM in local mode)
+      graft.multimodal.Multimodal.decodeImages(Iterator(
+        graft.multimodal.Multimodal.MediaRecord(0L,
+          graft.multimodal.Multimodal.syntheticPng(0L), "image/png", 0, 0)))
+        .next(): Unit
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * real decoder would amortize its setup cost per partition, not per
   * row).
   *
-  * The decode step is STUBBED: this container has no image/audio
-  * libraries, so [[decodeStub]] produces a deterministic fake feature
-  * vector (a 16-bucket byte histogram). Everything around it — schema,
-  * binary payload handling, partitioning, the batch iterator shape — is
-  * real and tested, and a production decoder drops into [[decodeStub]]
-  * unchanged.
+  * Two decode paths:
+  *  - [[decodeImages]] is a REAL decoder boundary: `javax.imageio`
+  *    ships with the JDK (no external libs, no egress), so PNG payloads
+  *    go through a genuine decode → (width, height, per-channel mean)
+  *    extraction. Undecodable payloads fall back to the deterministic
+  *    stub features with `decoded = false` — the production contract
+  *    (decoders fail on corrupt media; the pipeline must not).
+  *  - [[decodeStub]] is the declared stand-in for codecs the container
+  *    lacks (JPEG/audio/video): a deterministic 16-bucket byte
+  *    histogram. Everything around it — schema, binary payload
+  *    handling, partitioning, the batch iterator shape — is real, and a
+  *    production decoder drops in unchanged.
   */
 object Multimodal {
 
@@ -61,5 +67,96 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, documents: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     mediaRecords(spark, documents).mapPartitions(decodeStub)
+  }
+
+  /** Image features from a real decode: dimensions + per-channel means.
+    * `decoded = false` rows carry the fallback (metadata dims, byte
+    * mean in every channel). */
+  final case class ImageFeatures(doc_id: Long, decoded: Boolean,
+                                 width: Int, height: Int,
+                                 mean_r: Double, mean_g: Double,
+                                 mean_b: Double)
+
+  /** REAL decode boundary via the JDK's built-in `javax.imageio`: parse
+    * the payload, walk the pixels, emit dims + channel means. A payload
+    * ImageIO cannot parse (or that throws) degrades to the stub
+    * features with `decoded = false` instead of failing the task —
+    * corrupt media is data, not an error, at corpus scale. Iterator-in/
+    * iterator-out so a heavier decoder's setup amortizes per partition. */
+  def decodeImages(it: Iterator[MediaRecord]): Iterator[ImageFeatures] =
+    it.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img != null) {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF
+            sg += (p >> 8) & 0xFF
+            sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageFeatures(r.doc_id, decoded = true, w, h,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      } else {
+        var s = 0L
+        var i = 0
+        while (i < r.payload.length) { s += (r.payload(i) & 0xFF); i += 1 }
+        val m = if (r.payload.length == 0) 0.0 else s.toDouble / r.payload.length
+        ImageFeatures(r.doc_id, decoded = false, r.width, r.height, m, m, m)
+      }
+    }
+
+  /** Deterministic synthetic PNG: a solid-RGB image whose dimensions
+    * and color are closed forms of `doc_id` (w = 1 + id%16,
+    * h = 1 + id%8, rgb = (id%256, 7id%256, 13id%256)). The ENCODE side
+    * of the real-codec round-trip: the oracle predicts the decoded
+    * features arithmetically, so x15 verifies an actual PNG decode
+    * against first principles. PNG is lossless RGB — solid-color means
+    * are exact integers after decode. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 1 + (docId % 16).toInt
+    val h = 1 + (docId % 8).toInt
+    val rgb = (((docId % 256).toInt & 0xFF) << 16) |
+      ((((docId * 7) % 256).toInt & 0xFF) << 8) |
+      (((docId * 13) % 256).toInt & 0xFF)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → PNG MediaRecords (payload really is a valid PNG). */
+  def imageRecords(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRecord(id, syntheticPng(id), "image/png", 0, 0)))
+  }
+
+  /** Full image pipeline: synthetic PNG encode → REAL ImageIO decode →
+    * feature extraction, all inside the executors. */
+  def extractImageFeatures(spark: SparkSession,
+                           documents: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    imageRecords(spark, documents).mapPartitions(decodeImages)
   }
 }

@@ -138,25 +138,24 @@ object TextQueries {
         .select(col("doc_id"), fingerprint("text").as("fp"))
     },
 
-    // multimodal: binary payload + typed metadata → per-partition
-    // feature extraction (stubbed decode, real plumbing); histogram
-    // verified bucket-by-bucket against the oracle. The oracle iterates
-    // UTF-8 BYTES (hex(BLOB): high nibble of byte i = hex char 2i-1),
-    // matching decodeStub's byte semantics even for non-ASCII text.
+    // multimodal: binary PNG payload → REAL javax.imageio decode →
+    // (width, height, per-channel mean) features, per-partition. The
+    // payloads are synthetic solid-color PNGs whose dimensions and RGB
+    // are closed forms of doc_id (Multimodal.syntheticPng), so the
+    // oracle predicts the DECODED values arithmetically — the query
+    // verifies an actual JDK PNG encode→decode round-trip against first
+    // principles. Solid-color channel means are exact integers; the
+    // fallback (decoded=false) never fires here because every payload
+    // is a valid PNG — MultimodalSpec covers the corrupt-payload path.
     "x15_multimodal_features" -> QueryDef(
-      s"""WITH f AS (
-         |  SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
-         |    [substr(hex(text::BLOB), 2*i-1, 1)
-         |     for i in range(1, octet_length(text::BLOB)+1)] AS nibbles
-         |  FROM documents)
-         |SELECT doc_id, n_bytes,
-         |  ${(0 until 16).map(i =>
-             s"len(list_filter(nibbles, c -> c = '${"%X".format(i)}'))::BIGINT AS h$i")
-             .mkString(", ")}
-         |FROM f""".stripMargin) { (s, dir) =>
-      val feats = Multimodal.extractFeatures(s, Tables.documents(s, dir)).toDF()
-      feats.select(Seq(col("doc_id"), col("n_bytes")) ++
-        (0 until 16).map(i => element_at(col("histogram"), i + 1).as(s"h$i")): _*)
+      """SELECT doc_id, TRUE AS decoded,
+        |  (1 + doc_id % 16)::INT AS width,
+        |  (1 + doc_id % 8)::INT AS height,
+        |  (doc_id % 256)::DOUBLE AS mean_r,
+        |  ((doc_id * 7) % 256)::DOUBLE AS mean_g,
+        |  ((doc_id * 13) % 256)::DOUBLE AS mean_b
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.extractImageFeatures(s, Tables.documents(s, dir)).toDF()
     },
 
     // frame sampling: k-th-position probes into the binary payload
