@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora — the [EXT]
@@ -103,21 +103,31 @@ object Dedup {
   /** Unrelated-execution budget before a listener gives up waiting for
     * its subtree match: a caller that re-analyzed the result (temp view
     * + spark.sql) or dropped it would otherwise leak the pinned cache
-    * AND a listener scanning every later query execution, forever. */
-  private val ListenerMissBudget = 64
+    * AND a listener scanning every later query execution, forever.
+    * Session-configurable: on a SHARED session where many unrelated
+    * queries may run before the caller's first action, raise
+    * `spark.graft.dedup.cacheMissBudget` so the cache isn't released
+    * early (early release is correct, only slower — the action then
+    * recomputes without cache). */
+  val ListenerMissBudgetKey = "spark.graft.dedup.cacheMissBudget"
+  val DefaultListenerMissBudget = 64
+  private def listenerMissBudget(session: SparkSession): Int =
+    try session.conf.get(ListenerMissBudgetKey, DefaultListenerMissBudget.toString).toInt
+    catch { case scala.util.control.NonFatal(_) => DefaultListenerMissBudget }
 
   private def unpersistAfterFirstAction(result: DataFrame, handle: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val session = result.sparkSession
     val target = result.queryExecution.analyzed
+    val budget = listenerMissBudget(session)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private def done(qe: QueryExecution): Unit =
         if (qe.analyzed.exists(_ eq target)) {
           handle.unpersist(blocking = false)
           session.listenerManager.unregister(this)
-        } else if (misses.incrementAndGet() >= ListenerMissBudget) {
+        } else if (misses.incrementAndGet() >= budget) {
           // the expected action evidently isn't coming AS-IS: release
           // both the cache and the listener. If the caller's re-analyzed
           // plan runs later it just recomputes without cache — correct,

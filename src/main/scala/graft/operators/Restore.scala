@@ -70,6 +70,16 @@ object Restore {
     * values live in the directory names together with the derived
     * `date_dir` (dropped here — it is re-derivable from the time
     * column). Returns the restored table re-read from `outputPath`.
+    *
+    * TIMEZONE INVARIANT: the restore session's
+    * `spark.sql.session.timeZone` must equal the backup session's.
+    * Faithful-mode backup renders timestamps as tz-less LOCAL strings
+    * (Stringify's cast) and the `to_timestamp` here re-parses them in
+    * the CURRENT session zone — restoring under a different zone
+    * silently shifts every timestamp by the zone delta. Backup and
+    * restore may run in different deployments, so pin the zone (e.g.
+    * UTC, as Bench/Verify do) in both, or validate it out-of-band
+    * before restoring.
     */
   def run(spark: SparkSession, backupDir: String, target: StructType,
           partitionColumn: String, outputPath: String): DataFrame = {

@@ -125,7 +125,7 @@ object DedupQueries {
          |  ${duckHash("CAST(doc_id AS VARCHAR)", 7)} % 100 AS bucket
          |  FROM documents)
          |SELECT source, count(*) AS n_kept FROM s
-         |WHERE bucket < CASE WHEN substr(source, 4) ~ '^[0-9]${"$"}'
+         |WHERE bucket < CASE WHEN source ~ '^src[0-9]${"$"}'
          |                    THEN 80 ELSE 40 END
          |GROUP BY source""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)

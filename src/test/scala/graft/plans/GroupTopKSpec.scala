@@ -20,6 +20,25 @@ class GroupTopKSpec extends SparkTestBase {
     assert(got == Set(("a", 2L), ("a", 4L), ("b", 6L), ("b", 5L), ("c", 7L)))
   }
 
+  test("full-tie admission: k rows returned, all drawn from the tied set") {
+    // The documented contract (GroupTopK.topK scaladoc): rows that tie
+    // with the retained boundary on BOTH (orderCol, tieBreak) are
+    // dropped arbitrarily — like row_number() — but the COUNT per group
+    // must still be exactly k and every returned row must come from the
+    // tied set. This spec pins that contract so the behavior can't
+    // silently drift (ADVICE r04).
+    val ties = Seq(
+      ("g1", 1L, 9.0), ("g1", 1L, 9.0), ("g1", 1L, 9.0), ("g1", 1L, 9.0),
+      ("g1", 0L, 5.0)
+    ).toDF("g", "id", "score")
+    val got = GroupTopK.topK(ties, Seq("g"), "score", k = 2, desc = true,
+      tieBreak = "id")
+      .select($"g", $"id", $"score").as[(String, Long, Double)].collect()
+    assert(got.length == 2, s"expected exactly k=2 rows, got ${got.length}")
+    assert(got.forall(r => r._2 == 1L && r._3 == 9.0),
+      "a non-tied row displaced a boundary-tied row")
+  }
+
   test("physical plan is partial+final GroupTopKExec with one exchange") {
     val plan = GroupTopK.topK(df, Seq("g"), "score", 1, desc = false,
       tieBreak = "id")
