@@ -427,4 +427,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     unpersistAfterFirstAction(result, g)
   }
+
+  /** [EXT] Train/test contamination check — the eval-integrity op every
+    * LLM training pipeline needs: for each document in the `test` split
+    * (the same portable hash split as the x19 idiom: 60-bit hash of the
+    * doc id under `splitSeed`, buckets [0,80) train / [80,90) val /
+    * [90,100) test), the fraction of its distinct shingles that appear
+    * ANYWHERE in the train split. containment = 1 means the test doc's
+    * n-grams are fully covered by training data (leaked); near 0 means
+    * clean.
+    *
+    * Scale shape: one explode→distinct over train grams, one gram-key
+    * join, one per-doc agg — never doc×doc. Gram keys are the 60-bit
+    * hashes (narrow shuffles, same trade as [[ngramJaccardPairs]]:
+    * exact-to-the-oracle through ~10⁸ distinct grams); the train-gram
+    * dictionary is partial-aggregated before the join and AQE picks
+    * broadcast vs shuffle from its observed size.
+    */
+  def contamination(docs: DataFrame, textCol: String = "text",
+                    splitSeed: Int = 42): DataFrame = {
+    val g = withShingles(docs, textCol)
+      .withColumn("bucket",
+        expr(s"element_at(graft_hash60_array(array(CAST(doc_id AS STRING)), $splitSeed), 1) % 100"))
+    val trainGrams = g.filter(col("bucket") < 80)
+      .select(explode(expr("graft_hash60_array(gs, 0)")).as("h"))
+      .distinct()
+    val testDocs = g.filter(col("bucket") >= 90)
+      .select(col("doc_id"), size(col("gs")).as("n_gs"), col("gs"))
+    val hits = testDocs
+      .select(col("doc_id"), explode(expr("graft_hash60_array(gs, 0)")).as("h"))
+      .join(trainGrams, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    testDocs
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_gs"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_gs"), 6)
+          .as("containment"))
+  }
 }

@@ -326,8 +326,74 @@ object DedupQueries {
     // under the global (df, hash60) order, intersected with the
     // df-window [2, maxDf] — byte-identical mirror of
     // Dedup.ngramJaccardPairs' candidate stage
-    "x06_ngram_jaccard_pairs" -> QueryDef(
+    "x06_ngram_jaccard_pairs" -> QueryDef(ngramJaccardOracleSql) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        JaccardMaxDf, JaccardThreshold)
+    },
+
+    // the same operator in 120-bit verify-hash mode: candidates are
+    // identical by construction (posting stays 60-bit) and the verify
+    // counts must match the STRING-based oracle wherever collisions are
+    // absent — which is what makes the wide mode's exact-jaccard claim
+    // checkable: both modes hash-match one string-ground-truth oracle.
+    "x28_ngram_jaccard_wide" -> QueryDef(ngramJaccardOracleSql) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        JaccardMaxDf, JaccardThreshold, wideHash = true)
+    },
+
+    // train/test contamination — eval-integrity: per test-split doc,
+    // the fraction of its distinct shingles found anywhere in the train
+    // split (string-gram ground truth in the oracle; the engine joins
+    // on 60-bit gram hashes)
+    "x29_contamination" -> QueryDef(
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |b AS (SELECT doc_id, gs,
+         |        ${duckHash("CAST(doc_id AS VARCHAR)", 42)} % 100 AS bucket
+         |      FROM s),
+         |tr AS (SELECT DISTINCT unnest(gs) AS gram FROM b WHERE bucket < 80),
+         |te AS (SELECT doc_id, unnest(gs) AS gram FROM b WHERE bucket >= 90),
+         |m AS (SELECT doc_id, count(*) AS n_hit
+         |      FROM te JOIN tr USING (gram) GROUP BY doc_id)
+         |SELECT b.doc_id, len(b.gs) AS n_gs,
+         |       coalesce(m.n_hit, 0) AS n_hit,
+         |       round(coalesce(m.n_hit, 0)::DOUBLE / len(b.gs), 6) AS containment
+         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+         |WHERE b.bucket >= 90""".stripMargin) { (s, dir) =>
+      Dedup.contamination(Tables.documents(s, dir))
+    },
+
+    // intra-document repetition ratio — the boilerplate/spam quality
+    // signal: 1 - distinct/total word-k-grams. Total grams is the
+    // closed form max(len(w)-k+1, 1) (same truncation as the shingler,
+    // trailing empty tokens kept by both engines' split semantics).
+    "x30_repetition_ratio" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, greatest(len(w) - ${Dedup.ShingleK - 1}, 1) AS n_total,
+         |        len($duckShingles) AS n_distinct
+         |      FROM d)
+         |SELECT doc_id, n_total, n_distinct,
+         |       round(1.0 - n_distinct::DOUBLE / n_total, 6) AS rep_ratio
+         |FROM s""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("n_total",
+          greatest(size(split(col("text"), " ", -1)) - lit(Dedup.ShingleK - 1),
+            lit(1)).cast("long"))
+        .withColumn("n_distinct",
+          size(expr(s"graft_shingles(text, ${Dedup.ShingleK})")).cast("long"))
+        .select(col("doc_id"), col("n_total"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_total"), 6)
+            .as("rep_ratio"))
+    }
+  )
+
+  /** String-ground-truth jaccard oracle shared by x06 (60-bit) and x28
+    * (120-bit): the hash width is an engine detail the oracle must not
+    * see. */
+  private lazy val ngramJaccardOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, $duckShingles gs FROM d),
          |ex AS (SELECT doc_id, len(gs) AS n_gs, unnest(gs) AS gram FROM s),
          |df AS (SELECT gram, count(*) AS c FROM ex GROUP BY gram
@@ -350,9 +416,5 @@ object DedupQueries {
          |  JOIN s sa ON sa.doc_id = doc_a
          |  JOIN s sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j
-         |WHERE jaccard >= $JaccardThreshold""".stripMargin) { (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
-        JaccardMaxDf, JaccardThreshold)
-    }
-  )
+         |WHERE jaccard >= $JaccardThreshold""".stripMargin
 }

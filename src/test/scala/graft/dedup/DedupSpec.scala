@@ -163,4 +163,25 @@ class DedupSpec extends SparkTestBase {
     assert(narrow.nonEmpty)
     assert(narrow.toSeq == wide.toSeq)
   }
+
+  test("contamination: a leaked test doc scores 1.0, a clean one 0.0") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(id: Long): Long =
+      graft.functions.DedupKernels.hash60(
+        UTF8String.fromString(id.toString), 42) % 100
+    // pick real split members by the same hash the operator uses
+    val trainId = (0L until 1000L).find(bucket(_) < 80).get
+    val ids = (0L until 1000L).filter(bucket(_) >= 90)
+    val (leakedId, cleanId) = (ids.head, ids(1))
+    val docs = Seq(
+      (trainId, "the cat sat on the mat today"),
+      (leakedId, "the cat sat on the mat today"), // identical -> leaked
+      (cleanId, "completely unrelated novel words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(docs)
+      .select($"doc_id", $"containment").as[(Long, Double)].collect().toMap
+    assert(got.size == 2)
+    assert(got(leakedId) == 1.0)
+    assert(got(cleanId) == 0.0)
+  }
 }
