@@ -101,6 +101,16 @@ object SimilarityQueries {
           s"""WITH $duckIvfAssign
              |SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell""".stripMargin) { (s, dir) =>
           Ivf.cellStats(Tables.embeddings(s, dir))
+        },
+
+        // embedding-quality outliers: distance to the nearest centroid,
+        // largest first — the corrupt/OOD-embedding curation filter
+        "x32_embedding_outliers" -> QueryDef(
+          s"""WITH $duckIvfAssign
+             |SELECT vec_id, round(min(dist), 6) AS nn_dist
+             |FROM d GROUP BY vec_id
+             |ORDER BY nn_dist DESC, vec_id LIMIT 50""".stripMargin) { (s, dir) =>
+          Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)
         })
     } catch {
       case t: Throwable =>
@@ -110,7 +120,9 @@ object SimilarityQueries {
           "x17_ann_ivf_topk" -> QueryDef.rowsOnly((s, dir) =>
             Ivf.topK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)),
           "x18_ivf_cell_stats" -> QueryDef.rowsOnly((s, dir) =>
-            Ivf.cellStats(Tables.embeddings(s, dir))))
+            Ivf.cellStats(Tables.embeddings(s, dir))),
+          "x32_embedding_outliers" -> QueryDef.rowsOnly((s, dir) =>
+            Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)))
     }
 
   // defs is lazy: building the IVF oracle SQL trains the codebook,

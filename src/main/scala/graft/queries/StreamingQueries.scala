@@ -54,6 +54,36 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.streamDedupKeysWatermarked(s, dir)
     },
 
+    // event-time session windows (dynamic gap-close) in append mode:
+    // sessions finalize when the watermark passes their close, driven
+    // past the last real session by a staged flush sentinel. The oracle
+    // is batch gap-sessionization with session_window's boundary rule
+    // (exact-gap deltas MERGE — new session only when delta > gap,
+    // pinned by StreamingSpec's edge test), on the same µs-truncation
+    // discipline as q22.
+    "s07_stream_session_window" -> QueryDef(
+      """WITH gaps AS (
+        |  SELECT user_id, date_trunc('microsecond', ts) AS ts,
+        |    CASE WHEN epoch_us(date_trunc('microsecond', ts))
+        |        - epoch_us(date_trunc('microsecond', lag(ts) OVER w))
+        |      > 1800000000 OR lag(ts) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY date_trunc('microsecond', ts))
+        |),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM gaps)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin) {
+      (s, dir) => StreamingJobs.sessionCounts(s, dir)
+    },
+
     // arbitrary custom state via flatMapGroupsWithState (per-user
     // running count + exact value sum held in GroupState)
     "s03_stream_custom_state" -> QueryDef(

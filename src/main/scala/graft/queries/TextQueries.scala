@@ -158,6 +158,20 @@ object TextQueries {
       Multimodal.extractImageFeatures(s, Tables.documents(s, dir)).toDF()
     },
 
+    // audio analogue of x15: synthetic 8kHz mono u8 PCM WAVs with
+    // closed-form frame count and amplitude, decoded for REAL through
+    // the JDK's javax.sound.sampled — header metadata and mean
+    // amplitude verified against the generator's arithmetic.
+    "x31_audio_features" -> QueryDef(
+      """SELECT doc_id, TRUE AS decoded,
+        |  (100 + doc_id % 100)::BIGINT AS n_frames,
+        |  8000.0::DOUBLE AS sample_rate,
+        |  1 AS channels,
+        |  (doc_id % 256)::DOUBLE AS mean_amp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.extractAudioFeatures(s, Tables.documents(s, dir)).toDF()
+    },
+
     // frame sampling: k-th-position probes into the binary payload
     "x16_frame_sample" -> QueryDef(
       """SELECT doc_id,

@@ -146,4 +146,19 @@ object Ivf {
   def cellStats(embeddings: DataFrame): DataFrame =
     withCell(embeddings)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+
+  /** [EXT] Embedding-quality outlier score — the curation filter for
+    * corrupt or out-of-distribution embeddings: each vector's squared-L2
+    * distance to its NEAREST codebook centroid, top-N largest first.
+    * One codegen'd kernel pass per row (`graft_ivf_dists` + `array_min`)
+    * then `TakeOrderedAndProject` — no shuffle beyond the top-N merge,
+    * scale-safe at any corpus size. */
+  def outlierScores(embeddings: DataFrame, topN: Int = 50): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    spread(embeddings)
+      .select(col("vec_id"),
+        round(array_min(expr("graft_ivf_dists(embedding)")), 6).as("nn_dist"))
+      .orderBy(col("nn_dist").desc, col("vec_id"))
+      .limit(topN)
+  }
 }

@@ -174,6 +174,95 @@ object StreamingJobs {
   private def eventsBatch(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
 
+  /** [[eventsStream]] over an arbitrary file glob (schema still taken
+    * from the fixture) — for jobs that stage their own stream input. */
+  private def eventsStreamFrom(spark: SparkSession, schemaDir: String,
+                               glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$schemaDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(glob)
+    if (schema("ts").dataType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Event-time SESSION windows — dynamic gap-close windows per user
+    * (`session_window`), the streaming sessionization q22 computes in
+    * batch. Exercises the PRODUCTION finalization path: append mode +
+    * watermark, with session state merged across events and evicted
+    * only when the watermark passes a session's close. Because a finite
+    * file source's watermark never passes the last real session, the
+    * job stages its own input: the fixture file as batch 1, then a
+    * far-future flush sentinel (user_id = -1) as batch 2 whose event
+    * time drives the watermark past every real session — so ALL real
+    * sessions finalize and the result equals batch sessionization
+    * (which is what makes the DuckDB oracle exact). The sentinel's own
+    * session never finalizes and is additionally filtered out. */
+  def sessionCounts(spark0: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val streamDir = scratch.resolve("in")
+    java.nio.file.Files.createDirectories(streamDir): Unit
+    // fixture may be a single file (driver testdata) or a Spark-written
+    // directory of part files (tests) — stage either as batch 1
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val listing = java.nio.file.Files.list(src)
+      try {
+        val it = listing.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.copy(p,
+              streamDir.resolve(f"events_0_$i%03d.parquet")): Unit
+            i += 1
+          }
+        }
+      } finally listing.close()
+    } else
+      java.nio.file.Files.copy(src, streamDir.resolve("events_0.parquet")): Unit
+
+    // flush sentinel with the SAME on-disk schema as the fixture (ts
+    // stays long-nanos if the fixture stores TIMESTAMP(NANOS))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val farFuture: org.apache.spark.sql.Column =
+      if (raw.schema("ts").dataType == LongType)
+        lit(4102444800000000000L) // 2100-01-01 in epoch nanos
+      else lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+    raw.limit(1)
+      .withColumn("ts", farFuture)
+      .withColumn("user_id", lit(-1L))
+      .coalesce(1)
+      .write.parquet(scratch.resolve("flush").toString)
+    val part = {
+      val s = java.nio.file.Files.list(scratch.resolve("flush"))
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    val flushFile = streamDir.resolve("events_1_flush.parquet")
+    java.nio.file.Files.move(part, flushFile): Unit
+    // the file source processes oldest-mtime first; make the ordering
+    // explicit so the sentinel is ALWAYS the second micro-batch
+    flushFile.toFile.setLastModified(System.currentTimeMillis() + 60000): Unit
+
+    val agg = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(agg, mode = "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events"))
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * event count + value sum held in explicit GroupState (the
     * KeyValueGroupedDataset path the built-in aggs can't express when

@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.mean_r == 3.0 && f.mean_g == 3.0 && f.mean_b == 3.0)
   }
 
+  test("real WAV decode: round-trip recovers closed-form audio features") {
+    // syntheticWav(300): n = 100+300%100 = 100 frames, amp = 44
+    val wav = Multimodal.syntheticWav(300L)
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    val f = Multimodal.decodeAudio(Iterator(
+      Multimodal.MediaRecord(300L, wav, "audio/wav", 0, 0))).next()
+    assert(f.decoded)
+    assert(f.n_frames == 100L)
+    assert(f.sample_rate == 8000.0 && f.channels == 1)
+    assert(f.mean_amp == 44.0)
+  }
+
+  test("undecodable audio payload degrades to decoded=false zeros") {
+    val f = Multimodal.decodeAudio(Iterator(
+      Multimodal.MediaRecord(5L, Array[Byte](9, 9, 9), "audio/wav", 0, 0))).next()
+    assert(!f.decoded && f.n_frames == 0L && f.mean_amp == 0.0)
+  }
+
   test("distributed image pipeline decodes every synthetic payload") {
     val docs = (0L until 64L).map(i => (i, s"t$i", "en", "src0", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

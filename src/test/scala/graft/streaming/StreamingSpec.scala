@@ -17,6 +17,52 @@ class StreamingSpec extends SparkTestBase {
     assert(s == b)
   }
 
+  test("streaming session windows equal batch gap-sessionization") {
+    val streamed = StreamingJobs.sessionCounts(spark, sf0001, gapMinutes = 30)
+      .collect().map(_.toSeq).toSet
+    // batch ground truth: lag-based islands with the SAME boundary rule
+    // as session_window (exact-gap deltas MERGE — boundary-inclusive,
+    // pinned empirically by the edge test below — so a new session
+    // starts only when delta > gap, the same rule as q22's oracle)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts"))
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            1800000000L, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("new_session")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("session window boundary: exact-gap delta MERGES (inclusive close)") {
+    // two events exactly 30 min apart: Spark's session_window treats
+    // the touching windows as one session (boundary-inclusive merge).
+    // Discovered empirically; this pins the rule the batch oracle and
+    // the s07 DuckDB oracle mirror (new session only when delta > gap).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_edge")
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "click", 1.0, "{}", 10L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "click", 1.0, "{}", 11L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:01"), "click", 1.0, "{}", 12L)
+    ).toDF("user_id", "ts", "event_type", "value", "props", "event_id")
+    events.coalesce(1).write.parquet(dir.resolve("events.parquet").toString)
+    val got = StreamingJobs.sessionCounts(spark, dir.toString, gapMinutes = 30)
+      .select($"session_start", $"n_events").as[(String, Long)].collect().toSet
+    // first two merge (delta == gap); third is > gap past the second
+    assert(got == Set(
+      ("2024-01-01 00:00:00.000000", 2L), ("2024-01-01 01:00:01.000000", 1L)))
+  }
+
   test("watermarked streaming dedup equals batch distinct on bounded input") {
     val streamed = StreamingJobs.streamDedupKeysWatermarked(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
