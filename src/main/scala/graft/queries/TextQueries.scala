@@ -65,6 +65,44 @@ object TextQueries {
           sum(wsTokens(col("text"))).as("total_tokens"))
     },
 
+    // PII scrubbing — the privacy pass every shipped corpus needs:
+    // emails and URLs masked with typed placeholders, per-doc match
+    // counts kept for audit. The fixture text has no PII, so each doc
+    // gets a DETERMINISTIC injected email+URL (closed forms of doc_id,
+    // built identically by both engines) — the scrub then verifiably
+    // fires on every row instead of trivially no-opping. Patterns are
+    // backslash-free (char-class dot) so Java regex and DuckDB RE2
+    // match identically.
+    "x33_pii_scrub" -> QueryDef({
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val url = "https?://[A-Za-z0-9./_-]+"
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id ||
+         |  '@example.com via https://ex.org/d/' || doc_id AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text2, '$email'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text2, '$url'))::BIGINT AS n_urls,
+         |  md5(regexp_replace(regexp_replace(text2, '$email', '<EMAIL>', 'g'),
+         |      '$url', '<URL>', 'g')) AS scrubbed_md5
+         |FROM t""".stripMargin
+    }) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val url = "https?://[A-Za-z0-9./_-]+"
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("text2",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via https://ex.org/d/"), col("doc_id")))
+        .select(col("doc_id"),
+          expr(s"size(regexp_extract_all(text2, '$email', 0))")
+            .cast("long").as("n_emails"),
+          expr(s"size(regexp_extract_all(text2, '$url', 0))")
+            .cast("long").as("n_urls"),
+          md5(regexp_replace(regexp_replace(col("text2"), email, "<EMAIL>"),
+            url, "<URL>")).as("scrubbed_md5"))
+    },
+
     // text normalization: lowercase → strip non-alphanumerics →
     // collapse/trim whitespace; the canonical form feeding exact dedup.
     // Both engines replace globally (DuckDB needs the explicit 'g').
