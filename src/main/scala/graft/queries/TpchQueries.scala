@@ -217,6 +217,47 @@ object TpchQueries {
         .agg(count(lit(1)).as("n_customers"))
     },
 
+    // left outer join: row preservation + null-side accounting (every
+    // customer kept; order-less customers counted via the null probe)
+    "q31_left_outer_join" -> QueryDef(
+      """SELECT c.c_mktsegment, count(*) AS n_rows,
+        |  count(o.o_orderkey) AS n_orders,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_order
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0))
+            .cast("long").as("n_no_order"))
+    },
+
+    // full outer join: both sides preserved — filtered per-nation
+    // customer counts vs supplier counts, where either side can be
+    // missing a nation (coalesce resolves the surviving key)
+    "q32_full_outer_join" -> QueryDef(
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust
+        |           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
     // scalar subquery: customers above the mean account balance
     // group-wise top-k via the custom GroupTopKNode/Strategy/Exec
     // operator (bounded per-group heaps, partial + final around one
