@@ -217,6 +217,29 @@ object TpchQueries {
         .agg(count(lit(1)).as("n_customers"))
     },
 
+    // z-order (Morton) clustering key — the multi-dimensional layout op
+    // for parquet data skipping: bit-interleaved (partkey, suppkey)
+    // buckets. The per-flag sum is an exact checksum over EVERY row's
+    // z-value, so the oracle validates the full interleave arithmetic;
+    // ZOrderSpec proves the layout's pruning benefit on real files.
+    "q33_zorder_key" -> QueryDef({
+      val z = graft.functions.ZOrder.zValueSql(
+        "l_partkey % 256", "l_suppkey % 256", 8)
+      s"""WITH z AS (SELECT l_returnflag, $z AS z_val FROM lineitem)
+         |SELECT l_returnflag, count(*) AS n_rows,
+         |  CAST(sum(z_val) AS BIGINT) AS sum_z,
+         |  min(z_val) AS min_z, max(z_val) AS max_z
+         |FROM z GROUP BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("z_val", graft.functions.ZOrder.zValue(
+          col("l_partkey") % 256, col("l_suppkey") % 256, 8))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("z_val")).cast("long").as("sum_z"),
+          min(col("z_val")).as("min_z"), max(col("z_val")).as("max_z"))
+    },
+
     // left outer join: row preservation + null-side accounting (every
     // customer kept; order-less customers counted via the null probe)
     "q31_left_outer_join" -> QueryDef(
