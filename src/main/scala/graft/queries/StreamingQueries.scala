@@ -84,6 +84,17 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.sessionCounts(s, dir)
     },
 
+    // checkpoint-restart recovery: the aggregation runs over half the
+    // input, the query stops (simulated failure), and a NEW query
+    // started from the same checkpoint ingests the rest — recovered
+    // state must equal the batch computation over everything
+    // (exactly-once across the restart)
+    "s08_stream_restart_checkpoint" -> QueryDef(
+      """SELECT event_type, count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) => StreamingJobs.restartFromCheckpoint(s, dir)
+    },
+
     // arbitrary custom state via flatMapGroupsWithState (per-user
     // running count + exact value sum held in GroupState)
     "s03_stream_custom_state" -> QueryDef(

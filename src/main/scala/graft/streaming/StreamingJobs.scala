@@ -263,6 +263,73 @@ object StreamingJobs {
         col("n_events"))
   }
 
+  /** Checkpoint-restart recovery — the fault-tolerance contract a
+    * production stream lives by: an aggregation runs over HALF the
+    * input, the query STOPS (simulated failure/redeploy), and a brand-
+    * new query started from the SAME checkpoint ingests the rest. The
+    * recovered state must make the final counts equal the batch
+    * computation over everything — exactly-once across the restart, no
+    * loss, no double-count. Complete-mode memory sink: the final
+    * trigger re-emits the whole recovered + updated state, which is
+    * what the oracle checks. */
+  def restartFromCheckpoint(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ckpt_stream")
+    val in = scratch.resolve("in")
+    val ckpt = scratch.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(in): Unit
+
+    // stage the fixture as two halves with a stable split
+    val batch = eventsBatch(spark, dir)
+    def stage(half: DataFrame, name: String): Unit = {
+      val tmp = scratch.resolve(s"stage_$name")
+      half.coalesce(1).write.parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try {
+          val it = listing.iterator()
+          var found: java.nio.file.Path = null
+          while (it.hasNext && found == null) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        } finally listing.close()
+      java.nio.file.Files.move(part, in.resolve(s"$name.parquet")): Unit
+    }
+    stage(batch.filter(col("user_id") % 2 === 0), "half_a")
+
+    val schema = batch.schema
+    def agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+
+    def runOnce(): String = {
+      val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      name
+    }
+
+    try {
+      runOnce(): Unit // first incarnation: half the input, then "dies"
+      stage(batch.filter(col("user_id") % 2 =!= 0), "half_b")
+      val name2 = runOnce() // second incarnation recovers the state
+      spark.table(name2)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * event count + value sum held in explicit GroupState (the
     * KeyValueGroupedDataset path the built-in aggs can't express when

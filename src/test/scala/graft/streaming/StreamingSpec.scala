@@ -63,6 +63,17 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01 00:00:00.000000", 2L), ("2024-01-01 01:00:01.000000", 1L)))
   }
 
+  test("checkpoint restart recovers state: final counts equal batch") {
+    // half the input -> stop -> NEW query from the same checkpoint ->
+    // rest of the input; any state loss or double-count breaks equality
+    val streamed = StreamingJobs.restartFromCheckpoint(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("watermarked streaming dedup equals batch distinct on bounded input") {
     val streamed = StreamingJobs.streamDedupKeysWatermarked(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
