@@ -82,6 +82,10 @@ object Bench {
       // them on a small slice so the timed runs measure the plans
       val docs = Tables.documents(spark, sfDir).limit(200)
       graft.dedup.Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5).count()
+      // wide mode compiles its own kernel-bearing stages (hash120 +
+      // pair-merge): x28's first run paid ~4.5s of Janino without this
+      graft.dedup.Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5,
+        wideHash = true).count()
       graft.dedup.Dedup.lshCandidatePairs(docs).count()
       graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3).count()
       val emb = Tables.embeddings(spark, sfDir).limit(200)
@@ -101,11 +105,16 @@ object Bench {
         timeColumn = "ts", partitionColumn = "event_type",
         from = java.time.Instant.parse("2000-01-01T00:00:00Z"),
         to = java.time.Instant.parse("2100-01-01T00:00:00Z")))
-      // ImageIO/AWT first-touch (~5s of codec+headless classloading)
-      // belongs to the JVM, not x15's plan (same JVM in local mode)
+      // ImageIO/AWT and javax.sound first-touch (~5s each of codec
+      // classloading) belongs to the JVM, not x15/x31's plans (same
+      // JVM in local mode)
       graft.multimodal.Multimodal.decodeImages(Iterator(
         graft.multimodal.Multimodal.MediaRecord(0L,
           graft.multimodal.Multimodal.syntheticPng(0L), "image/png", 0, 0)))
+        .next(): Unit
+      graft.multimodal.Multimodal.decodeAudio(Iterator(
+        graft.multimodal.Multimodal.MediaRecord(0L,
+          graft.multimodal.Multimodal.syntheticWav(0L), "audio/wav", 0, 0)))
         .next(): Unit
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
