@@ -84,6 +84,44 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.sessionCounts(s, dir)
     },
 
+    // sliding event-time windows: every event contributes to
+    // width/slide = 2 overlapping windows; the oracle expands both
+    // candidate window starts per event and keeps the containing ones
+    "s09_stream_sliding" -> QueryDef(
+      """WITH t AS (SELECT event_type, date_trunc('microsecond', ts) AS ts
+        |           FROM events),
+        |w AS (
+        |  SELECT event_type, ts, unnest([
+        |    ts - (epoch_us(ts) % 1800000000) * INTERVAL 1 MICROSECOND,
+        |    ts - (epoch_us(ts) % 1800000000) * INTERVAL 1 MICROSECOND
+        |       - INTERVAL 30 MINUTE]) AS ws
+        |  FROM t)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM w
+        |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY ws, event_type""".stripMargin) {
+      (s, dir) => StreamingJobs.slidingCounts(s, dir)
+    },
+
+    // stream-stream inner join with an event-time bound: both sides
+    // buffer state; a click pairs with same-user purchases in the
+    // following hour — bounded-input emission equals the batch join
+    "s10_stream_stream_join" -> QueryDef(
+      """WITH c AS (SELECT user_id, event_id,
+        |             date_trunc('microsecond', ts) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id,
+        |        date_trunc('microsecond', ts) AS ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, c.event_id AS click_event,
+        |  p.event_id AS purchase_event
+        |FROM c JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin) {
+      (s, dir) => StreamingJobs.streamStreamJoin(s, dir)
+    },
+
     // checkpoint-restart recovery: the aggregation runs over half the
     // input, the query stops (simulated failure), and a NEW query
     // started from the same checkpoint ingests the rest — recovered

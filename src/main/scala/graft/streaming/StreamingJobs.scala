@@ -263,6 +263,55 @@ object StreamingJobs {
         col("n_events"))
   }
 
+  /** Sliding event-time windows (1 h width / 30 min slide): every event
+    * contributes to width/slide = 2 overlapping windows. Complete mode
+    * over the bounded fixture equals the batch computation (each window
+    * is a plain grouped count the oracle reproduces by expanding both
+    * window starts per event). */
+  def slidingCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(agg)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+  }
+
+  /** Stream-stream inner join with an event-time bound — the hardest
+    * §2.9 shape: BOTH sides are unbounded, so each buffers state and
+    * the time-range condition + watermarks bound how much (a click
+    * joins purchases by the same user within the following hour). On
+    * the bounded fixture every match is emitted by completion, so the
+    * result equals the batch join — which is what the oracle runs.
+    * At scale the watermark delay is the state-retention knob. */
+  def streamStreamJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    // append-mode pair emission (stateful ops may not chain after a
+    // time-interval stream-stream join): the PAIR SET is deterministic
+    // on bounded input even though emission order is not
+    runToCompletion(
+      joined.select(col("c_user").as("user_id"),
+        col("c_event").as("click_event"), col("p_event").as("purchase_event")),
+      mode = "append")
+  }
+
   /** Checkpoint-restart recovery — the fault-tolerance contract a
     * production stream lives by: an aggregation runs over HALF the
     * input, the query STOPS (simulated failure/redeploy), and a brand-
