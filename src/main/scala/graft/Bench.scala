@@ -25,8 +25,12 @@ object Bench {
     * the size bound and the absence of a "queries" key.
     */
   private[graft] def finalLine(
-      total: Double, totalOk: Double, nFailed: Int, sfDir: String): String =
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+      total: Double, totalOk: Double, nFailed: Int, sfDir: String): String = {
+    // sfDir is operator-controlled, but this is the one line that must
+    // ALWAYS parse — escape the two characters that can break JSON
+    val sf = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"sf":"$sf"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,32 +69,47 @@ object Bench {
         }
       })
 
-    // warm-up (untimed): exercise scan/agg/join/window/json codepaths
-    try {
+    // warm-up (untimed): exercise scan/agg/join/window/json codepaths.
+    // Each step is guarded INDEPENDENTLY and logs what it skipped: one
+    // failing step must not silently cancel the others — a swallowed
+    // failure here reappears as a mystery-slow timed query (the r9
+    // 14.4 s regression class) with zero diagnostic signal.
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH WARMUP-SKIP $label: ${t.getMessage}")
+      }
+    locally {
       import org.apache.spark.sql.functions._
       val e = Tables.events(spark, sfDir).limit(2000)
-      e.groupBy(col("event_type")).count().count()
-      e.select(get_json_object(col("props"), "$.k")).count()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("ts"))
-      e.withColumn("rn", row_number().over(w)).count()
-      Tables.lineitem(spark, sfDir).limit(2000)
-        .join(Tables.orders(spark, sfDir).limit(2000), col("l_orderkey") === col("o_orderkey"))
-        .count()
+      warm("agg")(e.groupBy(col("event_type")).count().count(): Unit)
+      warm("json")(e.select(get_json_object(col("props"), "$.k")).count(): Unit)
+      warm("window") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"))
+        e.withColumn("rn", row_number().over(w)).count(): Unit
+      }
+      warm("join")(Tables.lineitem(spark, sfDir).limit(2000)
+        .join(Tables.orders(spark, sfDir).limit(2000),
+          col("l_orderkey") === col("o_orderkey"))
+        .count(): Unit)
       // dedup + ANN kernel paths: their first execution pays Janino
       // compilation of the kernel-bearing stages (~5s measured); warm
       // them on a small slice so the timed runs measure the plans
       val docs = Tables.documents(spark, sfDir).limit(200)
-      graft.dedup.Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5).count()
+      warm("ngram")(graft.dedup.Dedup
+        .ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5).count(): Unit)
       // wide mode compiles its own kernel-bearing stages (hash120 +
       // pair-merge): x28's first run paid ~4.5s of Janino without this
-      graft.dedup.Dedup.ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5,
-        wideHash = true).count()
-      graft.dedup.Dedup.lshCandidatePairs(docs).count()
-      graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3).count()
+      warm("ngram-wide")(graft.dedup.Dedup
+        .ngramJaccardPairs(docs, maxDf = 10, threshold = 0.5, wideHash = true)
+        .count(): Unit)
+      warm("lsh")(graft.dedup.Dedup.lshCandidatePairs(docs).count(): Unit)
+      warm("simhash")(graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3)
+        .count(): Unit)
       val emb = Tables.embeddings(spark, sfDir).limit(200)
-      graft.similarity.Ann.withSignature(emb).count()
-      graft.similarity.Ivf.cellStats(emb).count()
+      warm("ann-sig")(graft.similarity.Ann.withSignature(emb).count(): Unit)
+      warm("ivf")(graft.similarity.Ivf.cellStats(emb).count(): Unit)
       // Backup sink + read-back path: first-touch classloading of the
       // Hadoop output committer, gzip codec, schema-directed JSON read
       // and FS open/CRC/rename costs ~17 s (measured: r9 first run
@@ -98,26 +117,28 @@ object Bench {
       // steady state — the write-only warm-up missed finalizeChunkNames'
       // read+rename classloading). Run the WHOLE Backup.run surface on a
       // 2-row table so the timed r9 measures the plan, not the JVM.
-      val warmDir = s"${System.getProperty("java.io.tmpdir")}/graft_warm_backup"
-      e.limit(2).write.mode("overwrite").parquet(s"$warmDir/in.parquet")
-      graft.operators.Backup.run(spark, graft.config.BackupConfig(
-        inputPath = s"$warmDir/in.parquet", outputPath = s"$warmDir/out",
-        timeColumn = "ts", partitionColumn = "event_type",
-        from = java.time.Instant.parse("2000-01-01T00:00:00Z"),
-        to = java.time.Instant.parse("2100-01-01T00:00:00Z")))
+      warm("backup") {
+        val warmDir = s"${System.getProperty("java.io.tmpdir")}/graft_warm_backup"
+        e.limit(2).write.mode("overwrite").parquet(s"$warmDir/in.parquet")
+        graft.operators.Backup.run(spark, graft.config.BackupConfig(
+          inputPath = s"$warmDir/in.parquet", outputPath = s"$warmDir/out",
+          timeColumn = "ts", partitionColumn = "event_type",
+          from = java.time.Instant.parse("2000-01-01T00:00:00Z"),
+          to = java.time.Instant.parse("2100-01-01T00:00:00Z"))): Unit
+      }
       // ImageIO/AWT and javax.sound first-touch (~5s each of codec
       // classloading) belongs to the JVM, not x15/x31's plans (same
       // JVM in local mode)
-      graft.multimodal.Multimodal.decodeImages(Iterator(
+      warm("imageio")(graft.multimodal.Multimodal.decodeImages(Iterator(
         graft.multimodal.Multimodal.MediaRecord(0L,
           graft.multimodal.Multimodal.syntheticPng(0L), "image/png", 0, 0)))
-        .next(): Unit
-      graft.multimodal.Multimodal.decodeAudio(Iterator(
+        .next(): Unit)
+      warm("audio")(graft.multimodal.Multimodal.decodeAudio(Iterator(
         graft.multimodal.Multimodal.MediaRecord(0L,
           graft.multimodal.Multimodal.syntheticWav(0L), "audio/wav", 0, 0)))
-        .next(): Unit
-      spark.catalog.clearCache()
-    } catch { case _: Throwable => () }
+        .next(): Unit)
+      warm("cache-clear")(spark.catalog.clearCache())
+    }
 
     // A failed query reports its elapsed time NEGATED so a regression
     // can't hide inside a normal-looking total; failures are also listed

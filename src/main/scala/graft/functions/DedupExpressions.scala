@@ -78,22 +78,38 @@ object DedupKernels extends Serializable {
       h1(i) = hash60(g, seedB)
       i += 1
     }
-    val idx = Array.range(0, n)
     // hash60 values fit in 60 bits -> always non-negative; signed
-    // comparison is the pair order the merge kernel assumes
-    val boxed = idx.map(Integer.valueOf).sortWith { (a, b) =>
-      val ai = a.intValue(); val bi = b.intValue()
-      h0(ai) < h0(bi) || (h0(ai) == h0(bi) && h1(ai) < h1(bi))
-    }
+    // comparison is the pair order the merge kernel assumes. Sort the
+    // interleaved pairs in place with a primitive quicksort — this
+    // kernel runs once per document, so no boxing on the hot path.
     val out = new Array[Long](2 * n)
     i = 0
-    while (i < n) {
-      val k = boxed(i).intValue()
-      out(2 * i) = h0(k)
-      out(2 * i + 1) = h1(k)
-      i += 1
-    }
+    while (i < n) { out(2 * i) = h0(i); out(2 * i + 1) = h1(i); i += 1 }
+    sortPairs(out, 0, n - 1)
     new GenericArrayData(out)
+  }
+
+  /** In-place quicksort of interleaved (h0, h1) pairs by (h0, h1),
+    * indices are PAIR positions. Median-of-ends pivot is fine for the
+    * per-document sizes this sees (hundreds of grams). */
+  private def sortPairs(a: Array[Long], lo: Int, hi: Int): Unit = {
+    if (lo >= hi) return
+    val mid = lo + (hi - lo) / 2
+    val p0 = a(2 * mid); val p1 = a(2 * mid + 1)
+    var i = lo
+    var j = hi
+    while (i <= j) {
+      while (a(2 * i) < p0 || (a(2 * i) == p0 && a(2 * i + 1) < p1)) i += 1
+      while (a(2 * j) > p0 || (a(2 * j) == p0 && a(2 * j + 1) > p1)) j -= 1
+      if (i <= j) {
+        val t0 = a(2 * i); val t1 = a(2 * i + 1)
+        a(2 * i) = a(2 * j); a(2 * i + 1) = a(2 * j + 1)
+        a(2 * j) = t0; a(2 * j + 1) = t1
+        i += 1; j -= 1
+      }
+    }
+    sortPairs(a, lo, j)
+    sortPairs(a, i, hi)
   }
 
   /** Distinct word-k-gram shingles, mirroring the HOF SQL exactly:

@@ -44,10 +44,12 @@ object ZOrder {
     * EITHER dimension. The write is one range exchange + local sort;
     * no shuffle skew (range boundaries come from sampling). */
   def clusterByZ(df: DataFrame, a: String, b: String, files: Int,
-                 bits: Int = 16): DataFrame = {
-    val z = zValue(col(a), col(b), bits).as("z_val")
-    df.withColumn("z_val", z)
+                 bits: Int = 16): DataFrame =
+    df.withColumn("z_val", zValue(col(a), col(b), bits))
       .repartitionByRange(files, col("z_val"))
       .sortWithinPartitions(col("z_val"))
-  }
+      // pure layout transform: the helper column is derivable at read
+      // time, so don't persist 8 bytes/row of it (the projection keeps
+      // the established per-partition order at write time)
+      .drop("z_val")
 }

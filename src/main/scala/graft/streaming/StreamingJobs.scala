@@ -174,6 +174,44 @@ object StreamingJobs {
   private def eventsBatch(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
 
+  /** Stage `df` as a single parquet FILE at `destDir/name.parquet`
+    * (write → locate the one part file → move): the staging idiom for
+    * jobs that feed the file source their own input. */
+  private def stageParquet(df: DataFrame, scratch: java.nio.file.Path,
+                           destDir: java.nio.file.Path,
+                           name: String): java.nio.file.Path = {
+    val tmp = scratch.resolve(s"stage_$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try {
+        val it = listing.iterator()
+        var found: java.nio.file.Path = null
+        while (it.hasNext && found == null) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) found = p
+        }
+        found
+      } finally listing.close()
+    val dest = destDir.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part, dest): Unit
+    dest
+  }
+
+  /** Best-effort recursive delete of a staging dir (children first). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { p =>
+            try java.nio.file.Files.deleteIfExists(p): Unit
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** [[eventsStream]] over an arbitrary file glob (schema still taken
     * from the fixture) — for jobs that stage their own stream input. */
   private def eventsStreamFrom(spark: SparkSession, schemaDir: String,
@@ -235,32 +273,32 @@ object StreamingJobs {
       if (raw.schema("ts").dataType == LongType)
         lit(4102444800000000000L) // 2100-01-01 in epoch nanos
       else lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
-    raw.limit(1)
-      .withColumn("ts", farFuture)
-      .withColumn("user_id", lit(-1L))
-      .coalesce(1)
-      .write.parquet(scratch.resolve("flush").toString)
-    val part = {
-      val s = java.nio.file.Files.list(scratch.resolve("flush"))
-      try s.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      finally s.close()
-    }
-    val flushFile = streamDir.resolve("events_1_flush.parquet")
-    java.nio.file.Files.move(part, flushFile): Unit
+    val flushFile = stageParquet(
+      raw.limit(1).withColumn("ts", farFuture).withColumn("user_id", lit(-1L)),
+      scratch, streamDir, "events_1_flush")
     // the file source processes oldest-mtime first; make the ordering
-    // explicit so the sentinel is ALWAYS the second micro-batch
+    // explicit so the sentinel is ALWAYS the last micro-batch
     flushFile.toFile.setLastModified(System.currentTimeMillis() + 60000): Unit
 
+    // Watermark delay covers the whole fixture span: real files may be
+    // processed in ANY order across micro-batches (multi-part fixtures
+    // have no cross-file time ordering), and a 0-second delay would
+    // late-drop rows of any file older than an already-processed one.
+    // With the delay at 40 days the watermark stays below every real
+    // event until the 2100-01-01 sentinel lands, which alone pushes it
+    // past every real session's close.
     val agg = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet")
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", "40 days")
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    runToCompletion(agg, mode = "append")
-      .filter(col("user_id") >= 0)
-      .select(col("user_id"),
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("session_start"),
-        col("n_events"))
+    try {
+      runToCompletion(agg, mode = "append")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("n_events"))
+    } finally deleteRecursively(scratch)
   }
 
   /** Sliding event-time windows (1 h width / 30 min slide): every event
@@ -289,16 +327,21 @@ object StreamingJobs {
     * At scale the watermark delay is the state-retention knob. */
   def streamStreamJoin(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
+    // Watermark delay covers the fixture span (NOT just the 1-hour join
+    // bound): micro-batches have no cross-file time ordering guarantee,
+    // and a short delay would late-drop rows from a file older than an
+    // already-processed one, silently losing pairs. In production the
+    // delay is the deliberate state-retention/late-tolerance knob.
     val clicks = eventsStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
+      .withWatermark("c_ts", "40 days")
     val purchases = eventsStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
         col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
+      .withWatermark("p_ts", "40 days")
     val joined = clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
@@ -330,23 +373,8 @@ object StreamingJobs {
 
     // stage the fixture as two halves with a stable split
     val batch = eventsBatch(spark, dir)
-    def stage(half: DataFrame, name: String): Unit = {
-      val tmp = scratch.resolve(s"stage_$name")
-      half.coalesce(1).write.parquet(tmp.toString)
-      val listing = java.nio.file.Files.list(tmp)
-      val part =
-        try {
-          val it = listing.iterator()
-          var found: java.nio.file.Path = null
-          while (it.hasNext && found == null) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) found = p
-          }
-          found
-        } finally listing.close()
-      java.nio.file.Files.move(part, in.resolve(s"$name.parquet")): Unit
-    }
-    stage(batch.filter(col("user_id") % 2 === 0), "half_a")
+    stageParquet(batch.filter(col("user_id") % 2 === 0),
+      scratch, in, "half_a"): Unit
 
     val schema = batch.schema
     def agg = spark.readStream
@@ -370,12 +398,16 @@ object StreamingJobs {
 
     try {
       runOnce(): Unit // first incarnation: half the input, then "dies"
-      stage(batch.filter(col("user_id") % 2 =!= 0), "half_b")
+      stageParquet(batch.filter(col("user_id") % 2 =!= 0),
+        scratch, in, "half_b"): Unit
       val name2 = runOnce() // second incarnation recovers the state
       spark.table(name2)
     } finally {
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case scala.util.control.NonFatal(_) => () }
+      // the memory-sink table is what the caller reads; the staged
+      // input + checkpoint are dead weight once the query stopped
+      deleteRecursively(scratch)
     }
   }
 
