@@ -129,6 +129,40 @@ object VectorKernels extends Serializable {
     bucket
   }
 
+  /** Symmetric int8 quantization round-trip stats: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) (explicit half-up — Spark and DuckDB
+    * round() disagree on ties, floor(x+0.5) is identical), then the
+    * reconstruction errors |x_i − q_i·scale|. Returns
+    * [scale, max_abs_err, mean_abs_err] (mean accumulated in element
+    * order for oracle parity). All-zero vectors quantize to scale 0
+    * with zero error. */
+  def quantizeStats(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(emb.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var maxErr = 0.0
+    var sumErr = 0.0
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        val x = emb.getFloat(i).toDouble
+        val q = math.floor(x / scale + 0.5)
+        val e = math.abs(x - q * scale)
+        if (e > maxErr) maxErr = e
+        sumErr += e
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(scale, maxErr, if (n == 0) 0.0 else sumErr / n))
+  }
+
   /** Banded LSH signature: planes are split into `bands` groups of
     * `bits` planes; element b of the result is band b's bucket id
     * (bit i set iff dot(planes(b*bits+i), emb) > 0). Same element-order
@@ -289,6 +323,23 @@ case class BandedSigExpr(child: Expression, planes: Array[Array[Double]],
     copy(child = c)
 }
 
+/** quantize_stats(emb): int8 quantization round-trip stats
+  * [scale, max_abs_err, mean_abs_err] — see
+  * [[VectorKernels.quantizeStats]]. */
+case class QuantizeStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.quantizeStats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("vectorKernels", VectorKernels,
+      "graft.functions.VectorKernels$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.quantizeStats($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorFunctions {
 
@@ -312,6 +363,8 @@ object VectorFunctions {
         BandedSigExpr(es.head,
           graft.similarity.Ann.bandedPlaneMatrix(bands * bits), bands, bits)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantize_stats",
+      es => QuantizeStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_ivf_cell",
       es => IvfCellExpr(es.head, graft.similarity.Ivf.centroids), "scala_udf")
     reg.createOrReplaceTempFunction("graft_ivf_dists",

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions
 import graft.similarity.{Ann, Ivf}
 
 /** [EXT] Similarity-search query surface over the `embeddings` fixture.
@@ -189,6 +190,41 @@ object SimilarityQueries {
          |WHERE round(${duckCos("a.embedding", "b.embedding")}, 6) >= $DupMinCosine""".stripMargin
     }) { (s, dir) =>
       Ann.dupPairs(Tables.embeddings(s, dir), DupMinCosine)
+    },
+
+    // int8 embedding quantization — the storage-compression op (4x
+    // smaller vectors): per-vector symmetric scale, explicit half-up
+    // rounding (floor(x+0.5) — round() ties differ between engines),
+    // reconstruction-error stats verified bit-for-bit
+    "x34_embedding_quantize" -> QueryDef(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_max([abs(x::DOUBLE) for x in embedding]) / 127.0 AS scale,
+         |    embedding
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, scale,
+         |    CASE WHEN scale > 0 THEN
+         |      list_max([abs(x::DOUBLE - floor(x::DOUBLE/scale + 0.5)*scale)
+         |                for x in embedding])
+         |    ELSE 0.0 END AS max_err,
+         |    CASE WHEN scale > 0 THEN
+         |      list_sum([abs(x::DOUBLE - floor(x::DOUBLE/scale + 0.5)*scale)
+         |                for x in embedding]) / len(embedding)
+         |    ELSE 0.0 END AS mean_err
+         |  FROM q)
+         |SELECT vec_id, round(scale, 9) AS scale,
+         |  round(max_err, 9) AS max_abs_err,
+         |  round(mean_err, 9) AS mean_abs_err
+         |FROM e""".stripMargin) { (s, dir) =>
+      VectorFunctions.register(s)
+      Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("qs", expr("graft_quantize_stats(embedding)"))
+        .select(col("vec_id"),
+          round(element_at(col("qs"), 1), 9).as("scale"),
+          round(element_at(col("qs"), 2), 9).as("max_abs_err"),
+          round(element_at(col("qs"), 3), 9).as("mean_abs_err"))
     },
 
     // bucket occupancy: the ANN tuning view (recall/cost trade-off)

@@ -53,6 +53,23 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("quantizeStats: known scale, half-up tie, zero-vector degenerate") {
+    VectorFunctions.register(spark)
+    // maxAbs 127 -> scale 1.0; 63.5 rounds half-UP to 64 -> err 0.5
+    val stats = Seq(Tuple1(Array(127f, -127f, 63.5f, 0f)))
+      .toDF("embedding")
+      .select(expr("graft_quantize_stats(embedding)").as("qs"))
+      .as[Seq[Double]].collect().head
+    assert(stats(0) == 1.0)          // scale
+    assert(stats(1) == 0.5)          // max_abs_err (the 63.5 tie)
+    assert(stats(2) == 0.125)        // mean over 4 elements
+    val zero = Seq(Tuple1(Array(0f, 0f)))
+      .toDF("embedding")
+      .select(expr("graft_quantize_stats(embedding)").as("qs"))
+      .as[Seq[Double]].collect().head
+    assert(zero == Seq(0.0, 0.0, 0.0))
+  }
+
   test("bruteForceTopK returns k descending, query excluded") {
     val top = Ann.bruteForceTopK(spark,
       Tables.embeddings(spark, sf0001), queryVecId = 0, k = 10)
