@@ -341,6 +341,26 @@ object DedupQueries {
         JaccardMaxDf, JaccardThreshold, wideHash = true)
     },
 
+    // pure-SQL API surface: the compiled graft kernels drive from
+    // spark.sql over a temp view — the interop path a reference user
+    // takes when their workload is SQL strings, not the Column API
+    "q34_sql_api" -> QueryDef(
+      s"""WITH d AS (SELECT source, string_split(text,' ') w FROM documents),
+         |s AS (SELECT source, len($duckShingles) AS n FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS total_shingles
+         |FROM s WHERE n >= 30 GROUP BY source""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql(
+        s"""SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n) AS BIGINT) AS total_shingles
+           |FROM (SELECT source,
+           |        size(graft_shingles(text, ${Dedup.ShingleK})) AS n
+           |      FROM graft_documents)
+           |WHERE n >= 30 GROUP BY source""".stripMargin)
+    },
+
     // train/test contamination — eval-integrity: per test-split doc,
     // the fraction of its distinct shingles found anywhere in the train
     // split (string-gram ground truth in the oracle; the engine joins
