@@ -122,6 +122,16 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.streamStreamJoin(s, dir)
     },
 
+    // streaming parquet FILE sink (the production sink; memory is
+    // test-only): append-mode write with the sink's exactly-once commit
+    // log, batch read-back must equal the batch computation
+    "s11_stream_file_sink" -> QueryDef(
+      """SELECT user_id, count(*) AS n_clicks
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id""".stripMargin) {
+      (s, dir) => StreamingJobs.streamToFileSink(s, dir)
+    },
+
     // checkpoint-restart recovery: the aggregation runs over half the
     // input, the query stops (simulated failure), and a NEW query
     // started from the same checkpoint ingests the rest — recovered

@@ -355,6 +355,40 @@ object StreamingJobs {
       mode = "append")
   }
 
+  /** Streaming → parquet FILE sink — the production sink (memory is
+    * test-only): append-mode write with a checkpoint (the sink's commit
+    * log is what makes file output exactly-once), then a batch read-back
+    * and aggregation over what landed. The result is collected to a
+    * local DataFrame (metadata-sized: one row per user) so the staging
+    * dir can be deleted eagerly — the caller's later actions must not
+    * depend on scratch files. */
+  def streamToFileSink(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_filesink")
+    try {
+      val out = scratch.resolve("out").toString
+      val q = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val agg = spark.read.parquet(out)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(agg.collect(): _*)),
+        agg.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
+
   /** Checkpoint-restart recovery — the fault-tolerance contract a
     * production stream lives by: an aggregation runs over HALF the
     * input, the query STOPS (simulated failure/redeploy), and a brand-
