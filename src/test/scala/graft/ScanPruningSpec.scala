@@ -26,6 +26,34 @@ class ScanPruningSpec extends SparkTestBase {
       s"column pruning failed: $readSchema")
   }
 
+  test("round-5 operators prune their scans to the columns they read") {
+    def readSchema(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("ReadSchema")).mkString("\n")
+
+    // contamination: only doc_id + text reach the documents scan
+    val cont = graft.dedup.Dedup.contamination(
+      Tables.documents(spark, sf0001))
+    val contSchema = readSchema(cont)
+    assert(contSchema.contains("doc_id") && contSchema.contains("text") &&
+      !contSchema.contains("source") && !contSchema.contains("lang"),
+      s"contamination reads more than doc_id/text: $contSchema")
+
+    // embedding outliers: only vec_id + embedding
+    val out = graft.similarity.Ivf.outlierScores(
+      Tables.embeddings(spark, sf0001))
+    val outSchema = readSchema(out)
+    assert(outSchema.contains("vec_id") && outSchema.contains("embedding"),
+      s"outlierScores schema: $outSchema")
+
+    // banded dup pairs: only vec_id + embedding
+    val dup = graft.similarity.Ann.dupPairs(
+      Tables.embeddings(spark, sf0001), 0.3)
+    val dupSchema = readSchema(dup)
+    assert(dupSchema.contains("vec_id") && dupSchema.contains("embedding"),
+      s"dupPairs schema: $dupSchema")
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     val out = graft.queries.QueryDef.scratchDir("pruning_demo", sf0001)
     Tables.events(spark, sf0001)
