@@ -281,6 +281,53 @@ object TpchQueries {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     },
 
+    // CDC merge/upsert by rewrite: a deterministic changeset (balance
+    // bumps for custkey%10=0, deletes for custkey%97=0, 5 synthetic
+    // inserts) applied to the customer base in one declarative plan;
+    // the aggregated result checks every merge branch at once
+    "q35_merge_upsert" -> QueryDef(
+      """WITH upd AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         c_acctbal + 1000 AS c_acctbal, FALSE AS del
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, TRUE AS del
+        |  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 10 != 0
+        |  UNION ALL
+        |  SELECT 1000000 + i AS c_custkey, 'MACHINERY' AS c_mktsegment,
+        |         100.0 * i AS c_acctbal, FALSE AS del
+        |  FROM range(1, 6) t(i)),
+        |base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |merged AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM upd WHERE NOT del)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        |FROM merged GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val bumps = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .withColumn("del", lit(false))
+      val deletes = base
+        .filter(col("c_custkey") % 97 === 0 && col("c_custkey") % 10 =!= 0)
+        .withColumn("del", lit(true))
+      val inserts = s.range(1, 6).toDF("i")
+        .select((col("i") + 1000000).as("c_custkey"),
+          lit("MACHINERY").as("c_mktsegment"),
+          (col("i") * 100.0).as("c_acctbal"),
+          lit(false).as("del"))
+      val changeset = bumps.unionByName(deletes).unionByName(inserts)
+      graft.operators.Merge.merge(base, changeset, "c_custkey",
+        deleteFlag = Some("del"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(14,2)"))
+            .cast("double").as("total_bal"))
+    },
+
     // scalar subquery: customers above the mean account balance
     // group-wise top-k via the custom GroupTopKNode/Strategy/Exec
     // operator (bounded per-group heaps, partial + final around one
