@@ -104,6 +104,31 @@ object SimilarityQueries {
           Ivf.cellStats(Tables.embeddings(s, dir))
         },
 
+        // batch ANN: x09's many-probe workload served by IVF probing —
+        // each probe scans only its NProbe nearest cells instead of the
+        // full corpus (the verdict-noted probes×corpus scan's scale path)
+        "x35_batch_ann_ivf" -> QueryDef(
+          s"""WITH $duckIvfAssign,
+             |probe AS (
+             |  SELECT vec_id AS probe_id, c AS cell FROM (
+             |    SELECT vec_id, c,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+             |    FROM d WHERE vec_id < 100) WHERE rn <= ${Ivf.NProbe}),
+             |cand AS (
+             |  SELECT p.probe_id, e.vec_id AS nn_id,
+             |    round(${duckCos("e.embedding", "q.embedding")}, 6) AS cos_sim
+             |  FROM probe p
+             |  JOIN a ON a.cell = p.cell
+             |  JOIN embeddings e ON e.vec_id = a.vec_id
+             |  JOIN embeddings q ON q.vec_id = p.probe_id
+             |  WHERE e.vec_id != p.probe_id)
+             |SELECT probe_id, nn_id, cos_sim FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY cos_sim DESC, nn_id) AS rk
+             |  FROM cand) WHERE rk = 1""".stripMargin) { (s, dir) =>
+          Ivf.batchTopK(s, Tables.embeddings(s, dir), probeMaxId = 100)
+        },
+
         // embedding-quality outliers: distance to the nearest centroid,
         // largest first — the corrupt/OOD-embedding curation filter
         "x32_embedding_outliers" -> QueryDef(
@@ -123,7 +148,9 @@ object SimilarityQueries {
           "x18_ivf_cell_stats" -> QueryDef.rowsOnly((s, dir) =>
             Ivf.cellStats(Tables.embeddings(s, dir))),
           "x32_embedding_outliers" -> QueryDef.rowsOnly((s, dir) =>
-            Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)))
+            Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)),
+          "x35_batch_ann_ivf" -> QueryDef.rowsOnly((s, dir) =>
+            Ivf.batchTopK(s, Tables.embeddings(s, dir), probeMaxId = 100)))
     }
 
   // defs is lazy: building the IVF oracle SQL trains the codebook,

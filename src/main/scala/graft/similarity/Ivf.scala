@@ -142,6 +142,37 @@ object Ivf {
       .limit(k)
   }
 
+  /** BATCH ANN — the scale path for many-probe workloads (x09's
+    * probes×corpus exact scan is the correctness baseline; this scans
+    * only the probed cells, ~NProbe/NCells of the corpus per probe):
+    * every probe row explodes to its NProbe nearest cells, the probe
+    * table broadcasts, and the corpus joins on its OWN cell assignment
+    * — each corpus row is compared only against probes that probed its
+    * cell. Exact cosine + per-probe rank picks the top hit. */
+  def batchTopK(spark: SparkSession, embeddings: DataFrame,
+                probeMaxId: Long): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigned = withCell(embeddings)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    val probes = assigned.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"),
+        posexplode(expr("graft_ivf_dists(embedding)")).as(Seq("cell", "dist")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("probe_id"), col("cell"), col("q_emb"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("nn_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("nn_id"), col("cos_sim"))
+  }
+
   /** Cell occupancy — the quantizer-balance tuning view. */
   def cellStats(embeddings: DataFrame): DataFrame =
     withCell(embeddings)
