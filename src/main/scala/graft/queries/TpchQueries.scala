@@ -281,6 +281,62 @@ object TpchQueries {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     },
 
+    // time-based RANGE window frame (q10 covers ROWS frames): rolling
+    // 7-day spend per customer — Spark expresses the time range as
+    // rangeBetween over epoch seconds, DuckDB as RANGE BETWEEN INTERVAL;
+    // both are inclusive [t-7d, t]. Decimal accumulation for exactness.
+    "q36_range_frame" -> QueryDef(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS spend_7d
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-7L * 86400L, 0L)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).over(w)
+            .cast("double").as("spend_7d"))
+    },
+
+    // SCD2 history build from a change log: collapse each user's
+    // consecutive same-type events into versioned rows with
+    // [valid_from, valid_to) intervals (valid_to NULL = current) — the
+    // slowly-changing-dimension shape every warehouse derives from CDC
+    // streams. µs truncation + event_id tie-break per the repo's
+    // timestamp discipline.
+    "q37_scd2_history" -> QueryDef(
+      """WITH marked AS (
+        |  SELECT user_id, event_type, date_trunc('microsecond', ts) AS ts,
+        |         event_id,
+        |         lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY date_trunc('microsecond', ts), event_id)),
+        |changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type != event_type)
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      changes.select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(lead(col("ts"), 1).over(w2),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))
+    },
+
     // CDC merge/upsert by rewrite: a deterministic changeset (balance
     // bumps for custkey%10=0, deletes for custkey%97=0, 5 synthetic
     // inserts) applied to the customer base in one declarative plan;
