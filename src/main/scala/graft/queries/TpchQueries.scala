@@ -337,6 +337,38 @@ object TpchQueries {
           "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))
     },
 
+    // ordered funnel analysis: per user, first view → first later click
+    // → first later purchase; stage counts measure drop-off. Strict
+    // event-time ordering on the µs-truncation discipline.
+    "q38_funnel" -> QueryDef(
+      """WITH e AS (SELECT user_id, event_type,
+        |             date_trunc('microsecond', ts) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |      JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |      JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_v"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t_v"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_c"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t_c"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
     // CDC merge/upsert by rewrite: a deterministic changeset (balance
     // bumps for custkey%10=0, deletes for custkey%97=0, 5 synthetic
     // inserts) applied to the customer base in one declarative plan;
