@@ -276,9 +276,21 @@ object StreamingJobs {
     val flushFile = stageParquet(
       raw.limit(1).withColumn("ts", farFuture).withColumn("user_id", lit(-1L)),
       scratch, streamDir, "events_1_flush")
-    // the file source processes oldest-mtime first; make the ordering
-    // explicit so the sentinel is ALWAYS the last micro-batch
-    flushFile.toFile.setLastModified(System.currentTimeMillis() + 60000): Unit
+    // The file source processes oldest-mtime first; make the ordering
+    // explicit so the sentinel is ALWAYS the last micro-batch. The
+    // correctness of every downstream row hangs on this bump: if the
+    // sentinel were ingested FIRST, its 2100-01-01 event time would
+    // push the watermark past every real event and the whole fixture
+    // would be silently late-dropped. setLastModified returns false on
+    // filesystems that reject mtime updates — fail fast rather than
+    // return an empty/partial result with no error.
+    val mtimeSet =
+      flushFile.toFile.setLastModified(System.currentTimeMillis() + 60000)
+    if (!mtimeSet)
+      throw new IllegalStateException(
+        s"cannot set mtime on flush sentinel $flushFile; file-source " +
+          "batch ordering would be undefined and the watermark could " +
+          "late-drop every real event")
 
     // Watermark delay covers the whole fixture span: real files may be
     // processed in ANY order across micro-batches (multi-part fixtures
