@@ -229,6 +229,17 @@ object Bench {
         metricsPath,
         sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     } catch { case scala.util.control.NonFatal(_) => () }
+    // The pid-suffixed sidecars isolate concurrent runs; ALSO refresh
+    // the legacy fixed paths with this (latest) run so external tooling
+    // that predates the suffixing keeps working (round-5 advice).
+    try {
+      java.nio.file.Files.copy(progressPath,
+        java.nio.file.Paths.get("/tmp/bench_progress.jsonl"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      java.nio.file.Files.copy(metricsPath,
+        java.nio.file.Paths.get("/tmp/bench_metrics.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(finalLine(total, totalOk, nFailed, sfDir))
     spark.stop()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CDC-style MERGE (upsert + delete) by rewrite — the warehouse
@@ -13,12 +13,21 @@ import org.apache.spark.sql.functions._
   *  - unmatched update key        → insert
   *  - untouched base key          → kept as-is
   *
+  * PRECEDENCE when a changeset carries BOTH a delete row and a
+  * non-delete row for the same key (legal in CDC feeds): the update
+  * wins — the anti-join removes the base row either way, and every
+  * non-delete changeset row is re-inserted, so the key survives with
+  * the update's values. Feeds that need last-writer-wins semantics
+  * should collapse the changeset to one row per key (e.g. max event
+  * time) BEFORE calling merge; this operator deliberately does not
+  * guess an ordering column.
+  *
   * Scale shape: a single anti-join of base against the changeset keys
   * (shuffle or broadcast by AQE based on changeset size — changesets
   * are typically tiny next to the base) plus a union with the non-
-  * delete changeset rows. No row-by-row driver logic; at 100 TB the
-  * rewrite scopes to affected partitions via partition pruning when
-  * the base is date/key-partitioned.
+  * delete changeset rows. No row-by-row driver logic. For a
+  * date/key-partitioned base, [[mergePartitioned]] scopes the rewrite
+  * to affected partitions only (MergeSpec pins the pruning).
   */
 object Merge {
 
@@ -33,5 +42,63 @@ object Merge {
       case None => updates
     }
     survivors.unionByName(upserts)
+  }
+
+  /** Partition-scoped merge against a parquet base partitioned by
+    * `partitionCol` — the 100 TB shape: only partitions the changeset
+    * touches are READ (partition pruning via the `isin` filter, so
+    * untouched partitions never enter the scan) and only those are
+    * REWRITTEN (dynamic partition overwrite replaces exactly the
+    * partitions present in the merged output; untouched directories
+    * keep their files byte-for-byte).
+    *
+    * The changeset must carry `partitionCol` — a key's update lands in
+    * the partition its row declares, i.e. keys do not move partitions
+    * (the usual contract when the partition column is derived from an
+    * immutable attribute like event date; a partition-moving merge is a
+    * delete in one partition plus an insert in another).
+    *
+    * The merged rows are staged to `stagingPath` first: Spark refuses
+    * to overwrite a path it is concurrently reading, so the
+    * read-merge-write cycle needs one materialization between the base
+    * scan and the base rewrite. The staging write is partition-local
+    * work proportional to the AFFECTED partitions, not the base.
+    *
+    * Returns the merged view of the affected partitions (read back
+    * from the rewritten base). */
+  def mergePartitioned(spark: SparkSession, basePath: String,
+                       updates: DataFrame, key: String, partitionCol: String,
+                       stagingPath: String,
+                       deleteFlag: Option[String] = None,
+                       maxAffectedPartitions: Int = 10000): DataFrame = {
+    // Affected-partition discovery is metadata-sized (bounded, like
+    // Backup's partition collect): a changeset touching more distinct
+    // partition values than the guard is a config smell, not a plan.
+    val affectedRows = updates.select(col(partitionCol)).distinct()
+      .take(maxAffectedPartitions + 1)
+    if (affectedRows.length > maxAffectedPartitions)
+      throw new IllegalStateException(
+        s"changeset touches more than $maxAffectedPartitions distinct " +
+          s"$partitionCol partitions; raise maxAffectedPartitions if " +
+          "this is intended")
+    val affected = affectedRows.map(_.get(0))
+
+    // isin over partition-column literals → partition pruning: the scan
+    // lists only affected directories. No data filter survives to the
+    // row level (partition columns are directory metadata).
+    val base = spark.read.parquet(basePath)
+      .filter(col(partitionCol).isin(affected: _*))
+    val merged = merge(base, updates, key, deleteFlag)
+
+    merged.write.mode("overwrite").parquet(stagingPath)
+    spark.read.parquet(stagingPath)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(basePath)
+
+    spark.read.parquet(basePath)
+      .filter(col(partitionCol).isin(affected: _*))
   }
 }

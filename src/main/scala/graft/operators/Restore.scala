@@ -62,6 +62,37 @@ object Restore {
       when(c === lit(Sentinel), lit(null)).otherwise(c.cast(dt))
   }
 
+  /** Enforce the timezone invariant against the backup's
+    * `_GRAFT_META.json` stamp (absent on pre-stamp backups → no check,
+    * the doc contract applies). Driver-side: one tiny metadata file. */
+  private def checkTimeZone(spark: SparkSession, backupDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(backupDir), spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(backupDir), Backup.MetaFile)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val content =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString(java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      """"sessionTimeZone"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(content).foreach { m =>
+          val backupTz = m.group(1)
+          val restoreTz = Backup.sessionTz(spark)
+          require(backupTz == restoreTz,
+            s"backup at $backupDir was written under session timezone " +
+              s"'$backupTz' but this session is '$restoreTz'; restoring " +
+              "would silently shift every timestamp — set " +
+              s"spark.sql.session.timeZone=$backupTz to restore")
+        }
+    }
+  }
+
   /** Read a [[Backup]] output tree (faithfulStrings mode) back into the
     * typed `target` schema and write it as parquet at `outputPath`.
     *
@@ -71,21 +102,23 @@ object Restore {
     * `date_dir` (dropped here — it is re-derivable from the time
     * column). Returns the restored table re-read from `outputPath`.
     *
-    * TIMEZONE INVARIANT: the restore session's
+    * TIMEZONE INVARIANT — actively enforced: the restore session's
     * `spark.sql.session.timeZone` must equal the backup session's.
     * Faithful-mode backup renders timestamps as tz-less LOCAL strings
     * (Stringify's cast) and the `to_timestamp` here re-parses them in
-    * the CURRENT session zone — restoring under a different zone
-    * silently shifts every timestamp by the zone delta. Backup and
-    * restore may run in different deployments, so pin the zone (e.g.
-    * UTC, as Bench/Verify do) in both, or validate it out-of-band
-    * before restoring.
+    * the CURRENT session zone — restoring under a different zone would
+    * silently shift every timestamp by the zone delta. [[Backup]] stamps
+    * its session zone into `_GRAFT_META.json` at the output root and
+    * this method `require`s equality (failing loudly beats shifting
+    * silently). Backups predating the stamp fall back to the old
+    * doc-only contract: pin the zone in both deployments.
     */
   def run(spark: SparkSession, backupDir: String, target: StructType,
           partitionColumn: String, outputPath: String): DataFrame = {
     require(target.fieldNames.contains(partitionColumn),
       s"partition column $partitionColumn not in target schema " +
         target.fieldNames.mkString(","))
+    checkTimeZone(spark, backupDir)
     // Schema-directed read: data fields arrive stringified; listing the
     // partition columns in the read schema pins their type (partition
     // discovery would otherwise guess, e.g. date_dir -> int).

@@ -285,6 +285,13 @@ object TpchQueries {
     // 7-day spend per customer — Spark expresses the time range as
     // rangeBetween over epoch seconds, DuckDB as RANGE BETWEEN INTERVAL;
     // both are inclusive [t-7d, t]. Decimal accumulation for exactness.
+    // TIMEZONE INVARIANT: o_orderdate is TimestampType, and
+    // unix_timestamp(TimestampType) is the internal epoch value — NO
+    // session-timezone parse is involved, so the 604800-second frame
+    // equals DuckDB's timezone-less INTERVAL 7 DAY arithmetic under ANY
+    // session zone, DST or not (RangeFrameSpec pins this under a DST
+    // zone). Were the column a DATE, unix_timestamp would localize it
+    // and day-based datediff arithmetic would be required instead.
     "q36_range_frame" -> QueryDef(
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
@@ -410,6 +417,62 @@ object TpchQueries {
       val changeset = bumps.unionByName(deletes).unionByName(inserts)
       graft.operators.Merge.merge(base, changeset, "c_custkey",
         deleteFlag = Some("del"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(14,2)"))
+            .cast("double").as("total_bal"))
+    },
+
+    // partition-scoped merge (q35 merges a logical view; this one proves
+    // the 100 TB path): the customer base is written parquet-partitioned
+    // by segment, the changeset touches 3 of the 5 segments, and
+    // Merge.mergePartitioned reads + rewrites ONLY those (partition
+    // pruning on the scan, dynamic partition overwrite on the write —
+    // MergeSpec asserts untouched directories keep their files
+    // byte-for-byte). The full-table aggregate then checks both halves:
+    // merged segments carry the changes, untouched segments are intact.
+    "q40_merge_partitioned" -> QueryDef(
+      """WITH upd AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal + 1000 AS c_acctbal,
+        |         FALSE AS del
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, TRUE AS del
+        |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT 2000000 + i AS c_custkey, 'FURNITURE' AS c_mktsegment,
+        |         50.0 * i AS c_acctbal, FALSE AS del
+        |  FROM range(1, 6) t(i)),
+        |base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |merged AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM upd WHERE NOT del)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        |FROM merged GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val basePath = QueryDef.scratchDir("q40_base", dir)
+      val staging = QueryDef.scratchDir("q40_staging", dir)
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      base.write.mode("overwrite").partitionBy("c_mktsegment").parquet(basePath)
+      val bumps = base
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .withColumn("del", lit(false))
+      val deletes = base
+        .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") % 97 === 0)
+        .withColumn("del", lit(true))
+      val inserts = s.range(1, 6).toDF("i")
+        .select((col("i") + 2000000).as("c_custkey"),
+          lit("FURNITURE").as("c_mktsegment"),
+          (col("i") * 50.0).as("c_acctbal"),
+          lit(false).as("del"))
+      graft.operators.Merge.mergePartitioned(s, basePath,
+        bumps.unionByName(deletes).unionByName(inserts),
+        "c_custkey", "c_mktsegment", staging, deleteFlag = Some("del")): Unit
+      s.read.parquet(basePath)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("c_acctbal").cast("decimal(14,2)"))
@@ -695,6 +758,57 @@ object TpchQueries {
         concat_ws("-", slice(words, 1, 3)).as("first3"),
         array_contains(words, "spark").as("has_spark"),
         size(array_distinct(words)).as("n_distinct"))
+    },
+
+    // map-function family (closes the SURVEY §2.8 partial: map fns ran
+    // only inside the Stringify/Restore lattice before this): build the
+    // §1.2 TIMESERIES shape — a per-order MAP(linenumber → total qty) —
+    // then exercise map_keys / map_values / element_at / map_entries
+    // directly, projected to scalars/CSV the DuckDB oracle reproduces
+    // with ordered string_agg. (l_orderkey, l_linenumber) is NOT unique
+    // in the synthetic data, so a per-line pre-aggregation feeds the map
+    // builder (duplicate map keys are an error in Spark by default);
+    // collect_list is order-nondeterministic, so array_sort fixes the
+    // entry order before map_from_entries — map_keys/map_entries then
+    // iterate in that sorted order on both engines. Integer-cast
+    // quantities keep both sums in exact integer arithmetic (DuckDB
+    // sum(INT) is HUGEINT — cast back to BIGINT at every step).
+    "q39_map_funcs" -> QueryDef(
+      """WITH per AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey < 2000
+        |  GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey,
+        |  count(*) AS n_entries,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+        |    AS keys_csv,
+        |  CAST(sum(qty) AS BIGINT) AS qty_sum,
+        |  CAST(coalesce(max(CASE WHEN l_linenumber = 1 THEN qty END), -1)
+        |    AS BIGINT) AS qty_line1,
+        |  string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(qty AS VARCHAR),
+        |             ';' ORDER BY l_linenumber) AS entries_csv
+        |FROM per GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+      val per = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 2000)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast("int")).as("qty"))
+      val m = per.groupBy(col("l_orderkey"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("l_linenumber").as("key"), col("qty").as("value")))))
+          .as("m"))
+      m.select(col("l_orderkey"),
+        size(map_keys(col("m"))).cast("long").as("n_entries"),
+        concat_ws(",",
+          transform(map_keys(col("m")), k => k.cast("string"))).as("keys_csv"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("qty_sum"),
+        // element_at is null for orders lacking line 1; coalesce to a
+        // sentinel so the column stays non-null BIGINT through the
+        // driver's pandas path (nullable int degrades to float64 there)
+        coalesce(element_at(col("m"), lit(1)), lit(-1L)).as("qty_line1"),
+        concat_ws(";", transform(map_entries(col("m")), e =>
+          concat_ws(":", e.getField("key").cast("string"),
+            e.getField("value").cast("string")))).as("entries_csv"))
     },
 
     "q19_json_funcs" -> QueryDef(

@@ -65,4 +65,33 @@ class RestoreSpec extends SparkTestBase {
     assert(restored.select(key.map(col): _*).collect().toSet ==
       original.select(key.map(col): _*).collect().toSet)
   }
+
+  test("restore under a shifted session timezone fails loudly") {
+    val backupDir = Files.createTempDirectory("graft_restore_tz_").toString
+    val restoredDir = Files.createTempDirectory("graft_restore_tzr_").toString
+    val cfg = BackupConfig(
+      inputPath = s"$sf0001/events.parquet", outputPath = backupDir,
+      timeColumn = "ts", partitionColumn = "event_type",
+      from = Instant.parse("2024-01-05T00:00:00Z"),
+      to = Instant.parse("2024-01-10T00:00:00Z"))
+    Backup.run(spark, cfg, faithfulStrings = true)
+    val target = Tables.events(spark, sf0001).schema
+
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // the stamp check must refuse BEFORE any data is read: a silent
+      // restore here would shift every timestamp by 9 hours
+      val e = intercept[IllegalArgumentException] {
+        Restore.run(spark, backupDir, target, "event_type", restoredDir)
+      }
+      assert(e.getMessage.contains("timezone") ||
+        e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+
+    // and under the matching zone the same backup restores fine
+    val restored =
+      Restore.run(spark, backupDir, target, "event_type", restoredDir)
+    assert(restored.count() > 0)
+  }
 }
