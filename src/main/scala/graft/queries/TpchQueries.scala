@@ -760,6 +760,77 @@ object TpchQueries {
         size(array_distinct(words)).as("n_distinct"))
     },
 
+    // statistical aggregate family (corr / covariance / stddev / var):
+    // composed from EXACT decimal power sums via the closed forms, so
+    // both engines feed bit-identical doubles into the same scalar
+    // expression — a direct corr()/stddev_samp() aggregate is an
+    // order-dependent float fold that can differ in the last ulp
+    // between engines (and between Spark runs). StatsAggSpec pins that
+    // Spark's native corr/covar_samp/stddev_samp agree with these
+    // closed forms to 1e-6, so the built-in surface is covered too.
+    "q41_stats_agg" -> QueryDef(
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |             CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+        |  (sxy - sx * sy / n) / (n - 1) AS covar_samp_qty_price,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp_qty,
+        |  (syy - sy * sy / n) / (n - 1) AS var_samp_price
+        |FROM s""".stripMargin) { (s, dir) =>
+      val st = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          asD(sum(dec(col("l_quantity")))).as("sx"),
+          asD(sum(dec(col("l_extendedprice")))).as("sy"),
+          asD(sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))).as("sxy"),
+          asD(sum(dec(col("l_quantity")) * dec(col("l_quantity")))).as("sxx"),
+          asD(sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))).as("syy"))
+      st.select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_samp_qty_price"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("stddev_samp_qty"),
+        ((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))
+          .as("var_samp_price"))
+    },
+
+    // window distribution family (q09 covers ranking, q10/q36 frames):
+    // ntile / percent_rank / cume_dist over a deterministic total order
+    // (acctbal, custkey). All three are rank-derived — integer counts
+    // and single divisions both engines compute identically, no float
+    // accumulation to diverge.
+    "q42_window_dist" -> QueryDef(
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER w AS bal_quartile,
+        |  percent_rank() OVER w AS bal_pct_rank,
+        |  cume_dist() OVER w AS bal_cume_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("bal_quartile"),
+          percent_rank().over(w).as("bal_pct_rank"),
+          cume_dist().over(w).as("bal_cume_dist"))
+    },
+
     // map-function family (closes the SURVEY §2.8 partial: map fns ran
     // only inside the Stringify/Restore lattice before this): build the
     // §1.2 TIMESERIES shape — a per-order MAP(linenumber → total qty) —
