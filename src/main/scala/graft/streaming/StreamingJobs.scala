@@ -17,10 +17,35 @@ object StreamingJobs {
 
   private val nameSeq = new AtomicLong(0)
 
+  /** Micro-batch COUNT stays bounded as the corpus grows: per-trigger
+    * file count scales with the input so a finite backfill lands in at
+    * most ~[[MaxDataBatches]] batches at ANY scale. The r6 sf1 run
+    * measured why this must not be a constant 1: every stateful job's
+    * state re-merges per batch, so batch count scaling WITH file count
+    * turns 10× data into 11 session-window batches whose accumulated
+    * state made s07 superlinear (13.7-38.5 s for 10× data vs 2.7 s) —
+    * at 100 TB / millions of files, one-file triggers would be millions
+    * of state-store commits. Multi-batch semantics stay exercised: any
+    * multi-file input still yields ≥2 batches (n=2..4 → K=1). */
+  val MaxDataBatches = 4
+
+  private def adaptiveFilesPerTrigger(nFiles: Int): Int =
+    math.max(1, (nFiles + MaxDataBatches - 1) / MaxDataBatches)
+
+  /** Number of parquet parts behind the fixture path (single file or a
+    * Spark-written directory of part files). */
+  private def fixtureFileCount(dir: String): Int = {
+    val p = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(p)) {
+      val listing = java.nio.file.Files.list(p)
+      try listing.filter(_.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally listing.close()
+    } else 1
+  }
+
   /** Streaming read of the events fixture. The fixture stores
     * TIMESTAMP(NANOS) (read as long via nanosAsLong, converted to µs
-    * like [[graft.Tables.load]]). maxFilesPerTrigger=1 keeps the
-    * micro-batch machinery honest even with a single input file.
+    * like [[graft.Tables.load]]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,7 +56,8 @@ object StreamingJobs {
     // fixed file set.
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger",
+        adaptiveFilesPerTrigger(fixtureFileCount(dir)).toString)
       .parquet(s"$dir/events*.parquet")
     if (schema("ts").dataType == LongType)
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -213,14 +239,20 @@ object StreamingJobs {
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** [[eventsStream]] over an arbitrary file glob (schema still taken
-    * from the fixture) — for jobs that stage their own stream input. */
+    * from the fixture) — for jobs that stage their own stream input.
+    * `nDataFiles` is the caller's staged file count (sentinels
+    * excluded), bounding batch count like [[eventsStream]]; the
+    * watermark-from-previous-batch contract keeps a sentinel that
+    * shares its trigger with trailing data files safe, and the engine's
+    * default no-data micro-batch then flushes the final state. */
   private def eventsStreamFrom(spark: SparkSession, schemaDir: String,
-                               glob: String): DataFrame = {
+                               glob: String, nDataFiles: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$schemaDir/events.parquet").schema
     val stream = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger",
+        adaptiveFilesPerTrigger(nDataFiles).toString)
       .parquet(glob)
     if (schema("ts").dataType == LongType)
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -248,7 +280,7 @@ object StreamingJobs {
     // fixture may be a single file (driver testdata) or a Spark-written
     // directory of part files (tests) — stage either as batch 1
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    if (java.nio.file.Files.isDirectory(src)) {
+    val nDataFiles: Int = if (java.nio.file.Files.isDirectory(src)) {
       val listing = java.nio.file.Files.list(src)
       try {
         val it = listing.iterator()
@@ -261,9 +293,12 @@ object StreamingJobs {
             i += 1
           }
         }
+        i
       } finally listing.close()
-    } else
+    } else {
       java.nio.file.Files.copy(src, streamDir.resolve("events_0.parquet")): Unit
+      1
+    }
 
     // flush sentinel with the SAME on-disk schema as the fixture (ts
     // stays long-nanos if the fixture stores TIMESTAMP(NANOS))
@@ -277,11 +312,15 @@ object StreamingJobs {
       raw.limit(1).withColumn("ts", farFuture).withColumn("user_id", lit(-1L)),
       scratch, streamDir, "events_1_flush")
     // The file source processes oldest-mtime first; make the ordering
-    // explicit so the sentinel is ALWAYS the last micro-batch. The
-    // correctness of every downstream row hangs on this bump: if the
-    // sentinel were ingested FIRST, its 2100-01-01 event time would
-    // push the watermark past every real event and the whole fixture
-    // would be silently late-dropped. setLastModified returns false on
+    // explicit so the sentinel is ALWAYS in the FINAL trigger. It may
+    // share that trigger with trailing data files — safe, because a
+    // batch's late-record filter uses the watermark carried over from
+    // the PREVIOUS batch, and the engine's default no-data micro-batch
+    // then flushes every finalized session. The correctness of every
+    // downstream row still hangs on this bump: if the sentinel were
+    // ingested FIRST, its 2100-01-01 event time would push the
+    // watermark past every real event and the whole fixture would be
+    // silently late-dropped. setLastModified returns false on
     // filesystems that reject mtime updates — fail fast rather than
     // return an empty/partial result with no error.
     val mtimeSet =
@@ -299,7 +338,8 @@ object StreamingJobs {
     // With the delay at 40 days the watermark stays below every real
     // event until the 2100-01-01 sentinel lands, which alone pushes it
     // past every real session's close.
-    val agg = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet")
+    val agg = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet",
+        nDataFiles)
       .withWatermark("ts", "40 days")
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
