@@ -20,7 +20,18 @@ import graft.operators.AsOfJoin
 object TpchQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
-  private def asD(c: Column): Column = c.cast("double")
+  /** Exact-decimal → double through the decimal's DIGIT STRING, not a
+    * direct cast. Both engines' string→double parses are correctly
+    * rounded (Double.parseDouble / strtod), so the doubles are
+    * bit-identical at ANY magnitude. A direct decimal→double diverges
+    * once the scaled integer exceeds 2^53: DuckDB converts int128 →
+    * double then divides by 10^scale (two roundings) while the JVM's
+    * BigDecimal→double rounds once — the sf1 oracle run surfaced this
+    * as 1-ulp mismatches on q01/q41 group sums. Below 2^53 both routes
+    * are exact, which is why sf0.01/sf0.1 never saw it. Oracle SQL on
+    * sums that can cross 2^53 mirrors this as
+    * CAST(CAST(x AS VARCHAR) AS DOUBLE). */
+  private def asD(c: Column): Column = c.cast("string").cast("double")
   private val DiscPrice: Column = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
   private val DiscPriceSql = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 
@@ -32,11 +43,11 @@ object TpchQueries {
     // accumulation; Catalyst plans partial+final HashAggregate.
     "q01_pricing_summary" -> QueryDef(
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(sum($DiscPriceSql) AS DOUBLE) AS sum_disc_price,
-         |  CAST(sum($DiscPriceSql * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(sum($DiscPriceSql) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(sum($DiscPriceSql * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+         |  CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -772,14 +783,14 @@ object TpchQueries {
       """WITH s AS (
         |  SELECT l_returnflag,
         |    count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
-        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
-        |             CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |             CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  (n * sxy - sx * sy) /
