@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series / lateral / schema-evolution surface (round 6): the
+  * operations a timestream analytics engine is *for* beyond plain
+  * aggregation — regularizing an irregular event stream onto a fixed
+  * grid (q43), positional explode as the generator/lateral-view family
+  * (q44), schema-evolution reads across parquet generations (q45), and
+  * interval-overlap concurrency via a distributed sweep-line (q46).
+  *
+  * Numeric discipline matches TpchQueries: DECIMAL(12,2) before
+  * arithmetic/aggregation, and decimal → double through the digit
+  * string (`cast(string).cast(double)`) so the doubles are
+  * bit-identical with DuckDB at any magnitude (see
+  * TpchQueries.asD scaladoc for the 2^53 rationale).
+  */
+object TimeSeriesQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def asD(c: Column): Column = c.cast("string").cast("double")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- q43: resample + gap-fill -----------------------------------
+    // Regularize the irregular event stream onto an hourly grid per
+    // key: observed buckets come from ONE hash aggregation (the only
+    // full-data shuffle); the dense grid is generated declaratively
+    // (sequence + explode over the observed span × distinct keys — its
+    // size is #keys × #buckets, independent of row count, so the
+    // cross join never touches the raw stream); missing buckets are
+    // forward-filled with `last(..., ignoreNulls)` per key. The fill
+    // window is per-key sequential but parallel across keys — the
+    // partition axis a 1000-executor cluster actually has. 215 of the
+    // 3 600 grid cells are gaps at sf0.01, so the fill path is real.
+    "q43_gapfill" -> QueryDef(
+      """WITH obs AS (
+        |  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+        |         count(*) AS n_events,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM obs),
+        |grid AS (
+        |  SELECT t.event_type, g.b AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        |              FROM span) g)
+        |SELECT g.event_type, CAST(g.bucket AS VARCHAR) AS bucket_str,
+        |  coalesce(o.n_events, 0) AS n_events,
+        |  CAST(CAST(coalesce(o.sum_value, 0) AS VARCHAR) AS DOUBLE) AS sum_value,
+        |  CAST(CAST(last_value(o.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS DOUBLE) AS filled_value,
+        |  (o.n_events IS NULL) AS was_gap
+        |FROM grid g
+        |LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val obs = events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sum_value"))
+      val buckets = obs.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("bucket"))
+      val grid = events.select(col("event_type")).distinct().crossJoin(buckets)
+      val fill = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          asD(coalesce(col("sum_value"), dec(lit(0)))).as("sum_value"),
+          asD(last(col("sum_value"), ignoreNulls = true).over(fill))
+            .as("filled_value"),
+          col("n_events").isNull.as("was_gap"))
+        .orderBy(col("event_type"), col("bucket_str"))
+    },
+
+    // ---- q44: generator / lateral-view family -----------------------
+    // posexplode is Spark's lateral view: one input row → N output rows
+    // WITH ordinal position. The generator runs inside the scan stage
+    // (no shuffle to explode); only the word aggregation shuffles.
+    // pos is 0-based on both sides (DuckDB: generate_series(1,len)-1).
+    "q44_posexplode" -> QueryDef(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS word,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs,
+        |       min(pos) AS first_pos,
+        |       CAST(CAST(sum(CAST(pos AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+        |         AS sum_pos
+        |FROM w WHERE length(word) >= 4
+        |GROUP BY word HAVING count(*) >= 5
+        |ORDER BY n_occurrences DESC, word LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) >= 4)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("pos")).cast("long").as("first_pos"),
+          asD(sum(dec(col("pos")))).as("sum_pos"))
+        .filter(col("n_occurrences") >= 5)
+        .orderBy(col("n_occurrences").desc, col("word"))
+        .limit(100)
+    },
+
+    // ---- q45: schema-evolution read ---------------------------------
+    // Two parquet generations of the same table — v1 before the
+    // `o_orderpriority` column existed, v2 after — read as ONE dataset
+    // via mergeSchema; v1 rows surface NULL for the added column
+    // (exactly how a 100 TB lake accretes schema over years without a
+    // rewrite). The oracle recomputes the expected union from the base
+    // table, so the write→evolve→read round-trip must be lossless.
+    "q45_schema_evolution" -> QueryDef(
+      """WITH evolved AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+        |         CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val scratch = QueryDef.scratchDir("q45_evolution", dir)
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$scratch/v1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$scratch/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$scratch/v1", s"$scratch/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          asD(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("priority"))
+    },
+
+    // ---- q46: interval-overlap concurrency (distributed sweep-line) --
+    // Peak concurrent intervals per key via the classic +1/−1 sweep —
+    // but the running sum is computed as a TWO-PHASE distributed prefix
+    // scan, not one global window: within-chunk running sums run in
+    // parallel across (key, day) partitions, chunk totals (a tiny
+    // #keys × #days frame) get a cumulative offset on the driver-sized
+    // side and broadcast back. A single global orderBy window would
+    // serialize the whole stream through one partition at 100 TB; this
+    // shape never does. Chunk boundaries align with the sort key
+    // (chunk = floor(t) to the day), so within-chunk order + offset
+    // equals the global prefix sum exactly. Interval ends use
+    // floor(): DuckDB CAST(double AS INT) *rounds* while Spark
+    // truncates — floor on both sides pins identical widths.
+    "q46_concurrency" -> QueryDef(
+      """WITH iv AS (
+        |  SELECT event_id, event_type, ts AS s,
+        |    ts + INTERVAL 1 MINUTE *
+        |      CAST(floor(least(greatest(value, 1), 60)) AS INT) AS e
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e AS t, -1 AS delta, event_id FROM iv),
+        |run AS (
+        |  SELECT event_type, t, delta,
+        |    CAST(sum(delta) OVER (
+        |      PARTITION BY event_type ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS conc
+        |  FROM pts)
+        |SELECT event_type, max(conc) AS peak_concurrency,
+        |  count(*) AS n_points,
+        |  CAST(sum(CASE WHEN conc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_idle_points
+        |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val iv = Tables.events(s, dir).select(
+        col("event_id"), col("event_type"), col("ts").as("s"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, " +
+          "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)").as("e"))
+      val pts = iv.select(col("event_type"), col("s").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionAll(iv.select(col("event_type"), col("e").as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+        .withColumn("chunk", date_trunc("day", col("t")))
+      val within = Window.partitionBy(col("event_type"), col("chunk"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = pts.groupBy(col("event_type"), col("chunk"))
+        .agg(sum(col("delta")).as("chunk_total"))
+        .select(col("event_type"), col("chunk"),
+          coalesce(sum(col("chunk_total")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("offset"))
+      pts.withColumn("within_run", sum(col("delta")).over(within))
+        .join(broadcast(offsets), Seq("event_type", "chunk"))
+        .withColumn("conc", col("within_run") + col("offset"))
+        .groupBy(col("event_type"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          count(lit(1)).as("n_points"),
+          sum(when(col("conc") === 0, 1L).otherwise(0L)).as("n_idle_points"))
+        .orderBy(col("event_type"))
+    }
+  )
+}

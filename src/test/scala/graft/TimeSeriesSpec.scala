@@ -1,0 +1,83 @@
+package graft
+
+import graft.queries.TimeSeriesQueries
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the semantics the q43–q46 oracles can't isolate on their own:
+  * forward-fill behavior on gap rows, posexplode ordinals, the
+  * schema-evolution NULL column, and — the load-bearing one — that
+  * q46's two-phase distributed prefix scan equals a single global
+  * running-sum window (the shape it replaces for scale).
+  */
+class TimeSeriesSpec extends SparkTestBase {
+
+  test("q43: every gap row carries the last observed value forward") {
+    val rows = TimeSeriesQueries.defs("q43_gapfill").fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // grid is dense: per type, one row per hour between global lo/hi
+    val types = rows.map(_.getString(0)).distinct
+    val perType = rows.length / types.length
+    types.foreach { t =>
+      assert(rows.count(_.getString(0) == t) == perType, s"ragged grid for $t")
+    }
+    // replay the fill: walking buckets in order, a gap row's filled_value
+    // must equal the previous non-gap row's sum_value (or null before
+    // the first observation)
+    types.foreach { t =>
+      var lastObserved: Option[Double] = None
+      rows.filter(_.getString(0) == t).sortBy(_.getString(1)).foreach { r =>
+        val wasGap = r.getBoolean(5)
+        val filled = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+        if (!wasGap) lastObserved = Some(r.getDouble(3))
+        assert(filled == lastObserved,
+          s"$t ${r.getString(1)}: filled=$filled lastObserved=$lastObserved")
+      }
+    }
+    assert(rows.exists(_.getBoolean(5)), "fixture should contain gaps")
+  }
+
+  test("q44: posexplode ordinals are 0-based positions within the doc") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    assert(df.collect().map(r => (r.getInt(1), r.getString(2))).toSeq ==
+      Seq((0, "alpha"), (1, "beta"), (2, "alpha")))
+  }
+
+  test("q45: v1 rows surface NULL for the evolved column, v2 rows keep it") {
+    val out = TimeSeriesQueries.defs("q45_schema_evolution").fn(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sf0001)
+    val nEven = orders.filter(col("o_orderkey") % 2 === 0).count()
+    val nOdd = orders.filter(col("o_orderkey") % 2 === 1).count()
+    assert(out("<pre-evolution>") == nEven)
+    assert(out.filterNot(_._1 == "<pre-evolution>").values.sum == nOdd)
+  }
+
+  test("q46: two-phase prefix scan equals a single global running-sum window") {
+    val events = Tables.events(spark, sf0001)
+    val iv = events.select(col("event_id"), col("event_type"), col("ts").as("s"),
+      expr("ts + make_interval(0, 0, 0, 0, 0, " +
+        "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)").as("e"))
+    val pts = iv.select(col("event_type"), col("s").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      .unionAll(iv.select(col("event_type"), col("e").as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    // the serial shape the two-phase scan must reproduce exactly
+    val globalWin = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = pts.withColumn("conc", sum(col("delta")).over(globalWin))
+      .groupBy(col("event_type"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("n_points"),
+        sum(when(col("conc") === 0, 1L).otherwise(0L)).as("n_idle_points"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val actual = TimeSeriesQueries.defs("q46_concurrency").fn(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(actual == expected && actual.nonEmpty)
+  }
+}
