@@ -49,6 +49,31 @@ object SourceQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+    },
+
+    // JSON-lines: the interchange format the reference's sink emits
+    // (gz-NDJSON) as a first-class *source* — schema-on-read with an
+    // explicit schema (never inference at scale: a sampling pass over
+    // 100 TB just to guess types is a full extra scan). Timestamps
+    // carried as formatted strings like CSV; explicit schema keeps the
+    // read single-pass.
+    "r13_json_roundtrip" -> QueryDef(
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, day""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r13_json", dir)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("value"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id LONG, event_type STRING, ts_s STRING, value DOUBLE")
+        .json(out)
+        .groupBy(col("event_type"),
+          substring(col("ts_s"), 1, 10).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
     }
   )
 }

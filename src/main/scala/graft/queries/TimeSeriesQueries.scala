@@ -51,9 +51,9 @@ object TimeSeriesQueries {
         |SELECT g.event_type, CAST(g.bucket AS VARCHAR) AS bucket_str,
         |  coalesce(o.n_events, 0) AS n_events,
         |  CAST(CAST(coalesce(o.sum_value, 0) AS VARCHAR) AS DOUBLE) AS sum_value,
-        |  CAST(CAST(last_value(o.sum_value IGNORE NULLS) OVER (
+        |  CAST(CAST(coalesce(last_value(o.sum_value IGNORE NULLS) OVER (
         |    PARTITION BY g.event_type ORDER BY g.bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS VARCHAR)
         |    AS DOUBLE) AS filled_value,
         |  (o.n_events IS NULL) AS was_gap
         |FROM grid g
@@ -74,8 +74,11 @@ object TimeSeriesQueries {
           date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           asD(coalesce(col("sum_value"), dec(lit(0)))).as("sum_value"),
-          asD(last(col("sum_value"), ignoreNulls = true).over(fill))
-            .as("filled_value"),
+          // a key whose FIRST grid bucket is a gap has no history to
+          // fill from: pin the sentinel instead of a NULL double (NULL
+          // doubles round-trip as NaN through some oracle paths)
+          asD(coalesce(last(col("sum_value"), ignoreNulls = true).over(fill),
+            dec(lit(-1)))).as("filled_value"),
           col("n_events").isNull.as("was_gap"))
         .orderBy(col("event_type"), col("bucket_str"))
     },

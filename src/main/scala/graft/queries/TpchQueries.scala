@@ -842,6 +842,109 @@ object TpchQueries {
           cume_dist().over(w).as("bal_cume_dist"))
     },
 
+    // window navigation family (completes §2.5 alongside ranking q09,
+    // frames q10/q36, lag/lead q22, distribution q42): first_value over
+    // a running frame, last_value and nth_value over the full-partition
+    // frame — frames are EXPLICIT on both sides because the engines'
+    // default last_value frame (…AND CURRENT ROW) is a classic
+    // silent-wrong-answer trap. (o_orderdate, o_orderkey) is a total
+    // order, so navigation targets are unique.
+    "q47_window_nav" -> QueryDef(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(first_value(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER w_run AS VARCHAR) AS DOUBLE) AS first_price,
+        |  CAST(CAST(last_value(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER w_full AS VARCHAR) AS DOUBLE) AS last_price,
+        |  CAST(CAST(coalesce(nth_value(CAST(o_totalprice AS DECIMAL(12,2)), 2)
+        |    OVER w_full, -1) AS VARCHAR) AS DOUBLE) AS second_price
+        |FROM orders
+        |WINDOW
+        |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = base.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          asD(first(dec(col("o_totalprice"))).over(wRun)).as("first_price"),
+          asD(last(dec(col("o_totalprice"))).over(wFull)).as("last_price"),
+          // single-order customers have no 2nd row: a NULL double here
+          // round-trips as NaN through some oracle paths, so pin a
+          // sentinel on both sides instead of emitting NULL
+          asD(coalesce(nth_value(dec(col("o_totalprice")), 2).over(wFull),
+            dec(lit(-1)))).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // incremental rollup maintenance (materialized-view pattern): the
+    // base corpus and a late-arriving delta are PARTIALLY aggregated
+    // independently — count + exact decimal sum are the mergeable state
+    // — then merged by re-aggregation; derived avg comes from merged
+    // state, never from averaging averages. At 100 TB this is the only
+    // affordable refresh: the delta partial touches just the new data,
+    // the merge touches only aggregate state (#groups rows). The oracle
+    // recomputes from scratch, so merge == full recompute is the
+    // correctness claim.
+    "q48_incremental_rollup" -> QueryDef(
+      """WITH merged AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n AS n_items,
+        |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n AS DOUBLE) AS avg_qty
+        |FROM merged ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val cutoff = lit("1997-06-01 00:00:00").cast("timestamp")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sq"))
+      partial(li.filter(col("l_shipdate") < cutoff))
+        .unionAll(partial(li.filter(col("l_shipdate") >= cutoff)))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("n_items"),
+          sum(col("sq")).cast("decimal(12,2)").as("sq_m"))
+        .select(col("l_returnflag"), col("n_items"),
+          asD(col("sq_m")).as("sum_qty"),
+          (asD(col("sq_m")) / col("n_items")).cast("double").as("avg_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // lateral correlated subquery (SQL-surface sibling of the GroupTopK
+    // custom plan, q30): per-customer top-2 orders via `, LATERAL (…
+    // ORDER BY … LIMIT 2)`. Catalyst DECORRELATES this into a
+    // WindowGroupLimit (partial+final rank pruning around the shuffle)
+    // + broadcast join — no per-row subquery execution exists in the
+    // physical plan, which is what makes the SQL shape safe at scale.
+    "q49_lateral_topn" -> QueryDef(
+      """SELECT c.c_custkey, t.o_orderkey,
+        |  CAST(CAST(CAST(t.o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |    AS DOUBLE) AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey % 50 = 0
+        |ORDER BY 1, 3 DESC, 2""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_q49")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q49")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey,
+          |  CAST(CAST(CAST(t.o_totalprice AS DECIMAL(12,2)) AS STRING)
+          |    AS DOUBLE) AS price
+          |FROM customer_q49 c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_q49 o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_custkey % 50 = 0
+          |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+    },
+
     // map-function family (closes the SURVEY §2.8 partial: map fns ran
     // only inside the Stringify/Restore lattice before this): build the
     // §1.2 TIMESERIES shape — a per-order MAP(linenumber → total qty) —

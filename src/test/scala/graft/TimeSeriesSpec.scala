@@ -22,16 +22,15 @@ class TimeSeriesSpec extends SparkTestBase {
       assert(rows.count(_.getString(0) == t) == perType, s"ragged grid for $t")
     }
     // replay the fill: walking buckets in order, a gap row's filled_value
-    // must equal the previous non-gap row's sum_value (or null before
-    // the first observation)
+    // must equal the previous non-gap row's sum_value (or the -1
+    // sentinel before the first observation)
     types.foreach { t =>
-      var lastObserved: Option[Double] = None
+      var lastObserved: Double = -1.0
       rows.filter(_.getString(0) == t).sortBy(_.getString(1)).foreach { r =>
         val wasGap = r.getBoolean(5)
-        val filled = if (r.isNullAt(4)) None else Some(r.getDouble(4))
-        if (!wasGap) lastObserved = Some(r.getDouble(3))
-        assert(filled == lastObserved,
-          s"$t ${r.getString(1)}: filled=$filled lastObserved=$lastObserved")
+        if (!wasGap) lastObserved = r.getDouble(3)
+        assert(r.getDouble(4) == lastObserved,
+          s"$t ${r.getString(1)}: filled=${r.getDouble(4)} vs $lastObserved")
       }
     }
     assert(rows.exists(_.getBoolean(5)), "fixture should contain gaps")
