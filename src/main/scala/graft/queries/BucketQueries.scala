@@ -79,6 +79,52 @@ object BucketQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_extendedprice").cast("decimal(12,2)"))
             .cast("double").as("sum_price"))
+    },
+
+    // dynamic partition pruning: the fact table is laid out partitioned
+    // by the join key; the dim side's predicate is only known at RUN
+    // time (it's a join, not a literal filter on the fact), yet the
+    // scan must still skip every partition the dim doesn't select —
+    // Spark reuses the dim's broadcast result as a runtime partition
+    // filter. At 100 TB this is the difference between scanning one
+    // partition and scanning the lake. DppSpec asserts the
+    // dynamicpruning expression sits in the scan's PartitionFilters.
+    "q50_dpp" -> QueryDef(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      dppJoin(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)"))
+            .cast("string").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
+
+  /** Partition-key-partitioned fact joined to a runtime-filtered dim:
+    * the construction DppSpec plan-asserts. The dim carries a
+    * NON-partition-column predicate (`category = 'keep'`), so static
+    * pruning can't apply — only DPP can skip fact partitions.
+    */
+  def dppJoin(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val scratch = QueryDef.scratchDir("q50_dpp", dir)
+    val factPath = s"$scratch/lineitem_by_rf"
+    // one-time partitioned layout (reused across runs in one JVM)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(factPath)
+    import s.implicits._
+    // dim must be a FILE-backed scan: an in-memory LocalRelation's
+    // filter constant-folds before the DPP rule looks for a selective
+    // predicate, and no pruning subquery is inserted
+    val dimPath = s"$scratch/rf_dim"
+    Seq(("A", "keep"), ("N", "drop"), ("R", "drop"))
+      .toDF("rf", "category")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath).filter(col("category") === "keep")
+    s.read.parquet(factPath).join(dim, col("l_returnflag") === col("rf"))
+  }
 }

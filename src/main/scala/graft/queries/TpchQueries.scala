@@ -945,6 +945,69 @@ object TpchQueries {
           |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
     },
 
+    // fuzzy string matching: edit-distance pairs under a BLOCKING key
+    // (p_brand), the published fuzzy-join shape — the quadratic verify
+    // runs only within a block, never corpus × corpus, so the cost is
+    // Σ block², controlled by blocking-key cardinality exactly like the
+    // LSH band buckets in the dedup family. levenshtein is computed by
+    // both engines with the same definition (unit insert/delete/
+    // substitute costs).
+    "q51_fuzzy_match" -> QueryDef(
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
+        |  AND levenshtein(a.p_name, b.p_name) <= 12
+        |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("key_b"),
+        col("p_brand").as("brand_b"), col("p_name").as("name_b"))
+      a.join(b, col("p_brand") === col("brand_b") &&
+          col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 12)
+        .select(col("key_a"), col("key_b"), col("dist"))
+        .orderBy(col("dist"), col("key_a"), col("key_b"))
+        .limit(200)
+    },
+
+    // rolling exact median: an ORDER-STATISTIC aggregate over a moving
+    // ROWS frame — `percentile` runs as a window aggregate (per-frame
+    // recompute is O(frame log frame); the 7-row frame keeps it
+    // constant-bounded per row, and frames never cross the per-key
+    // partition). Interpolation parity with DuckDB's quantile_cont is
+    // the q29 invariant; inputs go decimal → digit-string → double so
+    // the doubles the two engines interpolate between are identical.
+    "q52_rolling_median" -> QueryDef(
+      """WITH daily AS (
+        |  SELECT l_returnflag, time_bucket(INTERVAL 1 DAY, l_shipdate) AS day,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(day AS VARCHAR) AS day_str,
+        |  CAST(CAST(quantile_cont(CAST(CAST(rev AS VARCHAR) AS DOUBLE), 0.5)
+        |    OVER (PARTITION BY l_returnflag ORDER BY day
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS DOUBLE) AS rolling_median_rev
+        |FROM daily ORDER BY 1, 2 LIMIT 500""".stripMargin) { (s, dir) =>
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .select(col("l_returnflag"),
+          date_format(col("day"), "yyyy-MM-dd HH:mm:ss").as("day_str"),
+          asD(expr("percentile(CAST(CAST(rev AS STRING) AS DOUBLE), 0.5)")
+            .over(w)).as("rolling_median_rev"))
+        .orderBy(col("l_returnflag"), col("day_str"))
+        .limit(500)
+    },
+
     // map-function family (closes the SURVEY §2.8 partial: map fns ran
     // only inside the Stringify/Restore lattice before this): build the
     // §1.2 TIMESERIES shape — a per-order MAP(linenumber → total qty) —
