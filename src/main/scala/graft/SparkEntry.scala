@@ -16,7 +16,8 @@ object SparkEntry {
   private def allDefs: Map[String, QueryDef] =
     RefQueries.defs ++ TpchQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ StreamingQueries.defs ++
-      SourceQueries.defs ++ BucketQueries.defs ++ TimeSeriesQueries.defs
+      SourceQueries.defs ++ BucketQueries.defs ++ TimeSeriesQueries.defs ++
+      SqlSurfaceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core question: partition values in a time range with

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Source/sink format round-trips (SURVEY.md §2.1 [ABSENT] row): the
-  * engine exposes Spark's CSV and ORC built-ins; each query writes the
+  * engine exposes Spark's CSV, ORC, JSON, and XML built-ins; each query writes the
   * fixture out in the format, reads it back with an explicit schema,
   * and aggregates — the oracle aggregates the original table, so the
   * round-trip must be lossless for the hashes to match. (No spark-avro
@@ -70,6 +70,32 @@ object SourceQueries {
       s.read
         .schema("event_id LONG, event_type STRING, ts_s STRING, value DOUBLE")
         .json(out)
+        .groupBy(col("event_type"),
+          substring(col("ts_s"), 1, 10).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+    },
+
+    // XML (built into Spark 4 sql — no external module): row-per-element
+    // layout under an explicit rowTag. Same discipline as CSV/JSON:
+    // timestamps as formatted strings, explicit schema on read (XML
+    // inference would be an extra full pass at scale).
+    "r14_xml_roundtrip" -> QueryDef(
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, day""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r14_xml", dir)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("value"))
+        .write.mode("overwrite")
+        .option("rootTag", "events").option("rowTag", "event")
+        .format("xml").save(out)
+      s.read
+        .schema("event_id LONG, event_type STRING, ts_s STRING, value DOUBLE")
+        .option("rowTag", "event")
+        .format("xml").load(out)
         .groupBy(col("event_type"),
           substring(col("ts_s"), 1, 10).as("day"))
         .agg(count(lit(1)).as("n"),

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SQL-surface families added round 6 (second half): conditional /
+  * selective aggregation (q53), higher-order array lambdas (q54),
+  * recursive CTE graph walk (q55, Spark 4's WITH RECURSIVE), and
+  * VARIANT semi-structured access (q56, Spark 4's open-ended JSON
+  * type — the schema-on-read path for the reference's `props`-style
+  * payload columns, ref `cmd/backup.go:258-331` decodes the same
+  * shape client-side).
+  *
+  * Numeric discipline matches TpchQueries: DECIMAL(12,2) before
+  * arithmetic, decimal → double through the digit string, and integer
+  * lambda/fold arithmetic kept in BIGINT on both engines.
+  */
+object SqlSurfaceQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def asD(c: Column): Column = c.cast("string").cast("double")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // conditional / selective aggregation family: count_if ↔ FILTER,
+    // bool_or/bool_and, and max_by/min_by ↔ arg_max/arg_min. Selector
+    // values are made UNIQUE (price-cents · 10^7 + orderkey) because
+    // both engines' arg-extremum is tie-nondeterministic; floor() on
+    // both sides because DuckDB CAST(double AS BIGINT) rounds while
+    // Spark truncates. All of it is one hash aggregate — the partial
+    // state (count/bool/argmax pairs) is mergeable, so the map-side
+    // combine does most of the work before the single shuffle.
+    "q53_conditional_agg" -> QueryDef(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(*) FILTER (WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 200000)
+        |    AS n_big,
+        |  bool_or(CAST(o_totalprice AS DECIMAL(12,2)) > 200000) AS any_big,
+        |  bool_and(CAST(o_totalprice AS DECIMAL(12,2)) > 0) AS all_pos,
+        |  arg_max(o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    AS best_key,
+        |  arg_min(o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    AS worst_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val big = dec(col("o_totalprice")) > 200000
+      val rank = floor(col("o_totalprice") * 100).cast("bigint") *
+        lit(10000000L) + col("o_orderkey")
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          count_if(big).as("n_big"),
+          bool_or(big).as("any_big"),
+          bool_and(dec(col("o_totalprice")) > 0).as("all_pos"),
+          max_by(col("o_orderkey"), rank).as("best_key"),
+          min_by(col("o_orderkey"), rank).as("worst_key"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // higher-order array lambdas: transform (with and without the
+    // element index), filter, and aggregate (fold) over per-order
+    // quantity lists. The list is built by ONE hash aggregate
+    // (sort_array(collect_list(struct)) — deterministic order by
+    // (linenumber, qty): the fixture has duplicate linenumbers per
+    // order, so qty is the tie-break on BOTH sides); every lambda
+    // then runs inside the same stage with
+    // no further shuffle. Spark's HOFs are CodegenFallback
+    // (interpreted) — fine here where the arrays are bounded by
+    // lines-per-order; hot unbounded paths use the compiled kernels
+    // in graft.functions instead (see PLANS.md).
+    // Index bases differ: Spark transform((x,i)->…) is 0-based,
+    // DuckDB list_transform((x,i)->…) is 1-based — the weighted sum
+    // uses (i+1) on the Spark side to align.
+    "q54_higher_order" -> QueryDef(
+      """WITH arrs AS (
+        |  SELECT l_orderkey,
+        |    list(CAST(l_quantity AS INT)
+        |      ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS qs
+        |  FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1)
+        |SELECT l_orderkey,
+        |  len(qs) AS n_items,
+        |  CAST(list_reduce(list_transform(qs, x -> CAST(x * 2 AS BIGINT)),
+        |    (a, b) -> a + b) AS BIGINT) AS sum_doubled,
+        |  len(list_filter(qs, x -> x > 25)) AS n_big,
+        |  CAST(list_reduce(list_transform(qs, (x, i) -> CAST(x * i AS BIGINT)),
+        |    (a, b) -> a + b) AS BIGINT) AS weighted
+        |FROM arrs ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("l_linenumber"),
+            col("l_quantity").cast("int").as("q")))),
+          x => x.getField("q")).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).cast("bigint").as("n_items"),
+          aggregate(transform(col("qs"), x => (x * 2).cast("bigint")),
+            lit(0L), (a, x) => a + x).as("sum_doubled"),
+          size(filter(col("qs"), x => x > 25)).cast("bigint").as("n_big"),
+          aggregate(transform(col("qs"),
+              (x, i) => (x * (i + 1)).cast("bigint")),
+            lit(0L), (a, x) => a + x).as("weighted"))
+        .orderBy(col("l_orderkey"))
+    },
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): walk the implicit
+    // binary-tree hierarchy parent(k) = k div 2 over supplier keys —
+    // anchor at the root, one join per level, ~log2(N) iterations
+    // total. Each iteration is a plain equi-join on the frontier
+    // (frontier size ≤ #suppliers), so the work per level is bounded
+    // and shuffle-partitioned — recursion depth, not data size, is
+    // the iteration count: 10× more suppliers adds ~3 levels.
+    // DuckDB `//` = Spark `div` (both floor-divide positive ints).
+    "q55_recursive_cte" -> QueryDef(
+      """WITH RECURSIVE chain AS (
+        |  SELECT s_suppkey AS k, 0 AS depth FROM supplier WHERE s_suppkey = 1
+        |  UNION ALL
+        |  SELECT s.s_suppkey, c.depth + 1
+        |  FROM supplier s JOIN chain c ON s.s_suppkey // 2 = c.k)
+        |SELECT depth, count(*) AS n_nodes, CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM chain GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_q55")
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT s_suppkey AS k, 0 AS depth
+          |  FROM supplier_q55 WHERE s_suppkey = 1
+          |  UNION ALL
+          |  SELECT s.s_suppkey, c.depth + 1
+          |  FROM supplier_q55 s JOIN chain c ON s.s_suppkey div 2 = c.k)
+          |SELECT depth, count(*) AS n_nodes,
+          |  CAST(sum(k) AS BIGINT) AS sum_keys
+          |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
+    // VARIANT semi-structured access (Spark 4): the events table's
+    // real `props` JSON column parsed once into the open-ended binary
+    // VARIANT encoding, then field-extracted with typed paths —
+    // schema-on-read without a schema declaration, the engine-native
+    // upgrade over q19's string-path get_json_object. The parse and
+    // both extracts run inside the scan stage; only the final agg
+    // shuffles. DuckDB oracle reads the same JSON with json_extract.
+    "q56_variant" -> QueryDef(
+      """SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("k_mod"))
+    }
+  )
+}

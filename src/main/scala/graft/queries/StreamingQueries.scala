@@ -150,6 +150,17 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id""".stripMargin) {
       (s, dir) => StreamingJobs.customStateCounts(s, dir)
+    },
+
+    // modern arbitrary-state API (Spark 4 transformWithState): named
+    // composable ValueStates on the RocksDB provider — per-user count
+    // + running max; cents arithmetic keeps max exact, and max(cents)
+    // / 100.0 equals DuckDB's decimal max cast to double
+    "s12_transform_with_state" -> QueryDef(
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, dir) => StreamingJobs.transformWithStateCounts(s, dir)
     }
   )
 }

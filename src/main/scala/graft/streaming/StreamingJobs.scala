@@ -531,4 +531,67 @@ object StreamingJobs {
       .select(col("user_id"), col("n_events"),
         (col("cents").cast("double") / 100.0).as("sum_value"))
   }
+
+  /** Modern arbitrary-state API (Spark 4 `transformWithState`): the
+    * successor to s03's flatMapGroupsWithState, with NAMED composable
+    * state variables instead of one opaque state object — here a
+    * per-user event count and a running max (exact cents), each its
+    * own ValueState the store tracks independently (so at scale a
+    * schema change to one variable doesn't invalidate the other).
+    * Requires the RocksDB state store provider — the one that bounds
+    * executor heap by spilling state to local disk, i.e. the 100 TB
+    * configuration, exercised here on purpose.
+    *
+    * Each micro-batch emits every touched key's current state; both
+    * outputs are monotone (count, max), so the final per-key max over
+    * emissions equals the final state at ANY batch count — the
+    * post-aggregation keeps the result batch-count-invariant (the
+    * fixture is 1 file at sf0.01 but ~4 triggers at sf1).
+    */
+  def transformWithStateCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+
+    val typed = eventsStream(spark, dir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+
+    class CountMaxProcessor
+        extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+      @transient private var nState: ValueState[Long] = _
+      @transient private var maxState: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        nState = getHandle.getValueState[Long](
+          "n_events", Encoders.scalaLong, TTLConfig.NONE)
+        maxState = getHandle.getValueState[Long](
+          "max_cents", Encoders.scalaLong, TTLConfig.NONE)
+      }
+      override def handleInputRows(
+          user: Long,
+          rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+        var n = if (nState.exists()) nState.get() else 0L
+        var mx = if (maxState.exists()) maxState.get() else Long.MinValue
+        rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+        nState.update(n)
+        maxState.update(mx)
+        Iterator((user, n, mx))
+      }
+    }
+
+    val updated = typed.groupByKey(_._1)
+      .transformWithState(new CountMaxProcessor,
+        TimeMode.None(), OutputMode.Append())
+
+    runToCompletion(updated.toDF("user_id", "n", "max_cents"), mode = "append")
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        (max(col("max_cents")).cast("double") / 100.0).as("max_value"))
+  }
 }
