@@ -153,6 +153,82 @@ object SqlSurfaceQueries {
         .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("event_type"), col("k_mod"))
+    },
+
+    // datetime function family — the F-surface a TIMESTREAM engine
+    // lives on, beyond the three parse layouts (r7) and the relative
+    // grammar (F2). Cross-engine conventions pinned explicitly:
+    // Spark dayofweek is 1=Sunday, DuckDB 0=Sunday (aligned by -1);
+    // date_trunc('week') is Monday-based on both; add_months and
+    // +INTERVAL MONTH both clamp month-ends; all date/timestamp
+    // outputs leave as formatted strings so the engines hash the same
+    // bytes. Pure per-row projection — runs inside the scan stage.
+    "q57_datetime_funcs" -> QueryDef(
+      """SELECT event_id,
+        |  strftime(ts + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS plus_3d,
+        |  date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS days_since,
+        |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+        |  dayofweek(ts) AS dow,
+        |  extract(hour FROM ts) AS hr,
+        |  CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week_start,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE)::VARCHAR
+        |    AS plus_2m,
+        |  epoch_us(ts) AS epoch_us
+        |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("event_id") % 20 === 0)
+          .select(col("event_id"),
+            date_format(col("ts") + expr("INTERVAL 3 DAYS"),
+              "yyyy-MM-dd HH:mm:ss").as("plus_3d"),
+            datediff(col("ts").cast("date"), lit("1995-01-01").cast("date"))
+              .cast("bigint").as("days_since"),
+            last_day(col("ts").cast("date")).cast("string").as("month_end"),
+            (dayofweek(col("ts")) - 1).cast("bigint").as("dow"),
+            hour(col("ts")).cast("bigint").as("hr"),
+            date_trunc("week", col("ts")).cast("date").cast("string")
+              .as("week_start"),
+            add_months(col("ts").cast("date"), 2).cast("string").as("plus_2m"),
+            unix_micros(col("ts")).as("epoch_us"))
+          .orderBy(col("event_id"))
+    },
+
+    // multiset set operations (completes §2.7 alongside q13's distinct
+    // union/intersect/except): EXCEPT ALL and INTERSECT ALL keep
+    // per-row multiplicity — the semantics a dedup ledger needs
+    // ("how many copies remain") that the distinct variants destroy.
+    // Both compile to one hash aggregation over (row, count) with a
+    // count-difference postfilter — no join, one shuffle each. The
+    // by-name union arm re-aligns a column-swapped projection
+    // (DataFrame unionByName; plain aligned UNION ALL in SQL).
+    "q58_setops_all" -> QueryDef(
+      """WITH a AS (SELECT o_orderpriority AS p, o_orderkey % 5 AS m
+        |           FROM orders WHERE o_orderkey % 3 = 0),
+        |     b AS (SELECT o_orderpriority AS p, o_orderkey % 5 AS m
+        |           FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT 'except_all' AS op, p, m, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, p, m, count(*) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'union_by_name' AS op, p, m, count(*) AS n
+        |FROM (SELECT p, m FROM a UNION ALL SELECT p, m FROM b) GROUP BY 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("p"),
+          (col("o_orderkey") % 5).as("m"), col("o_orderkey"))
+      val a = base.filter(col("o_orderkey") % 3 === 0).select(col("p"), col("m"))
+      val b = base.filter(col("o_orderkey") % 2 === 0).select(col("p"), col("m"))
+      val bSwapped = b.select(col("m"), col("p")) // column order differs on purpose
+      def counted(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.groupBy(col("p"), col("m"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit(op))
+      counted(a.exceptAll(b), "except_all")
+        .unionAll(counted(a.intersectAll(b), "intersect_all"))
+        .unionAll(counted(a.unionByName(bSwapped), "union_by_name"))
+        .select(col("op"), col("p"), col("m"), col("n"))
+        .orderBy(col("op"), col("p"), col("m"))
     }
   )
 }
