@@ -229,6 +229,25 @@ object SqlSurfaceQueries {
         .unionAll(counted(a.unionByName(bSwapped), "union_by_name"))
         .select(col("op"), col("p"), col("m"), col("n"))
         .orderBy(col("op"), col("p"), col("m"))
+    },
+
+    // approximate percentiles (GK sketch): the 100 TB sibling of q29's
+    // exact `percentile` — exact order statistics need the full value
+    // multiset per group (memory ∝ group size); the GK summary is
+    // bounded by 1/ε regardless of group size and merges
+    // associatively, so partial aggregation works map-side like any
+    // sum. Sketch internals are engine-specific → rows-only here;
+    // ApproxPercentileSpec pins the formal guarantee (rank error
+    // ≤ ε·n vs the exact sort) instead of bytes.
+    "q59_approx_percentile" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 100)").as("p50_approx"),
+          expr("approx_percentile(l_quantity, 0.95, 100)").as("p95_approx"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.75), 100)")
+            .as("iqr_approx"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }
