@@ -945,33 +945,77 @@ object TpchQueries {
           |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
     },
 
-    // fuzzy string matching: edit-distance pairs under a BLOCKING key
-    // (p_brand), the published fuzzy-join shape — the quadratic verify
-    // runs only within a block, never corpus × corpus, so the cost is
-    // Σ block², controlled by blocking-key cardinality exactly like the
-    // LSH band buckets in the dedup family. levenshtein is computed by
-    // both engines with the same definition (unit insert/delete/
-    // substitute costs).
+    // fuzzy string matching: edit-distance-≤2 pairs, grouped fuzzy-join
+    // shape. Three scale facts drove this plan (all measured in the r6
+    // sf1 campaign): (1) the naive brand-block join is block² — 11×
+    // wall for 10× data; (2) the fixture's name VOCABULARY is tiny and
+    // grows sublinearly (433 → 1 544 distinct (brand,name) for 10×
+    // rows) while duplication grows linearly — so ALL string work
+    // happens on DISTINCT names only; (3) the d≤2 result is
+    // output-bound (duplicate-name cliques), so clique expansion back
+    // to key pairs must be plain integer row generation, never string
+    // work. Candidates over distinct names use a DELETION-NEIGHBORHOOD
+    // join (FastSS, Bocek et al. 2007): an edit script of cost ≤2
+    // decomposes into ≤2 deletions per side reaching a common variant,
+    // so distance-≤2 names share a variant — an equality join on
+    // (brand, variant), never name × name. Thresholded
+    // levenshtein(_,_,2) (banded DP, early exit, -1 above threshold)
+    // verifies the few candidates; exact-equal pairs (dist 0) come
+    // straight from the clique self-join.
     "q51_fuzzy_match" -> QueryDef(
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |       levenshtein(a.p_name, b.p_name) AS dist
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
-        |  AND levenshtein(a.p_name, b.p_name) <= 12
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY dist, key_a, key_b LIMIT 200""".stripMargin) { (s, dir) =>
       val p = Tables.part(s, dir)
         .filter(col("p_partkey") % 4 === 0)
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
-        col("p_name").as("name_a"))
-      val b = p.select(col("p_partkey").as("key_b"),
-        col("p_brand").as("brand_b"), col("p_name").as("name_b"))
-      a.join(b, col("p_brand") === col("brand_b") &&
-          col("key_a") < col("key_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 12)
-        .select(col("key_a"), col("key_b"), col("dist"))
+      val names = p.select(col("p_brand"), col("p_name")).distinct()
+
+      // all variants reachable by deleting ≤2 chars (identity + single
+      // + ordered double deletions); delete(s,i) = left(s,i) ++ s[i+2..]
+      val variants =
+        """array_distinct(flatten(array(
+          |  array(p_name),
+          |  transform(sequence(0, length(p_name)-1),
+          |    i -> concat(left(p_name, i), substring(p_name, i+2))),
+          |  flatten(transform(sequence(0, length(p_name)-1),
+          |    i -> transform(sequence(0, length(p_name)-2),
+          |      j -> concat(
+          |        left(concat(left(p_name, i), substring(p_name, i+2)), j),
+          |        substring(concat(left(p_name, i), substring(p_name, i+2)),
+          |          j+2))))))))""".stripMargin
+      val ex = names.select(col("p_brand"), col("p_name"),
+        explode(expr(variants)).as("v"))
+      val nameMatches = ex
+        .join(ex.select(col("p_brand").as("brand_b"),
+            col("p_name").as("name_b"), col("v").as("v_b")),
+          col("p_brand") === col("brand_b") && col("v") === col("v_b") &&
+            col("p_name") < col("name_b"))
+        .select(col("p_brand"), col("p_name"), col("name_b"))
+        .distinct() // a name pair can share several variants
+        .withColumn("dist", levenshtein(col("p_name"), col("name_b"), 2))
+        .filter(col("dist") >= 1) // dist-0 pairs come from the clique join
+
+      // clique expansion: key-level pairs via integer-only joins
+      val keysA = p.select(col("p_brand").as("ba"), col("p_name").as("na"),
+        col("p_partkey").as("ka"))
+      val keysB = p.select(col("p_brand").as("bb"), col("p_name").as("nb"),
+        col("p_partkey").as("kb"))
+      val d0 = keysA.join(keysB,
+          col("ba") === col("bb") && col("na") === col("nb") &&
+            col("ka") < col("kb"))
+        .select(col("ka").as("key_a"), col("kb").as("key_b"),
+          lit(0).as("dist"))
+      val dk = nameMatches
+        .join(keysA, col("p_brand") === col("ba") && col("p_name") === col("na"))
+        .join(keysB, col("p_brand") === col("bb") && col("name_b") === col("nb"))
+        .select(least(col("ka"), col("kb")).as("key_a"),
+          greatest(col("ka"), col("kb")).as("key_b"), col("dist"))
+      d0.unionAll(dk)
         .orderBy(col("dist"), col("key_a"), col("key_b"))
         .limit(200)
     },
