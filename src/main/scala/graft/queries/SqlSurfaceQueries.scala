@@ -248,6 +248,85 @@ object SqlSurfaceQueries {
           expr("approx_percentile(l_quantity, array(0.25, 0.75), 100)")
             .as("iqr_approx"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // snapshot versioning / time travel (operators/Snapshots): two
+    // copy-on-write versions of an orders projection — v2 applies
+    // updates (status flip on %10), deletes (%14) and inserts (odd
+    // %3) — then AS-OF reads at v1 / v2 / a future version (resolves
+    // to the latest committed), and a keyed row-level diff. The AS-OF
+    // filter is partition PRUNING on the version= directory layout
+    // (the scan never touches other snapshots' files); the diff is
+    // two hash-joins on the key, each side one pruned scan. The
+    // oracle recomputes every arm from the base table, so snapshot
+    // write → resolve → read → diff must be lossless end to end.
+    "q60_time_travel" -> QueryDef(
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    price
+        |  FROM v1 WHERE o_orderkey % 14 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(12,2))
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+        |SELECT 'asof_v1' AS arm, count(*) AS n,
+        |       CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS total
+        |FROM v1
+        |UNION ALL
+        |SELECT 'asof_v2', count(*),
+        |       CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) FROM v2
+        |UNION ALL
+        |SELECT 'asof_future', count(*),
+        |       CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) FROM v2
+        |UNION ALL
+        |SELECT 'diff_' || change_type, count(*), CAST(0 AS DOUBLE)
+        |FROM (
+        |  SELECT a.o_orderkey, 'changed' AS change_type
+        |  FROM v1 a JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        |  WHERE a.o_orderstatus <> b.o_orderstatus OR a.price <> b.price
+        |  UNION ALL
+        |  SELECT o_orderkey, 'added' FROM v2
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'removed' FROM v1
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2))
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Snapshots
+      val root = QueryDef.scratchDir("q60_snapshots", dir)
+      val orders = Tables.orders(s, dir)
+      val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("price"))
+      val v2 = v1.filter(col("o_orderkey") % 14 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 0, "X")
+            .otherwise(col("o_orderstatus")))
+        .unionAll(orders
+          .filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            dec(col("o_totalprice")).as("price")))
+      Snapshots.write(v1, root, version = 1)
+      Snapshots.write(v2, root, version = 2)
+
+      def summarize(arm: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"),
+            asD(sum(col("price"))).as("total"))
+          .select(lit(arm).as("arm"), col("n"), col("total"))
+
+      summarize("asof_v1", Snapshots.readAsOf(s, root, 1))
+        .unionAll(summarize("asof_v2", Snapshots.readAsOf(s, root, 2)))
+        .unionAll(summarize("asof_future", Snapshots.readAsOf(s, root, 99)))
+        .unionAll(Snapshots.diff(s, root, from = 1, to = 2, key = "o_orderkey")
+          .groupBy(concat(lit("diff_"), col("change_type")).as("arm"))
+          .agg(count(lit(1)).as("n"), lit(0.0).as("total")))
+        .orderBy(col("arm"))
     }
   )
 }
