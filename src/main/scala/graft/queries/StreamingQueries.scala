@@ -161,6 +161,17 @@ object StreamingQueries {
         |  CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
         |FROM events GROUP BY user_id""".stripMargin) {
       (s, dir) => StreamingJobs.transformWithStateCounts(s, dir)
+    },
+
+    // foreachBatch multi-destination sink (idempotent-on-batchId
+    // per-batch directories + a second pre-aggregate destination);
+    // the merged read-back must equal the batch computation
+    "s13_foreach_batch" -> QueryDef(
+      """SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin) {
+      (s, dir) => StreamingJobs.foreachBatchSink(s, dir)
     }
   )
 }

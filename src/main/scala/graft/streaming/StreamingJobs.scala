@@ -594,4 +594,60 @@ object StreamingJobs {
       .agg(max(col("n")).as("n_events"),
         (max(col("max_cents")).cast("double") / 100.0).as("max_value"))
   }
+
+  /** foreachBatch — the production escape hatch when the destination
+    * isn't one of the built-in sinks (multi-destination writes, JDBC,
+    * merge-into, …): each micro-batch arrives as a BATCH DataFrame
+    * plus its batchId, and exactly-once is the USER's contract to keep
+    * by making the write idempotent on batchId. Here each batch lands
+    * in its own `batch=<id>` directory with mode=overwrite — a REPLAYED
+    * batch (failure between write and checkpoint commit) overwrites
+    * the same directory instead of double-appending, which is the
+    * documented idempotence recipe. A second in-loop aggregate write
+    * demonstrates the multi-destination shape the built-in sinks can't
+    * express. Read-back of the per-batch directories must equal the
+    * batch computation over everything.
+    */
+  def foreachBatchSink(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_feb")
+    try {
+      val rows = scratch.resolve("rows").toString
+      val sums = scratch.resolve("sums").toString
+      val q = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .writeStream
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // destination 1: raw rows, idempotent per-batch directory
+          batch.write.mode("overwrite").parquet(s"$rows/batch=$batchId")
+          // destination 2: per-batch pre-aggregate (the second sink a
+          // built-in single-destination stream can't also feed)
+          batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+            .write.mode("overwrite").parquet(s"$sums/batch=$batchId")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      // merge the per-batch pre-aggregates (mergeable state: count+sum)
+      val agg = spark.read.parquet(sums)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_purchases"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value"))
+      // cross-check destination 1 carries the same rows
+      val nRows = spark.read.parquet(rows).count()
+      val nAgg = agg.agg(sum(col("n_purchases"))).head.getLong(0)
+      require(nRows == nAgg, s"sink mismatch: $nRows raw vs $nAgg aggregated")
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(agg.collect(): _*)),
+        agg.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
 }
