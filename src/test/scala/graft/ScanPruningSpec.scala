@@ -54,6 +54,44 @@ class ScanPruningSpec extends SparkTestBase {
       s"dupPairs schema: $dupSchema")
   }
 
+  test("round-6 queries prune their scans to the columns they read") {
+    def readSchema(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("ReadSchema")).mkString("\n")
+
+    // window navigation (1.5M output rows at sf1): the orders scan
+    // must carry only the 4 columns the windows touch
+    val nav = graft.SparkEntry.queries("q47_window_nav")(spark, sf0001)
+    val navSchema = readSchema(nav)
+    assert(navSchema.contains("o_custkey") && navSchema.contains("o_totalprice")
+      && !navSchema.contains("o_orderstatus"),
+      s"q47 reads more than its window columns: $navSchema")
+
+    // datetime family: event_id + ts only
+    val dt = graft.SparkEntry.queries("q57_datetime_funcs")(spark, sf0001)
+    val dtSchema = readSchema(dt)
+    assert(dtSchema.contains("event_id") && !dtSchema.contains("props") &&
+      !dtSchema.contains("user_id"),
+      s"q57 reads more than event_id/ts: $dtSchema")
+
+    // gap-fill: event_type/ts/value, never props
+    val gf = graft.SparkEntry.queries("q43_gapfill")(spark, sf0001)
+    val gfSchema = readSchema(gf)
+    assert(gfSchema.contains("event_type") && !gfSchema.contains("props"),
+      s"q43 reads more than type/ts/value: $gfSchema")
+
+    // snapshot AS-OF read: projection pushes through the version filter
+    val snapRoot = graft.queries.QueryDef.scratchDir("pruning_snap", sf0001)
+    graft.operators.Snapshots.write(
+      Tables.orders(spark, sf0001), snapRoot, 1)
+    val asOf = graft.operators.Snapshots.readAsOf(spark, snapRoot, 1)
+      .select(col("o_orderkey"))
+    val snapSchema = readSchema(asOf)
+    assert(snapSchema.contains("o_orderkey") &&
+      !snapSchema.contains("o_totalprice"),
+      s"snapshot read does not prune columns: $snapSchema")
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     val out = graft.queries.QueryDef.scratchDir("pruning_demo", sf0001)
     Tables.events(spark, sf0001)
