@@ -327,6 +327,174 @@ object SqlSurfaceQueries {
           .groupBy(concat(lit("diff_"), col("change_type")).as("arm"))
           .agg(count(lit(1)).as("n"), lit(0.0).as("total")))
         .orderBy(col("arm"))
+    },
+
+    // ANSI-safe ingestion family (try_cast / try_divide ↔ TRY_CAST /
+    // NULL-guarded division): Spark 4 runs ANSI mode — a single
+    // malformed value in 100 TB would fail the job; the try_* variants
+    // return NULL per bad ROW instead, which is the only ingest
+    // semantics that scales. Malformedness is synthesized
+    // deterministically from real rows (priority strings where ints
+    // should be, a bad date every 5th key, a zero denominator every
+    // 10th). Aggregates stay in counts + exact integer sums — no
+    // float accumulation, so the hash compare is order-independent.
+    "q61_try_funcs" -> QueryDef(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority
+        |    ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)) AS n_int_ok,
+        |  CAST(sum(TRY_CAST(CASE WHEN o_orderkey % 7 = 0
+        |    THEN o_orderpriority
+        |    ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)) AS BIGINT)
+        |    AS sum_int,
+        |  count(TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+        |    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE))
+        |    AS n_date_ok,
+        |  count(CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE 1 END)
+        |    AS n_div_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val intStr = when(col("o_orderkey") % 7 === 0, col("o_orderpriority"))
+        .otherwise(col("o_orderkey").cast("string"))
+      val dateStr = when(col("o_orderkey") % 5 === 0, lit("not-a-date"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          intStr.try_cast("bigint").as("as_int"),
+          dateStr.try_cast("date").as("as_date"),
+          try_divide(lit(1), col("o_orderkey") % 10).as("as_div"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          count(col("as_int")).as("n_int_ok"),
+          sum(col("as_int")).as("sum_int"),
+          count(col("as_date")).as("n_date_ok"),
+          count(col("as_div")).as("n_div_ok"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // UNPIVOT (wide → long reshape): the inverse of q23's pivot.
+    // Aggregate first (6 rows), then unpivot the three measure columns
+    // into (measure, value) rows — the reshape runs on the TINY
+    // aggregated side, so at 100 TB the heavy work is still one
+    // map-side-combined hash aggregate and the unpivot itself is a
+    // zero-shuffle row expansion. Unpivot requires one common value
+    // type, and the driver's pandas path floats decimals — so every
+    // measure goes decimal → digit string → DOUBLE on both engines
+    // (the repo-wide asD discipline).
+    "q62_unpivot" -> QueryDef(
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_qty,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_price,
+        |    CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, value FROM (
+        |  UNPIVOT agg ON sum_qty, sum_price, sum_disc
+        |  INTO NAME measure VALUE value)
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(asD(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asD(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          asD(sum(dec(col("l_discount")))).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
+    // struct surface (named_struct / array-of-struct sort / posexplode
+    // / field access): group-wise top-3 customers by balance, computed
+    // by sorting an array of (−bal, key) structs — array_sort's
+    // lexicographic struct order IS the ranking, and unique c_custkey
+    // breaks balance ties into a total order. Balances rank as exact
+    // integer cents (floor(x·100), identical IEEE arithmetic on both
+    // engines). The per-group array here is nation-sized; the scale
+    // path for unbounded groups is the spill-guarded plans/GroupTopK
+    // (q30) — this query's subject is the struct surface itself.
+    "q63_struct_funcs" -> QueryDef(
+      """WITH ranked AS (
+        |  SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT) DESC,
+        |        c_custkey) AS rk
+        |  FROM customer)
+        |SELECT nationkey, CAST(rk AS BIGINT) AS rk, custkey, bal_cents
+        |FROM ranked WHERE rk <= 3 ORDER BY nationkey, rk""".stripMargin) {
+      (s, dir) =>
+      val balCents = floor(col("c_acctbal") * 100).cast("bigint")
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"), balCents.as("bc"))
+        .groupBy(col("c_nationkey"))
+        .agg(slice(array_sort(collect_list(
+          struct((-col("bc")).as("negbal"), col("c_custkey").as("ck")))),
+          1, 3).as("top3"))
+        .select(col("c_nationkey").as("nationkey"),
+          posexplode(col("top3")).as(Seq("pos", "entry")))
+        .select(col("nationkey"), (col("pos") + 1).cast("long").as("rk"),
+          col("entry.ck").as("custkey"),
+          (-col("entry.negbal")).as("bal_cents"))
+        .orderBy(col("nationkey"), col("rk"))
+    },
+
+    // bitwise family (scalar &,<<,bit_count + aggregate
+    // bit_and/bit_or/bit_xor): the substrate of every bitmap/bloom/
+    // flag-word technique at scale. All three bitwise aggregates are
+    // associative+commutative → map-side partials, one shuffle of
+    // 5 groups. Keys are masked to 20 bits BEFORE aggregation and to
+    // 8 bits BEFORE the shift so nothing overflows BIGINT on either
+    // engine.
+    "q64_bitwise" -> QueryDef(
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey & 1048575) AS and_key,
+        |  bit_or(o_orderkey & 1048575) AS or_key,
+        |  bit_xor(o_orderkey & 1048575) AS xor_key,
+        |  CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS sum_bits,
+        |  CAST(sum((o_orderkey & 255) << 3) AS BIGINT) AS sum_shifted
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val masked = col("o_orderkey").bitwiseAND(lit(1048575L))
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(bit_and(masked).as("and_key"),
+          bit_or(masked).as("or_key"),
+          bit_xor(masked).as("xor_key"),
+          sum(bit_count(col("o_orderkey")).cast("bigint")).as("sum_bits"),
+          sum(shiftleft(col("o_orderkey").bitwiseAND(lit(255L)), 3))
+            .as("sum_shifted"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // regexp family (rlike / regexp_extract / regexp_replace /
+    // regexp_count): every pattern sticks to the dialect intersection
+    // of Java regex and DuckDB's RE2 (plain character classes, no
+    // lookaround/backrefs — the same portability rule x33's PII
+    // scrubber documents). Extraction goes through try_cast so a
+    // non-matching row yields NULL, not an ANSI job abort. One hash
+    // aggregate; regexp work is per-row, codegen'd, shuffle-free.
+    "q65_regexp" -> QueryDef(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  count(*) FILTER (WHERE regexp_matches(c_name, '#[0-9]+$'))
+        |    AS n_name_ok,
+        |  CAST(sum(CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT))
+        |    AS BIGINT) AS sum_id,
+        |  count(DISTINCT regexp_replace(c_name, '[0-9]', '#', 'g'))
+        |    AS n_shapes,
+        |  CAST(sum(len(regexp_extract_all(c_name, '[a-z]+')))
+        |    AS BIGINT) AS sum_lower_runs
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("c_name").rlike("#[0-9]+$")).as("n_name_ok"),
+          sum(regexp_extract(col("c_name"), "([0-9]+)", 1)
+            .try_cast("bigint")).as("sum_id"),
+          countDistinct(regexp_replace(col("c_name"), "[0-9]", "#"))
+            .as("n_shapes"),
+          sum(regexp_count(col("c_name"), lit("[a-z]+")).cast("bigint"))
+            .as("sum_lower_runs"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 }
