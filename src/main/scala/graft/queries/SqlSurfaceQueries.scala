@@ -495,6 +495,104 @@ object SqlSurfaceQueries {
           sum(regexp_count(col("c_name"), lit("[a-z]+")).cast("bigint"))
             .as("sum_lower_runs"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // three-valued-logic / null-semantics family. The fixture has no
+    // NULLs, so the nullable key is derived deterministically
+    // (nullif(c_nationkey % 5, 0) → 1/5 of rows NULL) and every sharp
+    // edge of SQL null handling is pinned as a (metric, value) row:
+    // null-skipping count vs count(*), DISTINCT collapsing NULLs to
+    // one group, `=` vs null-safe `<=>` (IS NOT DISTINCT FROM), a
+    // null-safe equi-JOIN (Spark plans it as a normal hash join — the
+    // null group is just another key, no fallback to NL), NOT IN
+    // against a subquery WITH and WITHOUT a NULL (the with-NULL case
+    // must yield 0 rows — Spark's null-aware anti join), and
+    // NULLS FIRST/LAST ordering (TakeOrderedAndProject, never a
+    // global sort). Each metric is one bounded aggregate; the union
+    // of 12 single-row frames is driver-trivial at any corpus size.
+    "q66_null_semantics" -> QueryDef(
+      """WITH c AS (
+        |  SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp
+        |  FROM customer),
+        |a AS (SELECT grp, count(*) AS na FROM c
+        |      WHERE c_custkey % 2 = 0 GROUP BY grp),
+        |b AS (SELECT grp, count(*) AS nb FROM c
+        |      WHERE c_custkey % 2 = 1 GROUP BY grp),
+        |sub_null AS (SELECT CASE WHEN s_suppkey = 1 THEN NULL
+        |                    ELSE s_nationkey + 100 END AS k FROM supplier),
+        |sub_clean AS (SELECT s_nationkey + 100 AS k FROM supplier
+        |              WHERE s_suppkey <> 1)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_total' AS metric, count(*) AS value FROM c
+        |  UNION ALL SELECT 'n_grp', count(grp) FROM c
+        |  UNION ALL SELECT 'n_distinct_grp', count(DISTINCT grp) FROM c
+        |  UNION ALL SELECT 'n_distinct_with_null', count(*)
+        |    FROM (SELECT DISTINCT grp FROM c)
+        |  UNION ALL SELECT 'sum_coalesce',
+        |    CAST(sum(coalesce(grp, -1)) AS BIGINT) FROM c
+        |  UNION ALL SELECT 'n_eq_self',
+        |    count(*) FILTER (WHERE grp = grp) FROM c
+        |  UNION ALL SELECT 'n_nullsafe_self',
+        |    count(*) FILTER (WHERE grp IS NOT DISTINCT FROM grp) FROM c
+        |  UNION ALL SELECT 'nullsafe_join_pairs',
+        |    CAST(sum(na * nb) AS BIGINT)
+        |    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+        |  UNION ALL SELECT 'n_not_in_with_null', count(*) FROM c
+        |    WHERE grp NOT IN (SELECT k FROM sub_null)
+        |  UNION ALL SELECT 'n_not_in_clean', count(*) FROM c
+        |    WHERE grp NOT IN (SELECT k FROM sub_clean)
+        |  UNION ALL SELECT 'first_nulls_first',
+        |    (SELECT c_custkey FROM c ORDER BY grp NULLS FIRST, c_custkey
+        |     LIMIT 1)
+        |  UNION ALL SELECT 'first_nulls_last',
+        |    (SELECT c_custkey FROM c ORDER BY grp NULLS LAST, c_custkey
+        |     LIMIT 1)
+        |) ORDER BY metric""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        nullif(col("c_nationkey") % 5, lit(0)).as("grp"))
+      def m(name: String, v: Column)(df: org.apache.spark.sql.DataFrame) =
+        df.agg(v.cast("bigint").as("value"))
+          .select(lit(name).as("metric"), col("value"))
+      val aSide = c.filter(col("c_custkey") % 2 === 0)
+        .groupBy("grp").agg(count(lit(1)).as("na"))
+      val bSide = c.filter(col("c_custkey") % 2 === 1)
+        .groupBy(col("grp").as("grp_b")).agg(count(lit(1)).as("nb"))
+      val nullsafeJoin = m("nullsafe_join_pairs",
+        sum(col("na") * col("nb")))(
+        aSide.join(bSide, col("grp") <=> col("grp_b")))
+      // NOT IN subqueries via SQL: the DataFrame API has no null-aware
+      // anti join surface; Spark plans these as BroadcastNestedLoop
+      // null-aware anti joins with the correct three-valued semantics.
+      c.createOrReplaceTempView("c_q66")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_q66")
+      val notInNull = s.sql(
+        """SELECT 'n_not_in_with_null' AS metric,
+          |  CAST(count(*) AS BIGINT) AS value FROM c_q66
+          |WHERE grp NOT IN (SELECT CASE WHEN s_suppkey = 1 THEN NULL
+          |                  ELSE s_nationkey + 100 END FROM supplier_q66)"""
+          .stripMargin)
+      val notInClean = s.sql(
+        """SELECT 'n_not_in_clean' AS metric,
+          |  CAST(count(*) AS BIGINT) AS value FROM c_q66
+          |WHERE grp NOT IN (SELECT s_nationkey + 100 FROM supplier_q66
+          |                  WHERE s_suppkey <> 1)""".stripMargin)
+      def firstBy(name: String, key: Column) =
+        c.orderBy(key, col("c_custkey")).limit(1)
+          .select(lit(name).as("metric"),
+            col("c_custkey").cast("bigint").as("value"))
+      Seq(
+        m("n_total", count(lit(1)))(c),
+        m("n_grp", count(col("grp")))(c),
+        m("n_distinct_grp", countDistinct(col("grp")))(c),
+        m("n_distinct_with_null", count(lit(1)))(c.select("grp").distinct),
+        m("sum_coalesce", sum(coalesce(col("grp"), lit(-1))))(c),
+        m("n_eq_self", count_if(col("grp") === col("grp")))(c),
+        m("n_nullsafe_self", count_if(col("grp") <=> col("grp")))(c),
+        nullsafeJoin, notInNull, notInClean,
+        firstBy("first_nulls_first", col("grp").asc_nulls_first),
+        firstBy("first_nulls_last", col("grp").asc_nulls_last)
+      ).reduce(_ union _).orderBy("metric")
     }
   )
 }

@@ -216,6 +216,43 @@ object TimeSeriesQueries {
           count(lit(1)).as("n_points"),
           sum(when(col("conc") === 0, 1L).otherwise(0L)).as("n_idle_points"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- q67: small-file compaction (OPTIMIZE) ----------------------
+    // The operational rewrite every streaming/CDC table needs at scale:
+    // a day-partitioned events layout is first fragmented into 8 hash
+    // files per partition (the residue a micro-batch sink leaves), then
+    // Compact bin-packs each partition back to ceil(bytes/target) files
+    // — one metadata listing + ONE shuffle on (day, bucket), which
+    // parallelizes within a partition so a skewed 2 TB day never
+    // becomes a single 2 TB task (see operators/Compact scaladoc). The
+    // oracle aggregates the COMPACTED table per day against DuckDB on
+    // the raw fixture: compaction must be row-lossless end to end.
+    // CompactionSpec pins the file-count geometry (≤ ceil per
+    // partition, 8× → 1× here) and per-partition caps.
+    "q67_compaction" -> QueryDef(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Compact
+      val scratch = QueryDef.scratchDir("q67_compact", dir)
+      val smallPath = s"$scratch/events_small"
+      val outPath = s"$scratch/events_compacted"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("day"), pmod(col("event_id"), lit(8)))
+        .write.mode("overwrite").partitionBy("day").parquet(smallPath)
+      Compact.compact(s, smallPath, outPath, partitionCol = "day",
+        bucketBy = "event_id", targetBytes = 4L * 1024 * 1024)
+      s.read.parquet(outPath)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          asD(sum(dec(col("value")))).as("sum_value"))
+        .orderBy(col("day"))
     }
   )
 }

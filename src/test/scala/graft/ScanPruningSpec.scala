@@ -90,6 +90,15 @@ class ScanPruningSpec extends SparkTestBase {
     assert(snapSchema.contains("o_orderkey") &&
       !snapSchema.contains("o_totalprice"),
       s"snapshot read does not prune columns: $snapSchema")
+
+    // null-semantics family: customer scans carry only custkey +
+    // nationkey (never name/acctbal), supplier only suppkey + nationkey
+    val ns = graft.SparkEntry.queries("q66_null_semantics")(spark, sf0001)
+    val nsSchema = readSchema(ns)
+    assert(nsSchema.contains("c_custkey") && nsSchema.contains("c_nationkey")
+      && !nsSchema.contains("c_acctbal") && !nsSchema.contains("c_name") &&
+      !nsSchema.contains("s_name"),
+      s"q66 reads more than the null-key columns: $nsSchema")
   }
 
   test("date-partitioned layout prunes partitions at the scan") {
