@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bin-replicated interval join: the big×big scale path for range
+  * predicates.
+  *
+  * q21's shape (broadcast nested loop) is right when one side fits in
+  * a broadcast; when BOTH sides are large — every "which readings fall
+  * inside which sessions" question at 100 TB — an NL join is O(|L|·|R|)
+  * and a shuffle can't help because there is no equality key. Binning
+  * manufactures one: carve time into fixed-width bins, replicate each
+  * interval onto every bin it overlaps (sequence + explode), tag each
+  * point with the single bin containing it, then run a plain shuffled
+  * equi-join on the bin id followed by the exact range predicate.
+  *
+  * Correctness without dedup: a point lives in EXACTLY one bin, so a
+  * qualifying (interval, point) pair meets in exactly one bin — no
+  * duplicate pairs, no DISTINCT pass. (Interval×interval overlap joins
+  * would need the floor(greatest(s1,s2)/w)-ownership trick; this
+  * operator is the interval×point case.)
+  *
+  * Cost model: shuffle volume is |points| + |intervals|·(span/binWidth
+  * + 1). Pick binWidth near the TYPICAL interval span: too small
+  * explodes the interval side, too large degrades each bin to a local
+  * NL over unrelated rows. Bin-level skew (a hot hour) is ordinary
+  * equi-join skew — AQE's skew-join split applies, unlike an NL join
+  * which AQE cannot touch.
+  *
+  * Ref behavior anchor: the reference's only range predicate is the
+  * both-inclusive time window pushed into its scans
+  * (`cmd/backup.go:170-178`); interval×point containment is engine
+  * surface it has no answer for at any scale.
+  */
+object RangeJoin {
+
+  /** Join `intervals` (columns `sCol`,`eCol`: timestamp, half-open
+    * [s, e)) with `points` (column `tCol`: timestamp) on containment.
+    * Column sets must be disjoint. Returns the joined frame with
+    * helper columns removed. */
+  def binnedIntervalJoin(
+      intervals: DataFrame,
+      points: DataFrame,
+      sCol: String,
+      eCol: String,
+      tCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val w = binSeconds * 1000000L // work in microseconds
+    val ivl = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_micros(col(sCol)) / w),
+        // floor(e/w) is a superset bound when e sits on a bin edge;
+        // the exact predicate below removes the empty slack
+        floor(unix_micros(col(eCol)) / w))))
+    val pts = points.withColumn("__bin",
+      floor(unix_micros(col(tCol)) / w))
+    ivl.join(pts, Seq("__bin"))
+      .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))
+      .drop("__bin")
+  }
+}

@@ -253,6 +253,43 @@ object TimeSeriesQueries {
           countDistinct(col("event_type")).as("n_types"),
           asD(sum(dec(col("value")))).as("sum_value"))
         .orderBy(col("day"))
+    },
+
+    // ---- q68: big×big range join via binning ------------------------
+    // Interval×point containment where BOTH sides are the full events
+    // table — the case q21's broadcast-NL shape cannot survive at
+    // scale. operators/RangeJoin replicates each interval onto the
+    // 1-hour bins it overlaps (spans are clamped to ≤60 min, so ≤2
+    // bins each) and equi-joins points on their single home bin: a
+    // plain shuffled join + exact predicate, no NL anywhere, AQE
+    // skew-split applicable. A point's bin is unique → pair appears
+    // exactly once, no DISTINCT needed. RangeJoinBinnedSpec pins the
+    // no-BroadcastNestedLoop plan and equivalence to the NL result.
+    "q68_binned_range_join" -> QueryDef(
+      """WITH iv AS (
+        |  SELECT event_id AS ivl_id, event_type, ts AS s,
+        |    ts + INTERVAL 1 MINUTE *
+        |      CAST(floor(least(greatest(value, 1), 60)) AS INT) AS e
+        |  FROM events),
+        |pt AS (SELECT event_id AS pt_id, ts AS t FROM events)
+        |SELECT iv.event_type, count(*) AS n_pairs,
+        |  count(DISTINCT pt.pt_id) AS n_points,
+        |  count(DISTINCT iv.ivl_id) AS n_intervals
+        |FROM iv JOIN pt ON pt.t >= iv.s AND pt.t < iv.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, dir)
+      val iv = ev.select(col("event_id").as("ivl_id"), col("event_type"),
+        col("ts").as("s"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, " +
+          "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)").as("e"))
+      val pt = ev.select(col("event_id").as("pt_id"), col("ts").as("t"))
+      RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t", binSeconds = 3600)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("pt_id")).as("n_points"),
+          countDistinct(col("ivl_id")).as("n_intervals"))
+        .orderBy(col("event_type"))
     }
   )
 }

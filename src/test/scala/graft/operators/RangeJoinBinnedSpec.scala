@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins q68's two claims about the binned interval×point join:
+  *   - the physical plan is a shuffled equi-join on the bin key, with
+  *     NO BroadcastNestedLoop anywhere (the thing binning exists to
+  *     eliminate for big×big inputs);
+  *   - pair-for-pair equivalence with the naive NL range join on the
+  *     fixture, proving the bin replication neither drops nor
+  *     duplicates a single qualifying pair (a point's home bin is
+  *     unique, so no DISTINCT is needed).
+  */
+class RangeJoinBinnedSpec extends SparkTestBase {
+
+  private def sides() = {
+    val ev = Tables.events(spark, sf0001)
+    val iv = ev.select(col("event_id").as("ivl_id"), col("ts").as("s"),
+      expr("ts + make_interval(0, 0, 0, 0, 0, " +
+        "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)").as("e"))
+    val pt = ev.select(col("event_id").as("pt_id"), col("ts").as("t"))
+    (iv, pt)
+  }
+
+  test("binned plan is an equi-join, never a nested loop") {
+    val (iv, pt) = sides()
+    val joined = RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t", 3600)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"binned range join fell back to a non-equi plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no hash/merge equi-join found in plan:\n$plan")
+  }
+
+  test("binned result matches the naive NL range join exactly") {
+    val (iv, pt) = sides()
+    val binned = RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t", 3600)
+      .select(col("ivl_id"), col("pt_id"))
+    val naive = iv.join(pt, col("t") >= col("s") && col("t") < col("e"))
+      .select(col("ivl_id"), col("pt_id"))
+    assert(binned.count() == naive.count(), "pair count differs")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
+      "pair multiset differs between binned and NL range join")
+  }
+}
