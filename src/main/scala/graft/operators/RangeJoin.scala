@@ -60,4 +60,31 @@ object RangeJoin {
       .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))
       .drop("__bin")
   }
+
+  /** Interval×interval overlap join ([s1,e1) ∩ [s2,e2) ≠ ∅), both
+    * sides large. Both sides replicate onto their bins, so a
+    * qualifying pair meets in EVERY bin their spans share — the
+    * owner-bin rule keeps only the bin containing the overlap's start
+    * (floor(max(s1,s2)/w)), restoring exactly-once semantics without a
+    * DISTINCT over the (potentially huge) pair set. Column sets must
+    * be disjoint. */
+  def binnedOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      s1: String, e1: String,
+      s2: String, e2: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val w = binSeconds * 1000000L
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin",
+        explode(sequence(
+          floor(unix_micros(col(s)) / w),
+          floor(unix_micros(col(e)) / w))))
+    binned(left, s1, e1).join(binned(right, s2, e2), Seq("__bin"))
+      .filter(col(s1) < col(e2) && col(s2) < col(e1) &&
+        col("__bin") ===
+          floor(unix_micros(greatest(col(s1), col(s2))) / w))
+      .drop("__bin")
+  }
 }

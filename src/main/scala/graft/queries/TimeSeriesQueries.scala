@@ -290,6 +290,53 @@ object TimeSeriesQueries {
           countDistinct(col("pt_id")).as("n_points"),
           countDistinct(col("ivl_id")).as("n_intervals"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- q69: interval×interval overlap join ------------------------
+    // Purchase sessions overlapped by view sessions — both sides big
+    // interval sets, so both replicate onto hourly bins and the
+    // OWNER-BIN rule (keep the pair only in the bin holding the
+    // overlap's start) restores exactly-once without a DISTINCT over
+    // the pair blowup (see RangeJoin.binnedOverlapJoin). Overlap
+    // duration is computed in integer epoch-µs (ts is ms-precision →
+    // exact on both engines). The oracle recomputes the whole pair set
+    // with a plain inequality join.
+    "q69_overlap_join" -> QueryDef(
+      """WITH pu AS (
+        |  SELECT event_id AS pu_id, ts AS s1,
+        |    ts + INTERVAL 1 MINUTE *
+        |      CAST(floor(least(greatest(value, 1), 60)) AS INT) AS e1
+        |  FROM events WHERE event_type = 'purchase'),
+        |vw AS (
+        |  SELECT event_id AS vw_id, ts AS s2,
+        |    ts + INTERVAL 1 MINUTE *
+        |      CAST(floor(least(greatest(value, 1), 60)) AS INT) AS e2
+        |  FROM events WHERE event_type = 'view')
+        |SELECT strftime(s1, '%Y-%m-%d') AS day, count(*) AS n_pairs,
+        |  count(DISTINCT pu_id) AS n_purchases,
+        |  CAST(sum((epoch_us(least(e1, e2)) -
+        |            epoch_us(greatest(s1, s2))) // 1000000) AS BIGINT)
+        |    AS sum_overlap_s
+        |FROM pu JOIN vw ON s1 < e2 AND s2 < e1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, dir)
+      def ivls(tpe: String, id: String, sN: String, eN: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("event_id").as(id), col("ts").as(sN),
+            expr("ts + make_interval(0, 0, 0, 0, 0, " +
+              "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)")
+              .as(eN))
+      val pu = ivls("purchase", "pu_id", "s1", "e1")
+      val vw = ivls("view", "vw_id", "s2", "e2")
+      RangeJoin.binnedOverlapJoin(pu, vw, "s1", "e1", "s2", "e2", 3600)
+        .groupBy(date_format(col("s1"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("pu_id")).as("n_purchases"),
+          sum(expr("(unix_micros(least(e1, e2)) - " +
+            "unix_micros(greatest(s1, s2))) div 1000000"))
+            .cast("bigint").as("sum_overlap_s"))
+        .orderBy(col("day"))
     }
   )
 }

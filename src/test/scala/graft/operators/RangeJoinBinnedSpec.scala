@@ -45,4 +45,26 @@ class RangeJoinBinnedSpec extends SparkTestBase {
     assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
       "pair multiset differs between binned and NL range join")
   }
+
+  test("overlap join: owner-bin rule gives exactly-once pairs, no NL") {
+    val ev = Tables.events(spark, sf0001)
+    def ivls(id: String, sN: String, eN: String, parity: Int) =
+      ev.filter(col("event_id") % 2 === parity)
+        .select(col("event_id").as(id), col("ts").as(sN),
+          expr("ts + make_interval(0, 0, 0, 0, 0, " +
+            "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)").as(eN))
+    val a = ivls("a_id", "s1", "e1", 0)
+    val b = ivls("b_id", "s2", "e2", 1)
+    val binned = RangeJoin.binnedOverlapJoin(a, b, "s1", "e1", "s2", "e2", 3600)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a non-equi plan:\n$plan")
+    val got = binned.select(col("a_id"), col("b_id"))
+    val naive = a.join(b, col("s1") < col("e2") && col("s2") < col("e1"))
+      .select(col("a_id"), col("b_id"))
+    assert(got.count() == naive.count(), "overlap pair count differs")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "overlap pair multiset differs between binned and NL join")
+  }
 }
