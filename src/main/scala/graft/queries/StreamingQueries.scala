@@ -11,6 +11,20 @@ object StreamingQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // UPDATE output mode: per-batch emission of only the changed
+    // groups, over time-ordered staged chunks whose mid-window
+    // boundaries force multi-batch updates of the same window; the
+    // monotone max(n)/max_by finalizer makes the bounded result equal
+    // batch aggregation under any batch split (see
+    // StreamingJobs.updateModeCounts).
+    "s14_stream_update_mode" -> QueryDef(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type""".stripMargin) {
+      (s, dir) => StreamingJobs.updateModeCounts(s, dir)
+    },
+
     // tumbling event-time windows + watermark (complete mode)
     "s01_stream_tumbling" -> QueryDef(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

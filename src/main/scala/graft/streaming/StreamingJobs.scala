@@ -358,6 +358,76 @@ object StreamingJobs {
     * over the bounded fixture equals the batch computation (each window
     * is a plain grouped count the oracle reproduces by expanding both
     * window starts per event). */
+  /** UPDATE output mode: watermarked hourly counts where each
+    * micro-batch emits ONLY the groups it changed — the low-volume
+    * production mode between complete (re-emits everything every
+    * batch: O(state) sink traffic) and append (emits a window only
+    * after the watermark closes it: full-window latency). The job
+    * stages the fixture into four TIME-ORDERED chunks whose boundaries
+    * fall mid-window (HH:30), so a window spanning a boundary is
+    * updated by two different batches and the memory sink accumulates
+    * one row per (group, updating batch).
+    *
+    * Determinism: per-group counts are monotone under prefix
+    * ingestion, so max(n) per group — and max_by for its companion
+    * sum — is the final state under ANY batch split; that is what
+    * makes the bounded-input result equal to batch aggregation (the
+    * oracle) while still driving the real update-mode incremental
+    * path. Time-ordered chunks also guarantee no batch's rows are
+    * behind the carried watermark, so the 10-minute delay drops
+    * nothing (the mtime ladder fails fast like sessionCounts' flush
+    * sentinel — mis-ordered chunks would silently late-drop data).
+    */
+  def updateModeCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_upd_stream")
+    val streamDir = scratch.resolve("in")
+    java.nio.file.Files.createDirectories(streamDir): Unit
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val isLong = raw.schema("ts").dataType == LongType
+    // boundary literals in the fixture's ON-DISK ts representation
+    // (epoch-nanos long or µs timestamp), pinned to UTC
+    def bound(iso: String): org.apache.spark.sql.Column = {
+      val sec = java.time.LocalDateTime.parse(iso)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      if (isLong) lit(sec * 1000000000L)
+      else timestamp_seconds(lit(sec))
+    }
+    val bounds = Seq("2024-01-08T12:30:00", "2024-01-16T06:30:00",
+      "2024-01-23T18:30:00").map(bound)
+    val chunks = Seq(
+      raw.filter(col("ts") < bounds(0)),
+      raw.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
+      raw.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
+      raw.filter(col("ts") >= bounds(2)))
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val f = stageParquet(c, scratch, streamDir, f"events_$i%02d")
+      if (!f.toFile.setLastModified(base + i * 60000L))
+        throw new IllegalStateException(
+          s"cannot set mtime on staged chunk $f; file-source ordering " +
+            "would be undefined and the watermark could late-drop rows")
+    }
+    val agg = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet",
+        nDataFiles = chunks.size)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_val"))
+    try {
+      runToCompletion(agg, mode = "update")
+        .groupBy(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max_by(col("sum_val"), col("n")).as("sum_val"))
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("sum_val").cast("double").as("sum_value"))
+    } finally deleteRecursively(scratch)
+  }
+
   def slidingCounts(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val agg = eventsStream(spark, dir)

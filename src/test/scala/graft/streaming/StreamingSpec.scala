@@ -17,6 +17,19 @@ class StreamingSpec extends SparkTestBase {
     assert(s == b)
   }
 
+  test("update-mode incremental counts equal batch under chunked input") {
+    val streamed = StreamingJobs.updateModeCounts(spark, sf0001)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val s = streamed.select("window_start", "event_type", "n")
+      .collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"update-mode final state drifted from batch: " +
+      s"only-stream=${(s -- b).take(3)} only-batch=${(b -- s).take(3)}")
+  }
+
   test("streaming session windows equal batch gap-sessionization") {
     val streamed = StreamingJobs.sessionCounts(spark, sf0001, gapMinutes = 30)
       .collect().map(_.toSeq).toSet
