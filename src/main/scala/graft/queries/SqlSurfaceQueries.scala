@@ -593,6 +593,44 @@ object SqlSurfaceQueries {
         firstBy("first_nulls_first", col("grp").asc_nulls_first),
         firstBy("first_nulls_last", col("grp").asc_nulls_last)
       ).reduce(_ union _).orderBy("metric")
+    },
+
+    // outer generator semantics: explode_outer preserves the parent
+    // row (as a NULL element) when the array is empty — the difference
+    // between "unnest drops customers with no qualifying orders" and
+    // "every customer appears exactly once even with none" that inner
+    // explode (q44's posexplode) silently gets wrong for sparse data.
+    // Arrays are built by one hash aggregate over a left join; the
+    // reshape itself is a zero-shuffle row expansion. DuckDB mirrors
+    // explode_outer with LEFT JOIN LATERAL unnest.
+    "q70_explode_outer" -> QueryDef(
+      """WITH arr AS (
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |    list_sort(list(CAST(o.o_totalprice AS DECIMAL(12,2)))
+        |      FILTER (o.o_orderkey IS NOT NULL)) AS vals
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |   AND CAST(o.o_totalprice AS DECIMAL(12,2)) > 150000
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(*) AS n_rows, count(v) AS n_vals,
+        |  count(*) FILTER (WHERE v IS NULL) AS n_empty,
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS sum_vals
+        |FROM arr LEFT JOIN LATERAL (SELECT unnest(vals) AS v) u ON true
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val qual = Tables.orders(s, dir)
+        .filter(dec(col("o_totalprice")) > 150000)
+        .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+      val arr = Tables.customer(s, dir)
+        .join(qual, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(sort_array(collect_list(col("p"))).as("vals"))
+      arr.select(col("c_mktsegment"), explode_outer(col("vals")).as("v"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_vals"),
+          count_if(col("v").isNull).as("n_empty"),
+          asD(sum(col("v"))).as("sum_vals"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 }
