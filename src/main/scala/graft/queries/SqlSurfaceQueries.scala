@@ -631,6 +631,96 @@ object SqlSurfaceQueries {
           count_if(col("v").isNull).as("n_empty"),
           asD(sum(col("v"))).as("sum_vals"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // collation-aware comparison (Spark 4 COLLATE): grouping, equality
+    // and DISTINCT under UTF8_LCASE collapse case variants WITHOUT
+    // rewriting every expression with lower() — the engine-level knob
+    // for case-insensitive corpora. Case noise is synthesized
+    // deterministically (even keys upper, odd lower); the oracle
+    // expresses the same semantics with explicit lower(), and the
+    // output canonicalizes the group key the same way on both engines
+    // (a collated group's representative is engine-dependent).
+    // Grouping on a collated column is still ONE hash aggregate —
+    // collation affects the hash/equality functions, not the plan.
+    "q72_collation" -> QueryDef(
+      """WITH noisy AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg,
+        |         c_custkey
+        |  FROM customer)
+        |SELECT lower(seg) AS seg_ci, count(*) AS n,
+        |  count(DISTINCT CASE WHEN seg = upper(seg) THEN 'U' ELSE 'L' END)
+        |    AS n_case_variants,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+        |FROM noisy GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val noisy = Tables.customer(s, dir).select(
+        when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))).as("seg"),
+        col("c_custkey"))
+      noisy
+        .withColumn("seg_coll", expr("collate(seg, 'UTF8_LCASE')"))
+        .groupBy(col("seg_coll"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(when(col("seg") === upper(col("seg")), "U")
+            .otherwise("L")).as("n_case_variants"),
+          sum(col("c_custkey")).cast("bigint").as("sum_keys"))
+        .select(lower(col("seg_coll")).cast("string").as("seg_ci"),
+          col("n"), col("n_case_variants"), col("sum_keys"))
+        .orderBy(col("seg_ci"))
+    },
+
+    // SQL DML verbs over a catalog table: CREATE TABLE AS SELECT,
+    // INSERT INTO (append), INSERT OVERWRITE (replace) — the
+    // write-path statements a SQL-first user drives the engine with.
+    // Each step's state is snapshotted EAGERLY (one-row aggregate
+    // collect per step — laziness would otherwise evaluate all three
+    // reads against the final table state); the oracle recomputes
+    // every step from the base table, so append and overwrite
+    // semantics must both be exact. Sums ride the digit-string double
+    // discipline.
+    "q73_sql_dml" -> QueryDef(
+      """SELECT 'step1_ctas' AS step, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'step2_insert_into', count(*),
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 'step3_insert_overwrite', count(*),
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      val scratch = QueryDef.scratchDir("q73_dml", dir)
+      val t = "graft_dml_orders"
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q73")
+      def sel(pred: String): String =
+        "SELECT o_orderkey, o_orderpriority, " +
+          s"CAST(o_totalprice AS DECIMAL(12,2)) AS price " +
+          s"FROM orders_q73 WHERE $pred"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING parquet LOCATION '$scratch/t' AS " +
+        sel("o_orderkey % 3 = 0"))
+      def snap(step: String): (String, Long, String) = {
+        val r = s.table(t)
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("sp"))
+          .collect()(0)
+        (step, r.getLong(0), r.getDecimal(1).toPlainString)
+      }
+      val s1 = snap("step1_ctas")
+      s.sql(s"INSERT INTO $t " + sel("o_orderkey % 3 = 1"))
+      val s2 = snap("step2_insert_into")
+      s.sql(s"INSERT OVERWRITE $t " + sel("o_orderkey % 3 = 2"))
+      val s3 = snap("step3_insert_overwrite")
+      import s.implicits._
+      Seq(s1, s2, s3).toDF("step", "n", "sp")
+        .select(col("step"), col("n"),
+          col("sp").cast("double").as("sum_price"))
+        .orderBy(col("step"))
     }
   )
 }
