@@ -226,6 +226,53 @@ object TextQueries {
         frameAt("greatest(length(text) div 4, 1)").as("f1"),
         frameAt("greatest(length(text) div 2, 1)").as("f2"),
         frameAt("greatest((3 * length(text)) div 4, 1)").as("f3"))
+    },
+
+    // TF-IDF top-terms per document: the relevance-scoring primitive
+    // behind corpus search / keyword extraction / quality filtering.
+    // Classic shape, all scale-safe: term frequencies are ONE hash
+    // aggregate over the exploded corpus, document frequencies ONE
+    // more over its (doc, term) output, and the tf×idf join shuffles
+    // on term (the vocabulary is corpus-scale — never broadcast).
+    // Scoring stays in INTEGER arithmetic — tf · ((N·10⁶) div df), a
+    // monotone transform of tf·(N/df) — because ln()-based idf last-
+    // ulp differences between libm and DuckDB would break the hash
+    // compare (the same discipline as x26's Jaccard estimate).
+    // Top-3 per doc via a bounded per-doc window (unbounded-group
+    // corpora would swap in plans/GroupTopK); ties broken by term.
+    "x36_tfidf_topterms" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |      WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rn, term, score FROM (
+        |  SELECT s.doc_id, s.term, s.score,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY s.score DESC, s.term) AS rn
+        |  FROM (SELECT t.doc_id, t.term,
+        |          t.tf * ((n.n_docs * 1000000) // dfreq.df) AS score
+        |        FROM t JOIN dfreq USING (term) CROSS JOIN n) s)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val t = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      t.join(dfreq, Seq("term")).crossJoin(nDocs)
+        .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
     }
   )
 }
