@@ -260,6 +260,25 @@ object SimilarityQueries {
          |SELECT bucket, count(*) AS n_vecs FROM sg GROUP BY bucket""".stripMargin) { (s, dir) =>
       Ann.withSignature(Tables.embeddings(s, dir))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+    },
+
+    // distributed Lloyd's k-means over the FULL corpus (vs Ivf's
+    // sampled driver-side codebook): per-cluster membership stats
+    // after 3 iterations from deterministic spread seeds. Rows-only by
+    // design — an unrolled 64-dim 3-iteration Lloyd's is not
+    // reasonably expressible in the oracle dialect; KMeansSpec pins
+    // the algorithmic contract instead (SSE monotone non-increasing,
+    // bitwise-deterministic repeat, all cells populated, SSE strictly
+    // improves on the seeds).
+    "x37_kmeans_clusters" -> QueryDef.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.KMeans.train(emb, k = 8, iters = 3)
+      graft.similarity.KMeans.assign(emb)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).cast("bigint").as("sum_ids"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("cell"))
     }
   )
 }
