@@ -273,6 +273,68 @@ object TextQueries {
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("term"), col("score"))
         .orderBy(col("doc_id"), col("rn"))
+    },
+
+    // BM25 top-terms: x36 plus the part that makes modern ranking
+    // work — saturating tf and document-length normalization
+    // (k1 = 6/5, b = 3/4). The whole score is SCALED RATIONAL integer
+    // arithmetic: with T = total corpus tokens, N docs, dl the doc's
+    // length, the classic tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) becomes
+    //   inner = (tf·44·T·1000) div (20·tf·T + 6·T + 18·dl·N)
+    // (substituting avgdl = T/N and clearing denominators), and idf is
+    // x36's monotone rational surrogate at 10³ scale. Everything stays
+    // well under BIGINT at sf1 geometry (≤4.4·10¹⁴ intermediate), and
+    // both engines floor-divide positive integers identically — the
+    // same cross-engine-exactness discipline as x36, with ranking
+    // behavior (rare terms up, long docs damped) fully preserved.
+    // Plan shape: the doc-length table is a second aggregate joined
+    // back on doc_id; everything else matches x36.
+    "x38_bm25_topterms" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |      WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM t
+        |       GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs,
+        |        (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS tot
+        |      FROM documents)
+        |SELECT doc_id, rn, term, score FROM (
+        |  SELECT s.doc_id, s.term, s.score,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY s.score DESC, s.term) AS rn
+        |  FROM (SELECT t.doc_id, t.term,
+        |          ((g.n_docs * 1000) // dfreq.df) *
+        |          ((t.tf * 44 * g.tot * 1000) //
+        |           (20 * t.tf * g.tot + 6 * g.tot + 18 * dl.dl * g.n_docs))
+        |            AS score
+        |        FROM t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |        CROSS JOIN g) s)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val t = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = t.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("bigint").as("dl"))
+      val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val g = broadcast(docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).cast("bigint").as("tot"))))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      t.join(dfreq, Seq("term")).join(dl, Seq("doc_id")).crossJoin(g)
+        .withColumn("score",
+          expr("((n_docs * 1000) div df) * ((tf * 44 * tot * 1000) div " +
+            "(20 * tf * tot + 6 * tot + 18 * dl * n_docs))"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
     }
   )
 }
