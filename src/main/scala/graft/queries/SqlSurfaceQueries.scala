@@ -721,6 +721,52 @@ object SqlSurfaceQueries {
         .select(col("step"), col("n"),
           col("sp").cast("double").as("sum_price"))
         .orderBy(col("step"))
+    },
+
+    // data-quality expectations (operators/Expectations): R rules as
+    // ONE scan + ONE aggregate — R conditional counters with map-side
+    // partials, then a zero-shuffle unpivot of the single wide row;
+    // the per-rule-scan alternative is R full passes at 100 TB. Rules
+    // chosen so some pass and some fail deterministically; a
+    // NULL-valued predicate counts as a violation (unknown ≠ held).
+    "q74_expectations" -> QueryDef(
+      """WITH checks AS (
+        |  SELECT
+        |    count(*) AS n_checked,
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      CAST(o_totalprice AS DECIMAL(12,2)) > 0, false))
+        |      AS v_price_positive,
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+        |                          '4-NOT SPECIFIED','5-LOW'), false))
+        |      AS v_priority_known,
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      CAST(o_totalprice AS DECIMAL(12,2)) <= 300000, false))
+        |      AS v_price_capped,
+        |    count(*) FILTER (WHERE NOT coalesce(
+        |      o_orderkey % 1000 <> 0, false)) AS v_key_not_round
+        |  FROM orders)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'price_positive' AS rule, n_checked,
+        |         v_price_positive AS n_violations FROM checks
+        |  UNION ALL SELECT 'priority_known', n_checked, v_priority_known
+        |    FROM checks
+        |  UNION ALL SELECT 'price_capped', n_checked, v_price_capped
+        |    FROM checks
+        |  UNION ALL SELECT 'key_not_round', n_checked, v_key_not_round
+        |    FROM checks)
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      Expectations.check(Tables.orders(s, dir), Seq(
+        Rule("price_positive", "CAST(o_totalprice AS DECIMAL(12,2)) > 0"),
+        Rule("priority_known",
+          "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM'," +
+            "'4-NOT SPECIFIED','5-LOW')"),
+        Rule("price_capped",
+          "CAST(o_totalprice AS DECIMAL(12,2)) <= 300000"),
+        Rule("key_not_round", "o_orderkey % 1000 <> 0")))
     }
   )
 }
