@@ -337,6 +337,100 @@ object TimeSeriesQueries {
             "unix_micros(greatest(s1, s2))) div 1000000"))
             .cast("bigint").as("sum_overlap_s"))
         .orderBy(col("day"))
+    },
+
+    // ---- q75: time-weighted average -----------------------------------
+    // THE irregular-sampling aggregate: each observation's value is
+    // weighted by how long it was current (gap to the next sample,
+    // floored to whole seconds — identical integer floors on both
+    // engines). A plain avg() over-weights bursts; TWA is what a
+    // metering/pricing pipeline actually needs. One window (lead) per
+    // (type, day) partition + one hash aggregate; weights stay BIGINT
+    // seconds and values DECIMAL until the final digit-string division,
+    // so the doubles are bit-identical cross-engine.
+    "q75_time_weighted_avg" -> QueryDef(
+      """WITH s AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        |    CAST(value AS DECIMAL(12,2)) AS v,
+        |    lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                   ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |w AS (SELECT event_type, day, v,
+        |        (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dt
+        |      FROM s WHERE nxt IS NOT NULL)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  CAST(CAST(sum(v * dt) AS VARCHAR) AS DOUBLE) /
+        |    CAST(sum(dt) AS DOUBLE) AS twa,
+        |  count(*) AS n_weights
+        |FROM w WHERE dt > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, dir) =>
+      val win = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"), dec(col("value")).as("v"))
+        .withColumn("nxt", lead(col("ts"), 1).over(win))
+        .withColumn("dt",
+          expr("(unix_micros(nxt) - unix_micros(ts)) div 1000000"))
+        .filter(col("nxt").isNotNull && col("dt") > 0)
+        .groupBy(col("event_type"), col("day"))
+        .agg((asD(sum(col("v") * col("dt"))) /
+            sum(col("dt")).cast("double")).as("twa"),
+          count(lit(1)).as("n_weights"))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("twa"), col("n_weights"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- q76: OHLC candlestick resampling ----------------------------
+    // The canonical downsample for tick-style series: per (type, day)
+    // the first value (open), extrema (high/low), last value (close),
+    // count and sum. Open/close are picked by row_number over the
+    // unique (ts, event_id) order — both engines agree on ties by
+    // construction, where a bare min_by(ts) would be
+    // tie-nondeterministic. Two windows + one aggregate, all partition-
+    // local until the final per-group row.
+    "q76_ohlc" -> QueryDef(
+      """WITH s AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM s)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  CAST(CAST(min(CASE WHEN rn_a = 1 THEN v END) AS VARCHAR)
+        |    AS DOUBLE) AS open,
+        |  CAST(CAST(max(v) AS VARCHAR) AS DOUBLE) AS high,
+        |  CAST(CAST(min(v) AS VARCHAR) AS DOUBLE) AS low,
+        |  CAST(CAST(min(CASE WHEN rn_d = 1 THEN v END) AS VARCHAR)
+        |    AS DOUBLE) AS close,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val asc = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val desc = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"), dec(col("value")).as("v"))
+        .withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy(col("event_type"), col("day"))
+        .agg(asD(min(when(col("rn_a") === 1, col("v")))).as("open"),
+          asD(max(col("v"))).as("high"),
+          asD(min(col("v"))).as("low"),
+          asD(min(when(col("rn_d") === 1, col("v")))).as("close"),
+          count(lit(1)).as("n"),
+          asD(sum(col("v"))).as("volume"))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("open"), col("high"), col("low"), col("close"), col("n"),
+          col("volume"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 }
