@@ -431,6 +431,96 @@ object TimeSeriesQueries {
           col("open"), col("high"), col("low"), col("close"), col("n"),
           col("volume"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- q77: linear-interpolation gap fill --------------------------
+    // q43 fills gaps by carrying the last observation (LOCF); q77
+    // fills them on the LINE between the surrounding observations —
+    // what a telemetry/pricing resampler wants for smooth quantities.
+    // Two IGNORE-NULLS windows find the bracketing observations and
+    // their hour indices; the lerp itself is a fixed parenthesization
+    // of IEEE double ops over digit-string doubles and exact integer
+    // hour offsets, evaluated identically on both engines — and the
+    // result is emitted PER ROW, never summed (double accumulation
+    // order would differ between engines; per-row doubles are exact).
+    "q77_lerp_gapfill" -> QueryDef(
+      """WITH obs AS (
+        |  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM obs),
+        |grid AS (
+        |  SELECT t.event_type, g.b AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |                AS b FROM span) g),
+        |j AS (
+        |  SELECT g.event_type, g.bucket,
+        |    epoch_us(g.bucket) // 3600000000 AS t,
+        |    CASE WHEN o.sum_value IS NOT NULL
+        |         THEN epoch_us(g.bucket) // 3600000000 END AS obs_t,
+        |    CAST(CAST(o.sum_value AS VARCHAR) AS DOUBLE) AS obs_v
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.event_type = o.event_type AND g.bucket = o.bucket),
+        |b AS (
+        |  SELECT *,
+        |    last_value(obs_t IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    last_value(obs_v IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(obs_t IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+        |    first_value(obs_v IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM j)
+        |SELECT event_type, CAST(bucket AS VARCHAR) AS bucket_str,
+        |  (obs_t IS NULL) AS was_gap,
+        |  CASE WHEN pv IS NULL AND nv IS NULL THEN CAST(-1 AS DOUBLE)
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN nt = pt THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS filled
+        |FROM b ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val obs = events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(dec(col("value"))).as("sum_value"))
+      val buckets = obs
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("bucket"))
+      val grid = events.select(col("event_type")).distinct().crossJoin(buckets)
+      val j = grid.join(obs, Seq("event_type", "bucket"), "left")
+        .withColumn("t", expr("unix_micros(bucket) div 3600000000"))
+        .withColumn("obs_t",
+          when(col("sum_value").isNotNull, col("t")))
+        .withColumn("obs_v", asD(col("sum_value")))
+      val back = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.withColumn("pt", last(col("obs_t"), ignoreNulls = true).over(back))
+        .withColumn("pv", last(col("obs_v"), ignoreNulls = true).over(back))
+        .withColumn("nt", first(col("obs_t"), ignoreNulls = true).over(fwd))
+        .withColumn("nv", first(col("obs_v"), ignoreNulls = true).over(fwd))
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"),
+          col("obs_t").isNull.as("was_gap"),
+          when(col("pv").isNull && col("nv").isNull, lit(-1.0))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nt") === col("pt"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("t") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+            .as("filled"))
+        .orderBy(col("event_type"), col("bucket_str"))
     }
   )
 }
