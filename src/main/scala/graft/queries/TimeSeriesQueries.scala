@@ -521,6 +521,74 @@ object TimeSeriesQueries {
                 (col("nt") - col("pt")).cast("double")))
             .as("filled"))
         .orderBy(col("event_type"), col("bucket_str"))
+    },
+
+    // ---- q78: rolling correlation -------------------------------------
+    // 7-day rolling Pearson correlation between two derived series
+    // (daily purchase vs view revenue) — the co-movement signal behind
+    // pair monitoring and anomaly detection. Everything up to the last
+    // expression is EXACT integer arithmetic: values as cents, the
+    // five co-moments as BIGINT rolling sums over a ROWS frame (all
+    // bounded ≤5·10¹³ at fixture geometry), and the final Pearson is
+    // one fixed parenthesization of casts, sqrt and divide — IEEE
+    // correctly-rounded ops on identical inputs, so cross-engine
+    // bit-identity holds (same discipline as q77). Zero-variance
+    // windows pin 0 instead of dividing by zero. The unpartitioned
+    // window runs over the DAILY series — one row per calendar day
+    // after the distributed aggregate, bounded by the calendar, not
+    // the corpus.
+    "q78_rolling_corr" -> QueryDef(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |roll AS (
+        |  SELECT day,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+        |    sum(x * y) OVER w AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(day AS VARCHAR) AS day, n,
+        |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |       THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |             sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END AS corr
+        |FROM roll ORDER BY day""".stripMargin) { (s, dir) =>
+      def cents(tpe: String) =
+        sum(when(col("event_type") === tpe,
+          (dec(col("value")) * 100).cast("bigint")).otherwise(0L))
+          .cast("bigint")
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(cents("purchase").as("x"), cents("view").as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val roll = daily.select(col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"),
+        sum(col("x") * col("y")).over(w).as("sxy"))
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      roll.select(col("day").cast("string").as("day"), col("n"),
+          col("sx"), col("sy"),
+          when(varX <= 0 || varY <= 0, lit(0.0))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+            .as("corr"))
+        .orderBy(col("day"))
     }
   )
 }
