@@ -126,13 +126,26 @@ object Backup {
     spark.conf.getOption("spark.sql.session.timeZone")
       .getOrElse(java.util.TimeZone.getDefault.getID)
 
+  /** Minimal JSON string escaper for the metadata stamp: a timezone or
+    * column name containing `"` or `\` (or a control char) must not
+    * produce invalid JSON — Restore parses this file with a real JSON
+    * reader and a malformed stamp would silently skip the timezone
+    * guard. */
+  private[operators] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def writeMeta(spark: SparkSession, cfg: BackupConfig): Unit = {
     val fs = FileSystem.get(new java.net.URI(cfg.outputPath),
       spark.sparkContext.hadoopConfiguration)
     val json =
-      s"""{"sessionTimeZone":"${sessionTz(spark)}",""" +
-        s""""timeColumn":"${cfg.timeColumn}",""" +
-        s""""partitionColumn":"${cfg.partitionColumn}"}"""
+      s"""{"sessionTimeZone":"${jsonEscape(sessionTz(spark))}",""" +
+        s""""timeColumn":"${jsonEscape(cfg.timeColumn)}",""" +
+        s""""partitionColumn":"${jsonEscape(cfg.partitionColumn)}"}"""
     val out = fs.create(new Path(new Path(cfg.outputPath), MetaFile), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

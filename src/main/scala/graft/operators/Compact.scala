@@ -88,9 +88,21 @@ object Compact {
       (k, math.max(1L, (bytes + targetBytes - 1) / targetBytes))
     }
     import spark.implicits._
+    // Plan keys come from DIRECTORY names, which Hive-escape special
+    // characters and spell null as __HIVE_DEFAULT_PARTITION__; the data
+    // rows carry the unescaped VALUES. Unescape before joining (and
+    // null-safe-join below) or those rows silently miss the plan table
+    // and vanish from a rewrite that promises row-losslessness.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val planRows = plan.map { case (k, n) =>
+      val v =
+        if (k == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else ExternalCatalogUtils.unescapePathName(k)
+      (v, n)
+    }
     // tiny (partition → nFiles) table; broadcast to tag every row
     val planDf = broadcast(
-      plan.toDF(partitionCol + "_plan", "n_files_plan"))
+      planRows.toDF(partitionCol + "_plan", "n_files_plan"))
     // STRICT task count = total planned files: repartition with an
     // explicit N is exempt from AQE coalescing, so the bucket→task
     // mapping survives on small inputs too (coalescing can only merge
@@ -100,14 +112,28 @@ object Compact {
     // output file, the intended granularity.
     val totalFiles = math.max(1L, plan.map(_._2).sum).toInt
     val df = spark.read.parquet(inPath)
+    // LEFT join, null-safe (<=>): a row whose partition value still
+    // fails to match its directory name (exotic escaping) falls back to
+    // n_files = 1 instead of being dropped; nulls match the
+    // __HIVE_DEFAULT_PARTITION__ plan row.
     df.join(planDf,
-        col(partitionCol).cast("string") === col(partitionCol + "_plan"))
+        col(partitionCol).cast("string") <=> col(partitionCol + "_plan"),
+        "left")
       .withColumn("__bucket",
-        pmod(hash(col(bucketBy)), col("n_files_plan").cast("int")))
+        pmod(hash(col(bucketBy)),
+          coalesce(col("n_files_plan").cast("int"), lit(1))))
       .repartition(totalFiles, col(partitionCol), col("__bucket"))
       .drop(partitionCol + "_plan", "n_files_plan", "__bucket")
       .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
     val after = partitionStats(spark, outPath, partitionCol)
+    // Row-losslessness is the operator's whole contract — enforce it.
+    // Both counts are parquet metadata reads (footer row counts), not
+    // data scans.
+    val rowsIn = df.count()
+    val rowsOut = spark.read.parquet(outPath).count()
+    require(rowsIn == rowsOut,
+      s"compaction dropped rows: $rowsIn in, $rowsOut out — " +
+        "this is a bug, the rewrite must be row-lossless")
     CompactionStats(
       partitions = after.size.toLong,
       filesBefore = before.valuesIterator.map(_._1).sum,

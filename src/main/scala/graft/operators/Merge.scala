@@ -91,14 +91,48 @@ object Merge {
     val merged = merge(base, updates, key, deleteFlag)
 
     merged.write.mode("overwrite").parquet(stagingPath)
-    spark.read.parquet(stagingPath)
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(basePath)
+    // Explicit schema on the staged read: an all-deletes changeset can
+    // leave the staging dir empty (no part files), where schema
+    // inference would fail.
+    val staged = spark.read.schema(merged.schema).parquet(stagingPath)
 
-    spark.read.parquet(basePath)
+    // Dynamic partition overwrite only touches directories PRESENT in
+    // the output — a partition whose every surviving row was deleted
+    // produces no output rows, so its directory would be left intact
+    // and the deleted rows would silently resurrect on the next read.
+    // Compare the affected set against the merged output's partition
+    // values (both bounded by maxAffectedPartitions) and delete the
+    // directories that became empty.
+    val surviving = staged.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val emptied = affected.filterNot(surviving.contains)
+
+    if (surviving.nonEmpty) {
+      staged.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(basePath)
+    }
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        val dirName =
+          if (v == null)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME
+          else
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(basePath), s"$partitionCol=$dirName"),
+          true): Unit
+      }
+    }
+
+    if (surviving.isEmpty) staged // empty frame with the merged schema
+    else spark.read.parquet(basePath)
       .filter(col(partitionCol).isin(affected: _*))
   }
 }

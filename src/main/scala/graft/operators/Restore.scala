@@ -80,16 +80,27 @@ object Restore {
           while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
           out.toString(java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
-      """"sessionTimeZone"\s*:\s*"([^"]+)"""".r
-        .findFirstMatchIn(content).foreach { m =>
-          val backupTz = m.group(1)
-          val restoreTz = Backup.sessionTz(spark)
-          require(backupTz == restoreTz,
-            s"backup at $backupDir was written under session timezone " +
-              s"'$backupTz' but this session is '$restoreTz'; restoring " +
-              "would silently shift every timestamp — set " +
-              s"spark.sql.session.timeZone=$backupTz to restore")
+      // Real JSON parse (Jackson, already on the Spark classpath) — a
+      // regex extraction would mis-read a stamp whose values contain
+      // escaped quotes and silently skip the guard. A stamp that fails
+      // to parse is a corrupt metadata file: fail loudly, never skip.
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
+        catch {
+          case e: Exception =>
+            throw new IllegalStateException(
+              s"backup metadata ${Backup.MetaFile} at $backupDir is not " +
+                s"valid JSON — refusing to restore without the timezone " +
+                s"guard: ${e.getMessage}")
         }
+      Option(node.get("sessionTimeZone")).map(_.asText()).foreach { backupTz =>
+        val restoreTz = Backup.sessionTz(spark)
+        require(backupTz == restoreTz,
+          s"backup at $backupDir was written under session timezone " +
+            s"'$backupTz' but this session is '$restoreTz'; restoring " +
+            "would silently shift every timestamp — set " +
+            s"spark.sql.session.timeZone=$backupTz to restore")
+      }
     }
   }
 

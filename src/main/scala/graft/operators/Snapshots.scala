@@ -34,13 +34,20 @@ object Snapshots {
 
   /** Committed versions (ascending): `version=N` dirs with a _SUCCESS
     * marker. Listing is O(#versions) driver-side metadata, like any
-    * table format's snapshot log. */
+    * table format's snapshot log. Listed through the Hadoop FileSystem
+    * API (not java.io.File) so hdfs:///s3a:// roots work the same way
+    * write()/readAsOf() already do — a local-only lister would return
+    * empty on a remote root and make every readAsOf fail after a
+    * successful write. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val fs = new java.io.File(root)
-    Option(fs.listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && d.getName.startsWith("version="))
-      .filter(d => new java.io.File(d, "_SUCCESS").isFile)
-      .map(_.getName.stripPrefix("version=").toLong)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("version=").toLong)
       .sorted
   }
 

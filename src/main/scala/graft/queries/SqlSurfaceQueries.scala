@@ -25,11 +25,15 @@ object SqlSurfaceQueries {
 
     // conditional / selective aggregation family: count_if ↔ FILTER,
     // bool_or/bool_and, and max_by/min_by ↔ arg_max/arg_min. Selector
-    // values are made UNIQUE (price-cents · 10^7 + orderkey) because
+    // values are made UNIQUE (price-cents · 10^10 + orderkey) because
     // both engines' arg-extremum is tie-nondeterministic; floor() on
     // both sides because DuckDB CAST(double AS BIGINT) rounds while
-    // Spark truncates. All of it is one hash aggregate — the partial
-    // state (count/bool/argmax pairs) is mergeable, so the map-side
+    // Spark truncates. The 10^10 multiplier is collision-free while
+    // o_orderkey < 10^10 (ScaleUp offsets keys by 10^8 per copy, so
+    // up to ~100 scaled copies) yet cannot overflow BIGINT for any
+    // realistic price (cents·10^10 < 2^63 while price < ~9.2 M).
+    // All of it is one hash aggregate — the partial state
+    // (count/bool/argmax pairs) is mergeable, so the map-side
     // combine does most of the work before the single shuffle.
     "q53_conditional_agg" -> QueryDef(
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -38,15 +42,15 @@ object SqlSurfaceQueries {
         |  bool_or(CAST(o_totalprice AS DECIMAL(12,2)) > 200000) AS any_big,
         |  bool_and(CAST(o_totalprice AS DECIMAL(12,2)) > 0) AS all_pos,
         |  arg_max(o_orderkey,
-        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey)
         |    AS best_key,
         |  arg_min(o_orderkey,
-        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey)
         |    AS worst_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val big = dec(col("o_totalprice")) > 200000
       val rank = floor(col("o_totalprice") * 100).cast("bigint") *
-        lit(10000000L) + col("o_orderkey")
+        lit(10000000000L) + col("o_orderkey")
       Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
@@ -238,7 +242,11 @@ object SqlSurfaceQueries {
     // associatively, so partial aggregation works map-side like any
     // sum. Sketch internals are engine-specific → rows-only here;
     // ApproxPercentileSpec pins the formal guarantee (rank error
-    // ≤ ε·n vs the exact sort) instead of bytes.
+    // ≤ ε·n vs the exact sort) instead of bytes. All output columns
+    // are SCALAR on purpose: the driver's rows-only harness sorts the
+    // result frame by every column, and an ARRAY column is unhashable
+    // there — the multi-percentile form (array(0.25,0.75)) is covered
+    // as scalar p25/p75 projections of the same sketch instead.
     "q59_approx_percentile" -> QueryDef.rowsOnly { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -247,6 +255,12 @@ object SqlSurfaceQueries {
           expr("approx_percentile(l_quantity, 0.95, 100)").as("p95_approx"),
           expr("approx_percentile(l_quantity, array(0.25, 0.75), 100)")
             .as("iqr_approx"))
+        .select(
+          col("l_returnflag"),
+          col("p50_approx"),
+          col("p95_approx"),
+          col("iqr_approx").getItem(0).as("p25_approx"),
+          col("iqr_approx").getItem(1).as("p75_approx"))
         .orderBy(col("l_returnflag"))
     },
 
