@@ -19,18 +19,40 @@ object Bench {
 
   /** The FINAL stdout line — the driver's parse contract. The driver
     * stores only the tail of stdout (2000 bytes observed in r03/r04);
-    * this line is value-only and ~130 bytes, so it can never be clipped
+    * this line is value-only and ~160 bytes, so it can never be clipped
     * regardless of how many queries the suite grows to. The per-query
     * map goes on its OWN earlier line — never here. BenchSpec pins both
     * the size bound and the absence of a "queries" key.
+    *
+    * `loadMax`/`nHot`: host-load telemetry (max 1-min loadavg observed
+    * at any query start; number of queries that started under load >
+    * [[HotLoad]]). Two consecutive rounds shipped officially-contaminated
+    * bench artifacts that only a post-hoc judge re-run could diagnose —
+    * the final line now carries enough signal to read contamination off
+    * the artifact itself.
     */
   private[graft] def finalLine(
-      total: Double, totalOk: Double, nFailed: Int, sfDir: String): String = {
+      total: Double, totalOk: Double, nFailed: Int, sfDir: String,
+      loadMax: Double = -1.0, nHot: Int = 0): String = {
     // sfDir is operator-controlled, but this is the one line that must
     // ALWAYS parse — escape the two characters that can break JSON
     val sf = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"load_max":${f3(loadMax)},"n_hot":$nHot,"sf":"$sf"}"""
   }
+
+  /** 1-min loadavg above this at query start flags the measurement as
+    * host-contaminated (32 cores; ~2 means something else is running
+    * beyond our own query, since loadavg is sampled BEFORE each query
+    * launches its jobs and decays over a minute). */
+  private[graft] val HotLoad = 2.0
+
+  /** First field of /proc/loadavg; -1 where unreadable (non-Linux). */
+  private[graft] def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,8 +180,18 @@ object Bench {
     // fresh progress sidecar per run
     try java.nio.file.Files.deleteIfExists(progressPath): Unit
     catch { case scala.util.control.NonFatal(_) => () }
+    var loadMaxSeen = -1.0
+    var nHot = 0
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
+        // Host load sampled BEFORE the query: a hot host means the wall
+        // clock about to be measured is contaminated by whatever else is
+        // running — the r6/r7 artifacts were both judged contaminated
+        // and the signal had to be reconstructed after the fact.
+        val load = loadAvg1m()
+        if (load > loadMaxSeen) loadMaxSeen = load
+        val hot = load > HotLoad
+        if (hot) nHot += 1
         val (r0, c0, g0) = (taskRunMs.get, taskCpuNs.get, taskGcMs.get)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -177,12 +209,14 @@ object Bench {
         // mode) or the JVM never reaches the summary.
         System.err.println(
           s"BENCHQ $name ok=$ok wall=${f3(sec)} run_s=${f3(run_s)} " +
-            s"cpu_s=${f3(cpu_s)} gc_s=${f3(gc_s)}")
+            s"cpu_s=${f3(cpu_s)} gc_s=${f3(gc_s)} load=${f3(load)}" +
+            (if (hot) " HOT" else ""))
         try {
           java.nio.file.Files.write(
             progressPath,
             (s"""{"q":"$name","ok":$ok,"wall":${f3(sec)},"run_s":${f3(run_s)},""" +
-              s""""cpu_s":${f3(cpu_s)},"gc_s":${f3(gc_s)}}""" + "\n")
+              s""""cpu_s":${f3(cpu_s)},"gc_s":${f3(gc_s)},""" +
+              s""""load":${f3(load)},"hot":$hot}""" + "\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND): Unit
@@ -222,7 +256,8 @@ object Bench {
     // stdout line printed FIRST, and the LAST line is value-only (~130 B)
     // so no amount of query growth can ever re-clip the parse contract.
     val sidecar =
-      s"""{"task_metrics":$metrics,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"task_metrics":$metrics,"failed":$failed,""" +
+        s""""load_max":${f3(loadMaxSeen)},"n_hot":$nHot,"sf":"$sfDir"}"""
     System.err.println(s"BENCH_METRICS $sidecar")
     try {
       java.nio.file.Files.write(
@@ -241,7 +276,7 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     } catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(finalLine(total, totalOk, nFailed, sfDir))
+    println(finalLine(total, totalOk, nFailed, sfDir, loadMaxSeen, nHot))
     spark.stop()
   }
 }

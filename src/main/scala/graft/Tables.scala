@@ -14,19 +14,40 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     loadPath(spark, s"$dir/$name.parquet")
 
+  /** Canonical post-load contract (pinned by FixturesSpec): every
+    * timestamp column is session-zoned `TimestampType` — never
+    * TIMESTAMP_NTZ, which `unix_micros`, `withWatermark`, and the rest
+    * of the timestamp-only surface reject at analysis time. Fixture
+    * writers have historically emitted three parquet encodings for
+    * `ts` — TIMESTAMP(NANOS) (read as long under the legacy flag),
+    * `timestamp[us]` without the UTC-adjusted flag (read as
+    * TIMESTAMP_NTZ by Spark 4 — the pandas/pyarrow and DuckDB writer
+    * default; r7's silent fixture regeneration broke 11 operators this
+    * way), and UTC-adjusted `timestamp[us]` (read as TIMESTAMP
+    * directly). Normalize all of them here, for ALL columns (the
+    * orders/lineitem date columns ship NTZ too), so every downstream
+    * operator sees one type. The session is pinned to UTC, so NTZ→LTZ
+    * is value-preserving and agrees with the DuckDB oracle's naive
+    * timestamp arithmetic.
+    */
   def loadPath(spark: SparkSession, path: String): DataFrame = {
-    // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    // Spark rejects by default; read nanos as long and convert below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path)
-    df.schema.fields.find(f => f.name == "ts").map(_.dataType) match {
+    val df0 = spark.read.parquet(path)
+    val df = df0.schema.fields.find(f => f.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
         // ns → µs floor-truncation, same as the DuckDB oracle's display
         // truncation; comparisons against second-aligned bounds agree.
-        df.withColumn("ts",
+        df0.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => df
+      case _ => df0
+    }
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        f.name
+    }.foldLeft(df) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(
+        org.apache.spark.sql.types.TimestampType))
     }
   }
 

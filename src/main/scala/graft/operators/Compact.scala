@@ -82,6 +82,12 @@ object Compact {
       partitionCol: String,
       bucketBy: String,
       targetBytes: Long): CompactionStats = {
+    // In-place compaction is not supported: the rewrite reads inPath
+    // while writing outPath, and the row-losslessness guard below
+    // recounts the input afterwards — both are undefined if the write
+    // clobbers its own source.
+    require(new Path(inPath).toUri.getPath != new Path(outPath).toUri.getPath,
+      s"compact requires inPath != outPath (got $inPath)")
     val before = partitionStats(spark, inPath, partitionCol)
     require(before.nonEmpty, s"no $partitionCol= partitions under $inPath")
     val plan = before.toSeq.map { case (k, (_, bytes)) =>
@@ -112,6 +118,11 @@ object Compact {
     // output file, the intended granularity.
     val totalFiles = math.max(1L, plan.map(_._2).sum).toInt
     val df = spark.read.parquet(inPath)
+    // Input row count taken BEFORE the rewrite so a concurrent change to
+    // the input can't make the guard vacuous. This is a count JOB
+    // (footer-driven, no column data read, but still O(#files) tasks);
+    // at 100 TB it is a deliberate price for the losslessness contract.
+    val rowsIn = df.count()
     // LEFT join, null-safe (<=>): a row whose partition value still
     // fails to match its directory name (exotic escaping) falls back to
     // n_files = 1 instead of being dropped; nulls match the
@@ -127,9 +138,6 @@ object Compact {
       .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
     val after = partitionStats(spark, outPath, partitionCol)
     // Row-losslessness is the operator's whole contract — enforce it.
-    // Both counts are parquet metadata reads (footer row counts), not
-    // data scans.
-    val rowsIn = df.count()
     val rowsOut = spark.read.parquet(outPath).count()
     require(rowsIn == rowsOut,
       s"compaction dropped rows: $rowsIn in, $rowsOut out — " +

@@ -74,20 +74,41 @@ object Merge {
     // Affected-partition discovery is metadata-sized (bounded, like
     // Backup's partition collect): a changeset touching more distinct
     // partition values than the guard is a config smell, not a plan.
-    val affectedRows = updates.select(col(partitionCol)).distinct()
+    // Each value is collected in TWO forms from one distinct pass: the
+    // raw typed value (drives the base-scan pruning filter, where the
+    // literal's type must compare against the changeset's own column)
+    // and the Spark cast-to-string form (the canonical representation
+    // partition DIRECTORIES are named from). The emptied-set comparison
+    // below works exclusively on the string form — comparing raw JVM
+    // values across frames is how data gets destroyed, because the base
+    // read may partition-type-infer (String dir value → java.sql.Date)
+    // and JVM equality across those types never holds.
+    val affectedRows = updates
+      .select(col(partitionCol), col(partitionCol).cast("string").as("__dir"))
+      .distinct()
       .take(maxAffectedPartitions + 1)
     if (affectedRows.length > maxAffectedPartitions)
       throw new IllegalStateException(
         s"changeset touches more than $maxAffectedPartitions distinct " +
           s"$partitionCol partitions; raise maxAffectedPartitions if " +
           "this is intended")
-    val affected = affectedRows.map(_.get(0))
+    val affected = affectedRows.map(_.get(0)).filter(_ != null)
+    val affectedHasNull = affectedRows.exists(_.isNullAt(0))
+    val affectedDirs: Seq[String] =
+      affectedRows.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
 
     // isin over partition-column literals → partition pruning: the scan
     // lists only affected directories. No data filter survives to the
-    // row level (partition columns are directory metadata).
-    val base = spark.read.parquet(basePath)
-      .filter(col(partitionCol).isin(affected: _*))
+    // row level (partition columns are directory metadata). `isin`
+    // never matches null, so a changeset touching the null partition
+    // (__HIVE_DEFAULT_PARTITION__) extends the filter explicitly —
+    // otherwise those base rows never enter the merge and an
+    // all-deletes null changeset would delete unread data.
+    def affectedFilter = {
+      val nonNull = col(partitionCol).isin(affected: _*)
+      if (affectedHasNull) nonNull || col(partitionCol).isNull else nonNull
+    }
+    val base = spark.read.parquet(basePath).filter(affectedFilter)
     val merged = merge(base, updates, key, deleteFlag)
 
     merged.write.mode("overwrite").parquet(stagingPath)
@@ -100,39 +121,49 @@ object Merge {
     // the output — a partition whose every surviving row was deleted
     // produces no output rows, so its directory would be left intact
     // and the deleted rows would silently resurrect on the next read.
-    // Compare the affected set against the merged output's partition
-    // values (both bounded by maxAffectedPartitions) and delete the
-    // directories that became empty.
-    val surviving = staged.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    val emptied = affected.filterNot(surviving.contains)
+    // Compare affected vs surviving in ONE canonical representation:
+    // the Spark string cast (which matches how Spark itself formats
+    // partition directory names — java toString does not: Timestamp
+    // toString appends ".0").
+    val survivingDirs = staged
+      .select(col(partitionCol).cast("string"))
+      .distinct()
+      .collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .toSet
+    val emptied = affectedDirs.filterNot(survivingDirs.contains)
 
-    if (surviving.nonEmpty) {
+    // Emptied directories are removed BEFORE the overwrite: their whole
+    // content was read into the merge and produced zero survivors, so a
+    // crash between this delete and the overwrite leaves a state the
+    // merge re-run repairs (staging still holds the full merged
+    // output). The reverse order would let a crash resurrect deleted
+    // rows silently — no error on the next read.
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { dir =>
+        val dirName =
+          if (dir == null)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME
+          else
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(dir)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(basePath), s"$partitionCol=$dirName"),
+          true): Unit
+      }
+    }
+    if (survivingDirs.nonEmpty) {
       staged.write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(basePath)
     }
-    if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(basePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { v =>
-        val dirName =
-          if (v == null)
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .DEFAULT_PARTITION_NAME
-          else
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .escapePathName(v.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(basePath), s"$partitionCol=$dirName"),
-          true): Unit
-      }
-    }
 
-    if (surviving.isEmpty) staged // empty frame with the merged schema
-    else spark.read.parquet(basePath)
-      .filter(col(partitionCol).isin(affected: _*))
+    if (survivingDirs.isEmpty) staged // empty frame with the merged schema
+    else spark.read.parquet(basePath).filter(affectedFilter)
   }
 }

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** [EXT→§2.9] Structured Streaming parity idioms: the reference's batch
   * `[from, to]` extraction generalizes to event-time windows; its
@@ -43,9 +43,23 @@ object StreamingJobs {
     } else 1
   }
 
-  /** Streaming read of the events fixture. The fixture stores
-    * TIMESTAMP(NANOS) (read as long via nanosAsLong, converted to µs
-    * like [[graft.Tables.load]]).
+  /** Canonicalize the streamed `ts` column to session-zoned
+    * `TimestampType`, mirroring [[graft.Tables.loadPath]]: the fixture
+    * has shipped as TIMESTAMP(NANOS) (read long under nanosAsLong),
+    * un-adjusted `timestamp[us]` (read TIMESTAMP_NTZ — watermarks
+    * reject NTZ with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and
+    * UTC-adjusted µs. UTC session makes the NTZ→LTZ cast lossless. */
+  private def canonTs(stream: DataFrame, diskSchema: StructType): DataFrame =
+    diskSchema("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
+
+  /** Streaming read of the events fixture; `ts` normalized to
+    * TimestampType regardless of the on-disk encoding ([[canonTs]]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,9 +73,7 @@ object StreamingJobs {
       .option("maxFilesPerTrigger",
         adaptiveFilesPerTrigger(fixtureFileCount(dir)).toString)
       .parquet(s"$dir/events*.parquet")
-    if (schema("ts").dataType == LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    canonTs(stream, schema)
   }
 
   /** Run a streaming aggregation to completion against the (finite)
@@ -200,6 +212,21 @@ object StreamingJobs {
   private def eventsBatch(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
 
+  /** Set `file`'s mtime to `t` or throw: the staged-input streaming
+    * jobs encode BATCH ORDER in mtimes (the file source processes
+    * oldest first), and an order that silently failed to apply is a
+    * correctness bug downstream — a mis-ordered flush sentinel pushes
+    * the watermark past every real event and the whole fixture is
+    * late-dropped with an EMPTY, error-free result. setLastModified
+    * returns false (not throws) on filesystems that reject mtime
+    * updates and on races where the file vanished; turn both into a
+    * loud failure. StreamingChaosSpec pins this contract. */
+  private[streaming] def bumpMtimeOrFail(file: java.nio.file.Path, t: Long,
+                                         consequence: String): Unit =
+    if (!file.toFile.setLastModified(t))
+      throw new IllegalStateException(
+        s"cannot set mtime on staged stream file $file; $consequence")
+
   /** Stage `df` as a single parquet FILE at `destDir/name.parquet`
     * (write → locate the one part file → move): the staging idiom for
     * jobs that feed the file source their own input. */
@@ -254,9 +281,7 @@ object StreamingJobs {
       .option("maxFilesPerTrigger",
         adaptiveFilesPerTrigger(nDataFiles).toString)
       .parquet(glob)
-    if (schema("ts").dataType == LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    canonTs(stream, schema)
   }
 
   /** Event-time SESSION windows — dynamic gap-close windows per user
@@ -301,13 +326,17 @@ object StreamingJobs {
     }
 
     // flush sentinel with the SAME on-disk schema as the fixture (ts
-    // stays long-nanos if the fixture stores TIMESTAMP(NANOS))
+    // stays long-nanos / NTZ-µs / LTZ-µs to match what the glob's
+    // explicit read schema expects)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val farFuture: org.apache.spark.sql.Column =
-      if (raw.schema("ts").dataType == LongType)
-        lit(4102444800000000000L) // 2100-01-01 in epoch nanos
-      else lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+      raw.schema("ts").dataType match {
+        case LongType => lit(4102444800000000000L) // 2100-01-01 epoch nanos
+        case TimestampNTZType =>
+          lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0)) // NTZ literal
+        case _ => lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+      }
     val flushFile = stageParquet(
       raw.limit(1).withColumn("ts", farFuture).withColumn("user_id", lit(-1L)),
       scratch, streamDir, "events_1_flush")
@@ -320,16 +349,10 @@ object StreamingJobs {
     // downstream row still hangs on this bump: if the sentinel were
     // ingested FIRST, its 2100-01-01 event time would push the
     // watermark past every real event and the whole fixture would be
-    // silently late-dropped. setLastModified returns false on
-    // filesystems that reject mtime updates — fail fast rather than
-    // return an empty/partial result with no error.
-    val mtimeSet =
-      flushFile.toFile.setLastModified(System.currentTimeMillis() + 60000)
-    if (!mtimeSet)
-      throw new IllegalStateException(
-        s"cannot set mtime on flush sentinel $flushFile; file-source " +
-          "batch ordering would be undefined and the watermark could " +
-          "late-drop every real event")
+    // silently late-dropped.
+    bumpMtimeOrFail(flushFile, System.currentTimeMillis() + 60000,
+      "file-source batch ordering would be undefined and the watermark " +
+        "could late-drop every real event")
 
     // Watermark delay covers the whole fixture span: real files may be
     // processed in ANY order across micro-batches (multi-part fixtures
@@ -385,14 +408,18 @@ object StreamingJobs {
     java.nio.file.Files.createDirectories(streamDir): Unit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val isLong = raw.schema("ts").dataType == LongType
+    val tsType = raw.schema("ts").dataType
     // boundary literals in the fixture's ON-DISK ts representation
-    // (epoch-nanos long or µs timestamp), pinned to UTC
+    // (epoch-nanos long, NTZ µs, or LTZ µs), pinned to UTC
     def bound(iso: String): org.apache.spark.sql.Column = {
-      val sec = java.time.LocalDateTime.parse(iso)
-        .toEpochSecond(java.time.ZoneOffset.UTC)
-      if (isLong) lit(sec * 1000000000L)
-      else timestamp_seconds(lit(sec))
+      val ldt = java.time.LocalDateTime.parse(iso)
+      tsType match {
+        case LongType =>
+          lit(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L)
+        case TimestampNTZType => lit(ldt)
+        case _ =>
+          timestamp_seconds(lit(ldt.toEpochSecond(java.time.ZoneOffset.UTC)))
+      }
     }
     val bounds = Seq("2024-01-08T12:30:00", "2024-01-16T06:30:00",
       "2024-01-23T18:30:00").map(bound)
@@ -404,9 +431,8 @@ object StreamingJobs {
     val base = System.currentTimeMillis()
     chunks.zipWithIndex.foreach { case (c, i) =>
       val f = stageParquet(c, scratch, streamDir, f"events_$i%02d")
-      if (!f.toFile.setLastModified(base + i * 60000L))
-        throw new IllegalStateException(
-          s"cannot set mtime on staged chunk $f; file-source ordering " +
+      bumpMtimeOrFail(f, base + i * 60000L,
+        "file-source ordering " +
             "would be undefined and the watermark could late-drop rows")
     }
     val agg = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet",

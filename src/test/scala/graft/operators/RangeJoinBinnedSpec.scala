@@ -67,4 +67,57 @@ class RangeJoinBinnedSpec extends SparkTestBase {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
       "overlap pair multiset differs between binned and NL join")
   }
+
+  test("bin-width sweep: pair set invariant and replication bounded " +
+    "across 3+ orders of magnitude of binSeconds") {
+    // binSeconds is a COST knob, never a correctness knob: the result
+    // must be identical at any width, and the interval-side replication
+    // must follow the span/binWidth+1 model (too-small bins explode
+    // rows predictably, never silently). Fixture intervals span ≤60min.
+    val (iv, pt) = sides()
+    val widths = Seq(60L, 600L, 3600L, 36000L, 86400L)
+    val pairCounts = widths.map { w =>
+      val joined = RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t", w)
+        .select(col("ivl_id"), col("pt_id"))
+      w -> joined.count()
+    }.toMap
+    assert(pairCounts.values.toSet.size == 1,
+      s"pair count varies with bin width: $pairCounts")
+    // spot-check full multiset equality at the two extremes
+    val lo = RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t", widths.head)
+      .select(col("ivl_id"), col("pt_id"))
+    val hi = RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t", widths.last)
+      .select(col("ivl_id"), col("pt_id"))
+    assert(lo.exceptAll(hi).isEmpty && hi.exceptAll(lo).isEmpty,
+      "pair multiset differs between 60s and 86400s bins")
+
+    // replication model: each interval lands on floor(e/w)-floor(s/w)+1
+    // bins ≤ span/w + 2; spans are ≤3600s, so the 60s-bin blowup is
+    // bounded at 62× and the ≥3600s widths at ≤3×
+    val nIntervals = iv.count()
+    widths.foreach { w =>
+      val replicated = iv.select(
+        (floor(unix_micros(col("e")) / (w * 1000000L)) -
+          floor(unix_micros(col("s")) / (w * 1000000L)) + 1).as("n"))
+        .agg(sum(col("n"))).head.getLong(0)
+      val cap = nIntervals * (3600 / w + 2)
+      assert(replicated <= cap,
+        s"bin=$w: replication $replicated exceeds model cap $cap")
+    }
+
+    // same invariance for the overlap join at three widths
+    val ev = Tables.events(spark, sf0001)
+    def ivls(id: String, sN: String, eN: String, parity: Int) =
+      ev.filter(col("event_id") % 2 === parity)
+        .select(col("event_id").as(id), col("ts").as(sN),
+          expr("ts + make_interval(0, 0, 0, 0, 0, " +
+            "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)").as(eN))
+    val a = ivls("a_id", "s1", "e1", 0)
+    val b = ivls("b_id", "s2", "e2", 1)
+    val overlapCounts = Seq(60L, 3600L, 86400L).map { w =>
+      w -> RangeJoin.binnedOverlapJoin(a, b, "s1", "e1", "s2", "e2", w).count()
+    }.toMap
+    assert(overlapCounts.values.toSet.size == 1,
+      s"overlap pair count varies with bin width: $overlapCounts")
+  }
 }
