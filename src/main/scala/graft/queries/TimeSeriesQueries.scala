@@ -59,27 +59,13 @@ object TimeSeriesQueries {
         |FROM grid g
         |LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val events = Tables.events(s, dir)
-      val obs = events
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sum_value"))
-      val buckets = obs.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
-          .as("bucket"))
-      val grid = events.select(col("event_type")).distinct().crossJoin(buckets)
-      val fill = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(obs, Seq("event_type", "bucket"), "left")
+      // operator façade: graft.operators.Resample owns the grid/fill
+      // plan shape and the numeric discipline; this query only formats
+      graft.operators.Resample.gapFillLocf(Tables.events(s, dir))
         .select(col("event_type"),
           date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"),
-          asD(coalesce(col("sum_value"), dec(lit(0)))).as("sum_value"),
-          // a key whose FIRST grid bucket is a gap has no history to
-          // fill from: pin the sentinel instead of a NULL double (NULL
-          // doubles round-trip as NaN through some oracle paths)
-          asD(coalesce(last(col("sum_value"), ignoreNulls = true).over(fill),
-            dec(lit(-1)))).as("filled_value"),
-          col("n_events").isNull.as("was_gap"))
+          col("n_events"), col("sum_value"), col("filled_value"),
+          col("was_gap"))
         .orderBy(col("event_type"), col("bucket_str"))
     },
 
@@ -364,19 +350,7 @@ object TimeSeriesQueries {
         |  count(*) AS n_weights
         |FROM w WHERE dt > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
       (s, dir) =>
-      val win = Window.partitionBy(col("event_type"), col("day"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("event_type"), to_date(col("ts")).as("day"), col("ts"),
-          col("event_id"), dec(col("value")).as("v"))
-        .withColumn("nxt", lead(col("ts"), 1).over(win))
-        .withColumn("dt",
-          expr("(unix_micros(nxt) - unix_micros(ts)) div 1000000"))
-        .filter(col("nxt").isNotNull && col("dt") > 0)
-        .groupBy(col("event_type"), col("day"))
-        .agg((asD(sum(col("v") * col("dt"))) /
-            sum(col("dt")).cast("double")).as("twa"),
-          count(lit(1)).as("n_weights"))
+      graft.operators.Resample.timeWeightedAvg(Tables.events(s, dir))
         .select(col("event_type"), col("day").cast("string").as("day"),
           col("twa"), col("n_weights"))
         .orderBy(col("event_type"), col("day"))
@@ -411,22 +385,7 @@ object TimeSeriesQueries {
         |  count(*) AS n,
         |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS volume
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val asc = Window.partitionBy(col("event_type"), col("day"))
-        .orderBy(col("ts"), col("event_id"))
-      val desc = Window.partitionBy(col("event_type"), col("day"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, dir)
-        .select(col("event_type"), to_date(col("ts")).as("day"), col("ts"),
-          col("event_id"), dec(col("value")).as("v"))
-        .withColumn("rn_a", row_number().over(asc))
-        .withColumn("rn_d", row_number().over(desc))
-        .groupBy(col("event_type"), col("day"))
-        .agg(asD(min(when(col("rn_a") === 1, col("v")))).as("open"),
-          asD(max(col("v"))).as("high"),
-          asD(min(col("v"))).as("low"),
-          asD(min(when(col("rn_d") === 1, col("v")))).as("close"),
-          count(lit(1)).as("n"),
-          asD(sum(col("v"))).as("volume"))
+      graft.operators.Resample.ohlc(Tables.events(s, dir))
         .select(col("event_type"), col("day").cast("string").as("day"),
           col("open"), col("high"), col("low"), col("close"), col("n"),
           col("volume"))
@@ -487,39 +446,10 @@ object TimeSeriesQueries {
         |         (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |  END AS filled
         |FROM b ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val events = Tables.events(s, dir)
-      val obs = events
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg(sum(dec(col("value"))).as("sum_value"))
-      val buckets = obs
-        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("interval 1 hour"))).as("bucket"))
-      val grid = events.select(col("event_type")).distinct().crossJoin(buckets)
-      val j = grid.join(obs, Seq("event_type", "bucket"), "left")
-        .withColumn("t", expr("unix_micros(bucket) div 3600000000"))
-        .withColumn("obs_t",
-          when(col("sum_value").isNotNull, col("t")))
-        .withColumn("obs_v", asD(col("sum_value")))
-      val back = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fwd = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      j.withColumn("pt", last(col("obs_t"), ignoreNulls = true).over(back))
-        .withColumn("pv", last(col("obs_v"), ignoreNulls = true).over(back))
-        .withColumn("nt", first(col("obs_t"), ignoreNulls = true).over(fwd))
-        .withColumn("nv", first(col("obs_v"), ignoreNulls = true).over(fwd))
+      graft.operators.Resample.gapFillLerp(Tables.events(s, dir))
         .select(col("event_type"),
           date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"),
-          col("obs_t").isNull.as("was_gap"),
-          when(col("pv").isNull && col("nv").isNull, lit(-1.0))
-            .when(col("pv").isNull, col("nv"))
-            .when(col("nv").isNull, col("pv"))
-            .when(col("nt") === col("pt"), col("pv"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) *
-              ((col("t") - col("pt")).cast("double") /
-                (col("nt") - col("pt")).cast("double")))
-            .as("filled"))
+          col("was_gap"), col("filled"))
         .orderBy(col("event_type"), col("bucket_str"))
     },
 
