@@ -133,13 +133,44 @@ object Restore {
     // Schema-directed read: data fields arrive stringified; listing the
     // partition columns in the read schema pins their type (partition
     // discovery would otherwise guess, e.g. date_dir -> int).
-    val readSchema = StructType(
-      target.fields.filterNot(_.name == partitionColumn)
-        .map(f => f.copy(dataType = stringifiedSchema(f.dataType))) :+
-        StructField(partitionColumn,
-          stringifiedSchema(target(partitionColumn).dataType)) :+
-        StructField("date_dir", StringType))
-    val raw = spark.read.schema(readSchema).json(backupDir)
+    val dataFields = target.fields.filterNot(_.name == partitionColumn)
+    // FAST PATH for all-scalar rows (the common case — a faithful
+    // backup of a flat table is one JSON object of strings per line):
+    // read the chunk lines as TEXT and extract each field with the
+    // compiled graft_json_scalar kernel, entirely inside whole-stage
+    // codegen. The generic JSON datasource pays an interpreted Jackson
+    // token pull + generic row conversion per line — measured ~15× cpu
+    // for 10× rows on the r12 path (PLANS.md:380). Composite schemas
+    // (nested structs/arrays/maps) keep the datasource path.
+    val flat = dataFields.forall(f => stringifiedSchema(f.dataType) == StringType)
+    val raw = if (flat) {
+      graft.functions.JsonFunctions.register(spark)
+      // text can't take a user schema, so pin partition-column types by
+      // disabling inference for this read (everything arrives as the
+      // stringified form, exactly like the schema-directed json read)
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.get(inferKey)
+      spark.conf.set(inferKey, "false")
+      try {
+        // the text source's own column is named `value`; rename it so a
+        // data field with that name can't collide with the raw line
+        val line = "__graft_raw_line"
+        val txt = spark.read.text(backupDir).withColumnRenamed("value", line)
+        dataFields.foldLeft(txt) { (d, f) =>
+          require(!f.name.contains("'") && !f.name.contains("\\") &&
+            f.name != line,
+            s"field name ${f.name} would need escaping in the extraction")
+          d.withColumn(f.name, expr(s"graft_json_scalar($line, '${f.name}')"))
+        }.drop(line)
+      } finally spark.conf.set(inferKey, prev)
+    } else {
+      val readSchema = StructType(
+        dataFields.map(f => f.copy(dataType = stringifiedSchema(f.dataType))) :+
+          StructField(partitionColumn,
+            stringifiedSchema(target(partitionColumn).dataType)) :+
+          StructField("date_dir", StringType))
+      spark.read.schema(readSchema).json(backupDir)
+    }
     val typed = raw.select(target.fields.toSeq.map { f =>
       unstringify(col(f.name), f.dataType).as(f.name)
     }: _*)
