@@ -15,7 +15,8 @@ class BenchSpec extends AnyFunSuite {
     // a long sf dir. Still must fit with an order of magnitude to spare.
     val line = Bench.finalLine(
       total = 99999.999, totalOk = 99999.999, nFailed = 999,
-      sfDir = "/root/testdata/sf0.1", loadMax = 999.999, nHot = 999)
+      sfDir = "/root/testdata/sf0.1", loadMax = 999.999,
+      otherMax = 999.999, nHot = 999)
     val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     assert(bytes < 1024, s"final line is $bytes bytes: $line")
   }
@@ -30,7 +31,7 @@ class BenchSpec extends AnyFunSuite {
     // assert the rendered shape is exactly the driver contract keys
     val keys = "\"(\\w+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
     assert(keys == Seq("metric", "value", "unit", "total_ok", "n_failed",
-      "load_max", "n_hot", "sf"))
+      "load_max", "other_max", "n_hot", "sf"))
   }
 
   test("final line is valid minimal JSON with the keys the driver parses") {
