@@ -58,11 +58,14 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-  /** (host busy jiffies across all cpus, this process's jiffies).
-    * Deltas of (busy - self) measure OTHER tenants' cpu during a
-    * window — the contamination signal wall-vs-cpu comparisons can only
-    * guess at. (-1,-1) where /proc is unreadable. */
-  private[graft] def cpuJiffies(): (Long, Long) =
+  /** (host busy jiffies across all cpus, host iowait jiffies, this
+    * process's jiffies). Deltas of (busy - self) measure OTHER
+    * tenants' cpu during a window — the contamination signal
+    * wall-vs-cpu comparisons can only guess at; the iowait delta names
+    * the OTHER failure mode, a saturated disk, which shows up as wall
+    * ≫ cpu with other_cores ~0 (r8's second capture: q05 14 s wall on
+    * 2 s cpu). (-1,-1,-1) where /proc is unreadable. */
+  private[graft] def cpuJiffies(): (Long, Long, Long) =
     try {
       val stat = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
@@ -70,6 +73,7 @@ object Bench {
       // user+nice+system+irq+softirq+steal (idle+iowait excluded)
       val busy = stat(1).toLong + stat(2).toLong + stat(3).toLong +
         stat(6).toLong + stat(7).toLong + stat(8).toLong
+      val iowait = stat(5).toLong
       val selfStat = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -77,8 +81,8 @@ object Bench {
       // state ppid pgrp session tty tpgid flags minflt cminflt majflt
       // cmajflt utime(11) stime(12)
       val f = selfStat.substring(selfStat.lastIndexOf(')') + 2).split(" ")
-      (busy, f(11).toLong + f(12).toLong)
-    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+      (busy, iowait, f(11).toLong + f(12).toLong)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
 
   /** Jiffies per second (USER_HZ); 100 on every mainstream Linux. */
   private[graft] val Hz = 100.0
@@ -223,18 +227,21 @@ object Bench {
         // other_cores column now states per query.
         val load = loadAvg1m()
         if (load > loadMaxSeen) loadMaxSeen = load
-        val (busy0, self0) = cpuJiffies()
+        val (busy0, io0, self0) = cpuJiffies()
         val (r0, c0, g0) = (taskRunMs.get, taskCpuNs.get, taskGcMs.get)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getMessage}"); false }
         val sec = (System.nanoTime() - t0) / 1e9
-        val (busy1, self1) = cpuJiffies()
+        val (busy1, io1, self1) = cpuJiffies()
         val otherCores =
           if (busy0 < 0 || busy1 < 0 || sec <= 0) -1.0
           else math.max(0.0,
             ((busy1 - busy0) - (self1 - self0)) / Hz / sec)
+        val iowaitCores =
+          if (io0 < 0 || io1 < 0 || sec <= 0) -1.0
+          else (io1 - io0) / Hz / sec
         if (otherCores > otherMaxSeen) otherMaxSeen = otherCores
         val hot = otherCores > HotOtherCores
         if (hot) nHot += 1
@@ -250,14 +257,15 @@ object Bench {
         System.err.println(
           s"BENCHQ $name ok=$ok wall=${f3(sec)} run_s=${f3(run_s)} " +
             s"cpu_s=${f3(cpu_s)} gc_s=${f3(gc_s)} load=${f3(load)} " +
-            s"other_cores=${f3(otherCores)}" + (if (hot) " HOT" else ""))
+            s"other_cores=${f3(otherCores)} iowait_cores=${f3(iowaitCores)}" +
+            (if (hot) " HOT" else ""))
         try {
           java.nio.file.Files.write(
             progressPath,
             (s"""{"q":"$name","ok":$ok,"wall":${f3(sec)},"run_s":${f3(run_s)},""" +
               s""""cpu_s":${f3(cpu_s)},"gc_s":${f3(gc_s)},""" +
               s""""load":${f3(load)},"other_cores":${f3(otherCores)},""" +
-              s""""hot":$hot}""" + "\n")
+              s""""iowait_cores":${f3(iowaitCores)},"hot":$hot}""" + "\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND): Unit
