@@ -28,16 +28,29 @@ object AsOfJoin {
 
   /** @param rightPayload right columns to carry onto matching left rows
     *                     (null when no right row precedes the left row).
+    * @param toleranceSeconds when set, a match older than this many
+    *                     seconds before the left time is rejected
+    *                     (payload nulls out) — pandas merge_asof's
+    *                     `tolerance`: "the latest right row, but only
+    *                     if it is recent enough". Match-then-reject
+    *                     keeps the window composition unchanged; the
+    *                     staleness test is one codegen'd comparison on
+    *                     exact integer µs per left row.
     */
   def leftAsOf(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(rightPayload.contains),
       "rightPayload column names must not collide with left columns")
+    require(toleranceSeconds.forall(_ > 0), "tolerance must be positive")
 
-    val payloadStruct = struct(rightPayload.map(col): _*)
+    // the matched right TIME rides inside the payload struct so the
+    // tolerance test can see it after the window
+    val payloadStruct = struct(
+      col(rightTime).as("__rt") +: rightPayload.map(col): _*)
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
@@ -57,9 +70,16 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val joined = l.unionByName(rAligned)
+    val joined0 = l.unionByName(rAligned)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val joined = toleranceSeconds match {
+      case Some(tol) => joined0.withColumn("__match",
+        when(unix_micros(col("__t")) -
+          unix_micros(col("__match").getField("__rt")) <= tol * 1000000L,
+          col("__match")))
+      case None => joined0
+    }
 
     val out = leftCols.map(col) ++
       rightPayload.map(p => col("__match").getField(p).as(p))

@@ -781,6 +781,30 @@ object SqlSurfaceQueries {
         Rule("price_capped",
           "CAST(o_totalprice AS DECIMAL(12,2)) <= 300000"),
         Rule("key_not_round", "o_orderkey % 1000 <> 0")))
+    },
+
+    // ---- q81: equi-width histogram (width_bucket) --------------------
+    // The one-scan distribution profile every data-quality/EDA pass
+    // starts with: per event_type, 25-wide value buckets over [0, 500)
+    // via Spark's width_bucket (codegen'd arithmetic inside the scan
+    // stage) + ONE map-side-combined hash aggregate. DuckDB has no
+    // width_bucket, so the oracle states the identical IEEE arithmetic
+    // (bucket width 500/20 = 25.0 exactly, so floor(v/25)+1 is the
+    // same double op on both engines). Buckets are LONG; counts exact.
+    "q81_value_histogram" -> QueryDef(
+      """SELECT event_type,
+        |  CAST(FLOOR(value / 25.0) AS BIGINT) + 1 AS bucket,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("width_bucket(value, 0.0D, 500.0D, 20)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("string")
+            .cast("double").as("sum_value"))
     }
   )
 }

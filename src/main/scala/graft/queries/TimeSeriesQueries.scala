@@ -519,6 +519,82 @@ object TimeSeriesQueries {
               (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
             .as("corr"))
         .orderBy(col("day"))
+    },
+
+    // ---- q79: per-session statistics (Sessionize façade) -------------
+    // q22 reports per-USER session counts; q79 is the per-SESSION view
+    // a funnel/engagement pipeline actually consumes: start, size and
+    // whole-second duration of every session. Same one-shuffle window
+    // chain (graft.operators.Sessionize); all outputs exact integers /
+    // formatted timestamps, so the hash compare is bit-stable.
+    "q79_session_stats" -> QueryDef(
+      """WITH gaps AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(date_trunc('microsecond', ts))
+        |         - epoch_us(date_trunc('microsecond', lag(ts) OVER w))
+        |         > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY date_trunc('microsecond', ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY date_trunc('microsecond', ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM gaps)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events,
+        |  (epoch_us(date_trunc('microsecond', max(ts)))
+        |    - epoch_us(date_trunc('microsecond', min(ts)))) // 1000000
+        |    AS duration_seconds
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.sessionStats(Tables.events(s, dir))
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("n_events"), col("duration_seconds"))
+    },
+
+    // ---- q80: as-of join with tolerance ------------------------------
+    // q20's "latest right row at or before t" plus the recency bound
+    // every real enrichment needs (pandas merge_asof `tolerance`): a
+    // match older than 7 days is no match. Same union+window plan; the
+    // staleness test is one codegen'd integer-µs comparison per row.
+    // -1 sentinel for "no recent-enough match": a NULL-bearing BIGINT
+    // degrades to float64 NaN through the driver's pandas pull and
+    // hash-mismatches Spark's int64 on every row (q20 dodges this only
+    // because every event there has SOME preceding order).
+    "q80_asof_tolerance" -> QueryDef(
+      """WITH latest_order AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id,
+        |  COALESCE(CASE WHEN o.o_orderdate IS NOT NULL
+        |    AND epoch_us(date_trunc('microsecond', e.ts))
+        |        - epoch_us(date_trunc('microsecond', o.o_orderdate))
+        |        <= 604800000000
+        |  THEN o.o_orderkey END, -1) AS matched_orderkey
+        |FROM events e ASOF LEFT JOIN latest_order o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin) {
+      (s, dir) =>
+      val latest = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsOfJoin.leftAsOf(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        latest,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey"),
+        toleranceSeconds = Some(7L * 24 * 3600))
+        .select(col("event_id"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("matched_orderkey"))
     }
   )
 }

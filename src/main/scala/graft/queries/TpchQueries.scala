@@ -640,18 +640,11 @@ object TpchQueries {
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM gaps GROUP BY user_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
-              1800000000L, 1)
-            .otherwise(0))
-        .groupBy(col("user_id"))
-        .agg(sum(col("new_session")).cast("long").as("n_sessions"),
-          count(lit(1)).as("n_events"))
+      // operator façade: graft.operators.Sessionize owns the
+      // gap-flag + running-ordinal window chain (one Window operator)
+      graft.operators.Sessionize.sessionCounts(
+        Tables.events(s, dir), keyCol = "user_id", tsCol = "ts",
+        tieCol = "event_id", gapSeconds = 1800)
     },
 
     // ---- sorts / limits / top-k --------------------------------------

@@ -39,4 +39,22 @@ class AsOfJoinSpec extends SparkTestBase {
       AsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt", Seq("payload"))
     }
   }
+
+  test("tolerance rejects stale matches but keeps recent ones " +
+    "(boundary inclusive)") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"), // 30 min after right
+      (1L, ts("2024-01-01 12:00:00"), "edge"),  // exactly tolerance after
+      (1L, ts("2024-01-01 12:00:01"), "stale")  // 1s past tolerance
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), 100L))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt",
+      Seq("payload"), toleranceSeconds = Some(9000L)) // 2.5 h
+      .select($"tag", $"payload").as[(String, Option[Long])]
+      .collect().toMap
+    assert(out("fresh").contains(100L))
+    assert(out("edge").contains(100L))  // <= is inclusive
+    assert(out("stale").isEmpty)        // matched then rejected
+  }
 }
