@@ -17,6 +17,23 @@ object StreamingQueries {
     // monotone max(n)/max_by finalizer makes the bounded result equal
     // batch aggregation under any batch split (see
     // StreamingJobs.updateModeCounts).
+    // stream-stream LEFT OUTER join: null-side emission driven by the
+    // watermark via a both-roles flush sentinel (see
+    // StreamingJobs.streamStreamLeftJoin); bounded result equals the
+    // batch LEFT JOIN. Unmatched purchases are -1, not NULL (BIGINT
+    // survives the driver's pandas pull).
+    "s15_stream_stream_left_join" -> QueryDef(
+      """SELECT c.user_id, c.event_id AS click_event,
+        |  COALESCE(p.event_id, -1) AS purchase_event
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin) {
+      (s, dir) => StreamingJobs.streamStreamLeftJoin(s, dir)
+    },
+
     "s14_stream_update_mode" -> QueryDef(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

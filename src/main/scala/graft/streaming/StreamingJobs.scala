@@ -296,14 +296,42 @@ object StreamingJobs {
     * sessions finalize and the result equals batch sessionization
     * (which is what makes the DuckDB oracle exact). The sentinel's own
     * session never finalizes and is additionally filtered out. */
-  def sessionCounts(spark0: SparkSession, dir: String,
-                    gapMinutes: Int = 30): DataFrame = {
-    val spark = streamSession(spark0)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_sess_stream")
-    val streamDir = scratch.resolve("in")
+  /** 2100-01-01 in the fixture's ON-DISK ts encoding (long-nanos /
+    * NTZ-µs / LTZ-µs — whatever the glob's explicit read schema
+    * expects). */
+  private def farFutureTs(raw: DataFrame): org.apache.spark.sql.Column =
+    raw.schema("ts").dataType match {
+      case LongType => lit(4102444800000000000L) // 2100-01-01 epoch nanos
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0)) // NTZ literal
+      case _ => lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+    }
+
+  /** Stage the events fixture into `streamDir` as batch-1 input (the
+    * fixture may be a single file — driver testdata — or a
+    * Spark-written directory of part files), then a far-future flush
+    * SENTINEL as the final batch: `sentinel(raw)` builds the sentinel
+    * rows from the raw-disk-schema frame (its `ts` should be
+    * [[farFutureTs]] so the watermark jumps past every real event and
+    * all pending state finalizes/evicts — the only way a FINITE file
+    * source ever exercises the production append-mode flush path).
+    * Returns the data-file count (sentinel excluded) for
+    * [[adaptiveFilesPerTrigger]].
+    *
+    * The file source processes oldest-mtime first; the sentinel's
+    * mtime is bumped into the future so it is ALWAYS in the final
+    * trigger. It may share that trigger with trailing data files —
+    * safe, because a batch's late-record filter uses the watermark
+    * carried over from the PREVIOUS batch, and the engine's default
+    * no-data micro-batch then flushes the finalized state. If the
+    * sentinel were ingested FIRST, its 2100-01-01 event time would
+    * push the watermark past every real event and the whole fixture
+    * would be silently late-dropped — hence the fail-fast bump. */
+  private def stageFixtureWithSentinel(
+      spark: SparkSession, dir: String, scratch: java.nio.file.Path,
+      streamDir: java.nio.file.Path,
+      sentinel: DataFrame => DataFrame): Int = {
     java.nio.file.Files.createDirectories(streamDir): Unit
-    // fixture may be a single file (driver testdata) or a Spark-written
-    // directory of part files (tests) — stage either as batch 1
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val nDataFiles: Int = if (java.nio.file.Files.isDirectory(src)) {
       val listing = java.nio.file.Files.list(src)
@@ -324,35 +352,24 @@ object StreamingJobs {
       java.nio.file.Files.copy(src, streamDir.resolve("events_0.parquet")): Unit
       1
     }
-
-    // flush sentinel with the SAME on-disk schema as the fixture (ts
-    // stays long-nanos / NTZ-µs / LTZ-µs to match what the glob's
-    // explicit read schema expects)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val farFuture: org.apache.spark.sql.Column =
-      raw.schema("ts").dataType match {
-        case LongType => lit(4102444800000000000L) // 2100-01-01 epoch nanos
-        case TimestampNTZType =>
-          lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0)) // NTZ literal
-        case _ => lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
-      }
     val flushFile = stageParquet(
-      raw.limit(1).withColumn("ts", farFuture).withColumn("user_id", lit(-1L)),
-      scratch, streamDir, "events_1_flush")
-    // The file source processes oldest-mtime first; make the ordering
-    // explicit so the sentinel is ALWAYS in the FINAL trigger. It may
-    // share that trigger with trailing data files — safe, because a
-    // batch's late-record filter uses the watermark carried over from
-    // the PREVIOUS batch, and the engine's default no-data micro-batch
-    // then flushes every finalized session. The correctness of every
-    // downstream row still hangs on this bump: if the sentinel were
-    // ingested FIRST, its 2100-01-01 event time would push the
-    // watermark past every real event and the whole fixture would be
-    // silently late-dropped.
+      sentinel(raw), scratch, streamDir, "events_1_flush")
     bumpMtimeOrFail(flushFile, System.currentTimeMillis() + 60000,
       "file-source batch ordering would be undefined and the watermark " +
         "could late-drop every real event")
+    nDataFiles
+  }
+
+  def sessionCounts(spark0: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val streamDir = scratch.resolve("in")
+    val nDataFiles = stageFixtureWithSentinel(spark, dir, scratch, streamDir,
+      raw => raw.limit(1).withColumn("ts", farFutureTs(raw))
+        .withColumn("user_id", lit(-1L)))
 
     // Watermark delay covers the whole fixture span: real files may be
     // processed in ANY order across micro-batches (multi-part fixtures
@@ -501,6 +518,56 @@ object StreamingJobs {
       joined.select(col("c_user").as("user_id"),
         col("c_event").as("click_event"), col("p_event").as("purchase_event")),
       mode = "append")
+  }
+
+  /** Stream-stream LEFT OUTER join — the shape s10's inner join cannot
+    * reach: a click with NO purchase in the following hour must still
+    * emit (null-side row), and the engine may only do so once the
+    * watermark PROVES no future purchase can match. A finite file
+    * source's watermark never passes the last real click, so unmatched
+    * clicks would be held in state forever and silently dropped at
+    * stop(); the job therefore stages the fixture plus a far-future
+    * flush sentinel on BOTH input roles (one click + one purchase row
+    * at 2100-01-01, user_id = -1) that drives both watermarks past
+    * every real event — all pending left state emits its null rows and
+    * the bounded result equals the batch LEFT JOIN, which is what the
+    * oracle runs. Unmatched purchases are encoded -1 (not null) so the
+    * BIGINT column survives the oracle's pandas pull. */
+  def streamStreamLeftJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ssoj_stream")
+    val streamDir = scratch.resolve("in")
+    val nDataFiles = stageFixtureWithSentinel(spark, dir, scratch, streamDir,
+      raw => {
+        val base = raw.limit(1).withColumn("ts", farFutureTs(raw))
+          .withColumn("user_id", lit(-1L))
+        base.withColumn("event_type", lit("click"))
+          .unionByName(base.withColumn("event_type", lit("purchase")))
+      })
+    val glob = s"$streamDir/events*.parquet"
+    val clicks = eventsStreamFrom(spark, dir, glob, nDataFiles)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "40 days")
+    val purchases = eventsStreamFrom(spark, dir, glob, nDataFiles)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "40 days")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    try {
+      runToCompletion(
+        joined.select(col("c_user").as("user_id"),
+          col("c_event").as("click_event"),
+          coalesce(col("p_event"), lit(-1L)).as("purchase_event")),
+        mode = "append")
+        .filter(col("user_id") >= 0)
+    } finally deleteRecursively(scratch)
   }
 
   /** Streaming → parquet FILE sink — the production sink (memory is
