@@ -805,6 +805,43 @@ object SqlSurfaceQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).cast("string")
             .cast("double").as("sum_value"))
+    },
+
+    // ---- q82: approximate top-k (DataSketches frequent items) --------
+    // Spark 4's approx_top_k — the mergeable heavy-hitters sketch that
+    // answers "top URLs / tokens / keys" at 100 TB in one pass with
+    // bounded memory, completing the sketch family beside HLL (q15),
+    // GK (q59), count-min (CountMinSpec) and bloom. Oracle-exactness
+    // by the sketch's own guarantee: with maxItemsTracked >= #distinct
+    // items nothing is ever evicted and every count is EXACT, so on
+    // the bounded event_type domain the result equals the true top-3
+    // (counts are distinct at every fixture SF — no tie ambiguity).
+    "q82_approx_topk" -> QueryDef(
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 3""".stripMargin) {
+      (s, dir) =>
+      Tables.events(s, dir)
+        .agg(expr("approx_top_k(event_type, 3, 64)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+    },
+
+    // ---- q83: sketch-merge workflow (accumulate → combine → estimate)
+    // The production shape behind q82: per-group sketches built
+    // map-side (accumulate per day), merged associatively (combine —
+    // what makes the answer ONE shuffle of sketch bytes instead of a
+    // global re-count), estimated once at the end. Same exact-domain
+    // argument as q82, so the merged estimate equals the true top-3.
+    "q83_topk_sketch_merge" -> QueryDef(
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 3""".stripMargin) {
+      (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("approx_top_k_accumulate(event_type, 64)").as("sk"))
+        .agg(expr("approx_top_k_combine(sk, 64)").as("comb"))
+        .select(explode(expr("approx_top_k_estimate(comb, 3)")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
     }
   )
 }
