@@ -148,4 +148,58 @@ object Compact {
       filesAfter = after.valuesIterator.map(_._1).sum,
       bytesTotal = before.valuesIterator.map(_._2).sum)
   }
+
+  /** OPTIMIZE ZORDER: bin-pack like [[compact]] but lay rows out by
+    * Z-VALUE of (`zColA`, `zColB`) so each output file covers a
+    * contiguous z-range — box predicates on the two columns then skip
+    * whole FILES via parquet footer min/max, which a hash-bucketed
+    * rewrite cannot give (see `functions/ZOrder` for the pruning
+    * measurements).
+    *
+    * Scale shape: ONE `repartitionByRange(totalFiles, partition, z)` —
+    * a sampling-based range exchange, the same single-shuffle class as
+    * compact()'s hash route and, critically, NOT a per-partition
+    * window rank (which would put each partition's whole ordering in
+    * one task — the 2 TB-partition trap this operator family exists to
+    * avoid). A range task can straddle a partition-value boundary, so
+    * the per-partition file-count contract relaxes from ≤cap to
+    * ≤cap+1; the explicit N keeps the geometry AQE-exempt. Rows are
+    * additionally sorted by z WITHIN each task so row groups inside a
+    * file are z-runs too.
+    */
+  def compactZOrdered(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      partitionCol: String,
+      zColA: String,
+      zColB: String,
+      targetBytes: Long,
+      bits: Int = 16): CompactionStats = {
+    require(new Path(inPath).toUri.getPath != new Path(outPath).toUri.getPath,
+      s"compact requires inPath != outPath (got $inPath)")
+    val before = partitionStats(spark, inPath, partitionCol)
+    require(before.nonEmpty, s"no $partitionCol= partitions under $inPath")
+    val totalFiles = math.max(1L, before.valuesIterator.map { case (_, bytes) =>
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    }.sum).toInt
+    val df = spark.read.parquet(inPath)
+    val rowsIn = df.count()
+    df.withColumn("__z",
+        graft.functions.ZOrder.zValue(col(zColA), col(zColB), bits))
+      .repartitionByRange(totalFiles, col(partitionCol), col("__z"))
+      .sortWithinPartitions(col(partitionCol), col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
+    val after = partitionStats(spark, outPath, partitionCol)
+    val rowsOut = spark.read.parquet(outPath).count()
+    require(rowsIn == rowsOut,
+      s"compaction dropped rows: $rowsIn in, $rowsOut out — " +
+        "this is a bug, the rewrite must be row-lossless")
+    CompactionStats(
+      partitions = after.size.toLong,
+      filesBefore = before.valuesIterator.map(_._1).sum,
+      filesAfter = after.valuesIterator.map(_._1).sum,
+      bytesTotal = before.valuesIterator.map(_._2).sum)
+  }
 }

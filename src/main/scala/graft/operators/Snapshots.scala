@@ -60,6 +60,42 @@ object Snapshots {
     spark.read.parquet(root).filter(col("version") === vs.last).drop("version")
   }
 
+  /** Retention / VACUUM: delete committed snapshots beyond the newest
+    * `retain`, plus any UNCOMMITTED version directory older than the
+    * newest committed version (a crashed writer's half-written
+    * snapshot — invisible to readers, but storage it will never
+    * reclaim on its own). Copy-on-write snapshots make retention THE
+    * cost lever at scale: every version is a full table copy, so an
+    * unbounded history is an unbounded storage bill.
+    *
+    * Deletion order is oldest-first and the newest `retain` committed
+    * versions are never touched, so a concurrent AS-OF reader of a
+    * retained version is unaffected; readers of vacuumed versions get
+    * the same failure mode every table format documents for VACUUM.
+    * Returns the deleted version numbers (committed ones; negative
+    * entries are uncommitted dirs, reported as -1). */
+  def vacuum(spark: SparkSession, root: String, retain: Int): Seq[Long] = {
+    require(retain >= 1, "must retain at least one snapshot")
+    val committed = versions(spark, root)
+    if (committed.isEmpty) return Seq.empty
+    val keep = committed.takeRight(retain).toSet
+    val newestCommitted = committed.last
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victims = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+      .flatMap { s =>
+        val v = s.getPath.getName.stripPrefix("version=").toLong
+        val isCommitted = fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+        if (isCommitted && !keep.contains(v)) Some((s.getPath, v))
+        else if (!isCommitted && v < newestCommitted) Some((s.getPath, -1L))
+        else None
+      }
+      .sortBy(_._2)
+    victims.map { case (p, v) => fs.delete(p, true); v }
+  }
+
   /** Row-level diff `from` → `to` on `key`: one row per changed key
     * with change_type ∈ {added, removed, changed}. Unchanged keys
     * (all non-key columns equal, null-safe) are absent. */

@@ -51,4 +51,34 @@ class SnapshotsSpec extends SparkTestBase {
     // the AS-OF read of "latest" still resolves to the committed v1
     assert(Snapshots.readAsOf(spark, root, 99).count() == orders.count())
   }
+
+  test("vacuum keeps the newest N, deletes older snapshots and stale " +
+    "uncommitted directories, never the newest commit") {
+    val root = scratch("snap_vacuum")
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    (Seq(1L, 3L, 4L)).foreach(v =>
+      Snapshots.write(orders.limit(10 * v.toInt), root, v))
+    // a crashed writer's half-written snapshot, older than the newest
+    Snapshots.write(orders.limit(1), root, 2)
+    assert(new java.io.File(s"$root/version=2/_SUCCESS").delete())
+
+    val deleted = Snapshots.vacuum(spark, root, retain = 2)
+    // committed 1 deleted; 2's uncommitted husk deleted (reported -1);
+    // 3 and 4 retained
+    assert(deleted.contains(1L), s"deleted=$deleted")
+    assert(deleted.contains(-1L), s"uncommitted dir not vacuumed: $deleted")
+    assert(Snapshots.versions(spark, root) == Seq(3L, 4L))
+    assert(!new java.io.File(s"$root/version=1").exists())
+    assert(!new java.io.File(s"$root/version=2").exists())
+    // retained snapshots still read correctly
+    assert(Snapshots.readAsOf(spark, root, 99).count() == 40)
+    assert(Snapshots.readAsOf(spark, root, 3).count() == 30)
+    // retention floor: retain=1 never deletes the newest commit
+    Snapshots.vacuum(spark, root, retain = 1): Unit
+    assert(Snapshots.versions(spark, root) == Seq(4L))
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, root, retain = 0)
+    }
+  }
 }

@@ -70,4 +70,57 @@ class CompactSpec extends SparkTestBase {
     assert(after.valuesIterator.exists(_._1 > 1),
       s"tight target produced no multi-file partition: $after")
   }
+
+  test("compactZOrdered: lossless, bounded files, and per-file z-ranges " +
+    "are disjoint within each partition") {
+    import spark.implicits._
+    val root = scratch("compact_z")
+    val in = s"$root/in"
+    // two partitions, distinct (a, b) grid points so z-values are
+    // unique and range disjointness is unambiguous
+    val df = (0 until 4096).map { i =>
+      (i.toLong, i % 64, (i / 64) % 64, if (i % 2 == 0) "p0" else "p1")
+    }.toDF("id", "a", "b", "part")
+    df.repartition(8).write.partitionBy("part").parquet(in)
+    val out = s"$root/out"
+
+    val bytes = Compact.partitionStats(spark, in, "part")
+      .valuesIterator.map(_._2).sum
+    val target = math.max(512L, bytes / 8) // force a multi-file layout
+    val stats = Compact.compactZOrdered(spark, in, out, "part", "a", "b",
+      target)
+    assert(stats.filesAfter > stats.partitions,
+      s"expected multi-file z layout, got $stats")
+
+    // losslessness
+    val before = spark.read.parquet(in)
+      .agg(count(lit(1)), sum($"id"), sum($"a"), sum($"b")).collect()(0)
+    val after = spark.read.parquet(out)
+      .agg(count(lit(1)), sum($"id"), sum($"a"), sum($"b")).collect()(0)
+    assert(before == after, s"content drift: $before vs $after")
+
+    // range-straddle allowance: per-partition files ≤ cap + 1
+    val inStats = Compact.partitionStats(spark, in, "part")
+    val outStats = Compact.partitionStats(spark, out, "part")
+    outStats.foreach { case (p, (files, _)) =>
+      val cap = math.max(1L, (inStats(p)._2 + target - 1) / target) + 1
+      assert(files <= cap, s"partition $p: $files files > cap $cap")
+    }
+
+    // the point of the operator: within a partition, each FILE covers
+    // a z-range disjoint from every other file's
+    val z = graft.functions.ZOrder.zValue($"a", $"b")
+    outStats.keys.foreach { p =>
+      val ranges = spark.read.parquet(s"$out/part=$p")
+        .select(input_file_name().as("f"), z.as("z"))
+        .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+        .as[(String, Long, Long)].collect().sortBy(_._2)
+      ranges.sliding(2).foreach {
+        case Array((f1, _, hi1), (f2, lo2, _)) =>
+          assert(hi1 < lo2,
+            s"partition $p: files $f1 and $f2 overlap in z ($hi1 >= $lo2)")
+        case _ => ()
+      }
+    }
+  }
 }
