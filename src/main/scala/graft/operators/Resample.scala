@@ -93,17 +93,26 @@ object Resample {
     * parenthesization of IEEE double ops over digit-string doubles and
     * exact integer bucket indices — evaluated identically on any
     * IEEE-754 engine — and is emitted per row, never summed. */
+  /** Microseconds per grid step for the date_trunc units the grid
+    * generator understands (week+ units are not fixed-width in µs and
+    * are deliberately absent). */
+  private val UnitMicros: Map[String, Long] = Map(
+    "minute" -> 60000000L,
+    "hour" -> 3600000000L,
+    "day" -> 86400000000L)
+
   def gapFillLerp(df: DataFrame, keyCol: String = "event_type",
                   tsCol: String = "ts", valueCol: String = "value",
                   every: String = "hour"): DataFrame = {
-    require(every == "hour",
-      "gapFillLerp's integer bucket index divides unix_micros by the " +
-        "bucket width; only hour is wired up (3600000000 µs)")
+    val stepMicros = UnitMicros.getOrElse(every,
+      throw new IllegalArgumentException(
+        s"gapFillLerp supports ${UnitMicros.keys.mkString("/")}, not $every" +
+          " (the lerp needs a fixed-width integer bucket index)"))
     val obs = bucketize(df, keyCol, tsCol, valueCol, every)
       .drop("n_events")
     val j = denseGrid(df, obs, keyCol, every)
       .join(obs, Seq(keyCol, "bucket"), "left")
-      .withColumn("t", expr("unix_micros(bucket) div 3600000000"))
+      .withColumn("t", expr(s"unix_micros(bucket) div ${stepMicros}L"))
       .withColumn("obs_t", when(col("sum_value").isNotNull, col("t")))
       .withColumn("obs_v", asD(col("sum_value")))
     val back = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))

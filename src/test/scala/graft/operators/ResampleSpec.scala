@@ -58,6 +58,25 @@ class ResampleSpec extends SparkTestBase {
       ("b", 3, true, 7.0)))                      // trailing clamp
   }
 
+  test("gapFillLerp: minute grid interpolates on minute indices") {
+    val fine = Seq(
+      (1L, ts("2024-01-01 00:00:30"), "a", 0.0),
+      (2L, ts("2024-01-01 00:04:10"), "a", 8.0) // gap at minutes 1-3
+    ).toDF("event_id", "ts", "event_type", "value")
+    val got = Resample.gapFillLerp(fine, every = "minute")
+      .orderBy($"bucket")
+      .select(date_format($"bucket", "mm").cast("int").as("m"), $"filled")
+      .as[(Int, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 0.0), (1, 2.0), (2, 4.0), (3, 6.0), (4, 8.0)))
+  }
+
+  test("gapFillLerp rejects variable-width grid units") {
+    intercept[IllegalArgumentException] {
+      Resample.gapFillLerp(events, every = "week")
+    }
+  }
+
   test("gapFillLerp: a key with zero observations would get the sentinel") {
     // simulate by gap-filling a frame where key c only appears in the
     // key column via a null-sum observation: simplest is an empty check
