@@ -842,6 +842,34 @@ object SqlSurfaceQueries {
         .agg(expr("approx_top_k_combine(sk, 64)").as("comb"))
         .select(explode(expr("approx_top_k_estimate(comb, 3)")).as("e"))
         .select(col("e.item").as("event_type"), col("e.count").as("n"))
+    },
+
+    // ---- q84: modern aggregate family (median / mode / listagg) ------
+    // Spark 4's direct aggregate forms of what older code spelled as
+    // percentile(0.5) / a count-desc window / collect_list+sort. Cross-
+    // engine exactness: median over integer CENTS — an even-n midpoint
+    // is (a+b)/2 on sub-2^52 integers, exact in IEEE on both engines;
+    // mode over a bucket whose per-group counts are tie-free at the
+    // correctness SF (both engines' mode is tie-nondeterministic);
+    // listagg fully ordered by the aggregated id (Spark WITHIN GROUP ↔
+    // DuckDB string_agg ORDER BY).
+    "q84_modern_aggs" -> QueryDef(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(median(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS DOUBLE) AS median_cents,
+        |  mode(user_id % 3) AS mode_bucket,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+        |    AS id_list
+        |FROM events WHERE event_id < 2000
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).filter(col("event_id") < 2000)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(median(CAST(CAST(value AS DECIMAL(12,2)) * 100 " +
+            "AS BIGINT)) AS DOUBLE)").as("median_cents"),
+          expr("mode(user_id % 3)").as("mode_bucket"),
+          expr("listagg(CAST(event_id AS STRING), ',') " +
+            "WITHIN GROUP (ORDER BY event_id)").as("id_list"))
     }
   )
 }
