@@ -17,7 +17,7 @@ object SparkEntry {
     RefQueries.defs ++ TpchQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ StreamingQueries.defs ++
       SourceQueries.defs ++ BucketQueries.defs ++ TimeSeriesQueries.defs ++
-      SqlSurfaceQueries.defs ++ CboQueries.defs
+      SqlSurfaceQueries.defs ++ CboQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core question: partition values in a time range with

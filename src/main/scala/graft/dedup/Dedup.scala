@@ -465,4 +465,79 @@ object Dedup {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_gs"), 6)
           .as("containment"))
   }
+
+  /** Span length (words) for [[substringDupCoverage]]. Long enough that
+    * a shared span means real shared text, not a chance collision of
+    * common words (the fixture's duplicated/near-duplicated docs share
+    * full-document runs; its organic text almost never repeats 8 words
+    * verbatim across documents). */
+  val SubstringK = 8
+
+  /** [EXT] Exact-substring duplication coverage — the span-level dedup
+    * signal from "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2021), re-expressed for Spark: instead of a
+    * suffix array, every K-token window is a posting; a window whose
+    * exact text occurs in ≥2 DISTINCT documents is a duplicated span,
+    * and each document reports how many of its token positions are
+    * covered by the union of its duplicated spans.
+    *
+    * Output: (doc_id, n_tokens, dup_tokens, dup_permille) — dup_permille
+    * in integer per-mille so the oracle compare is exact.
+    *
+    * Scale shape: one explode to (doc, pos, window-text), one hash
+    * aggregate on the window text (the duplicated-window dictionary),
+    * one key join back, then ONE window pass per doc merges overlapping
+    * spans — running max of span-end over preceding spans turns the
+    * union-of-intervals measure into `Σ max(0, end − max(start−1,
+    * prev_max_end))`, so coverage never explodes a row per covered
+    * position (the oracle does exactly that brute-force expansion; both
+    * sides count the same union). Never doc×doc; the per-doc window
+    * state is one running long. The window TEXT never leaves its scan
+    * task — each window is folded to its portable 60-bit hash in the
+    * same codegen stage that built it, so both shuffles (the
+    * duplicated-window dictionary and the join back) ship 8-byte keys
+    * instead of K-word strings. The oracle hashes with the same md5
+    * family, so the grouping classes are identical in both engines —
+    * the [[ngramJaccardPairs]] exact-to-the-oracle-through-~10⁸-grams
+    * trade. */
+  def substringDupCoverage(docs: DataFrame, k: Int = SubstringK,
+                           textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.DedupFunctions.register(docs.sparkSession)
+    val toks = docs.select(col("doc_id"), split(col(textCol), " ").as("w"))
+    // positions are 1-based; docs shorter than k emit no windows (the
+    // CASE guard matters: sequence(1, 0) in Spark counts DOWN)
+    val sh = toks.select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(w) >= $k THEN
+             |  graft_hash60_array(
+             |    transform(sequence(1, size(w) - ${k - 1}),
+             |              i -> array_join(slice(w, i, $k), ' ')), 0)
+             |ELSE array() END""".stripMargin)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val dupSh = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val spans = sh.join(dupSh, Seq("h"))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (k - 1)).cast("long").as("send"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = spans
+      .withColumn("prev_end", max(col("send")).over(wPrev))
+      .withColumn("contrib",
+        greatest(
+          col("send") - greatest(col("pos").cast("long") - 1L,
+            coalesce(col("prev_end"), lit(0L))),
+          lit(0L)))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("(coalesce(dup_tokens, 0L) * 1000L) div n_tokens")
+          .as("dup_permille"))
+  }
 }

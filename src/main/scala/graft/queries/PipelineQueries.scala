@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.dedup.Dedup
+
+/** [EXT] Training-data pipeline surface, part 2: the span-level dedup,
+  * shard-packing, and hybrid-retrieval operations a 100 TB corpus
+  * pipeline runs after the x01–x38 curation stages. Same oracle
+  * discipline as the rest of the suite — md5-derived portable hashes
+  * and scaled-rational integer scoring, so DuckDB reproduces every
+  * value bit-for-bit.
+  */
+object PipelineQueries {
+
+  /** Shard-packing fan-out: documents are hashed into `PackBuckets`
+    * independent streams, each packed greedily. Parallelism at scale =
+    * the bucket count (set it to O(cluster cores) there); packing
+    * within a bucket is inherently sequential, which is exactly why the
+    * bucket split exists. */
+  val PackBuckets = 8
+
+  /** Token budget per training shard. */
+  val PackBudget = 1000L
+
+  /** Hash seed for the packing bucket split (independent of x19's
+    * split seed and x25's sample seed — a doc's bucket is a fresh
+    * hash bit). */
+  val PackSeed = 11
+
+  /** Fixed query term set for the hybrid-retrieval fusion (x42) —
+    * frequent fixture vocabulary so the BM25 leg ranks a large
+    * candidate pool at every sf. */
+  val RrfQueryTerms: Seq[String] = Seq("spark", "join", "window")
+
+  /** RRF rank damping constant (the k=60 of Cormack et al., 2009). */
+  val RrfK = 60
+
+  private val Dim = graft.similarity.Ann.Dim
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // exact-substring duplication coverage (Lee et al., 2021): every
+    // 8-token window occurring in ≥2 distinct docs is a duplicated
+    // span; per doc, the union of its duplicated spans as a token
+    // count + integer per-mille. Spark merges overlapping spans with
+    // ONE window pass (running max of span end); the oracle
+    // brute-force expands every covered position — same union.
+    "x40_substring_dedup" -> QueryDef({
+      val k = Dedup.SubstringK
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s0 AS (SELECT doc_id,
+         |        unnest([array_to_string(w[i:i+${k - 1}],' ')
+         |                for i in range(1, greatest(len(w)-${k - 1},0)+1)]) AS sh,
+         |        unnest(range(1, greatest(len(w)-${k - 1},0)+1)) AS pos
+         |      FROM d),
+         |s AS (SELECT doc_id, pos,
+         |        ('0x'||substr(md5('0|'||sh),1,15))::BIGINT AS h FROM s0),
+         |g AS (SELECT h FROM s GROUP BY h
+         |      HAVING count(DISTINCT doc_id) > 1),
+         |ds AS (SELECT s.doc_id, s.pos FROM s JOIN g USING (h)),
+         |cov AS (SELECT DISTINCT ds.doc_id, ds.pos + r.k AS p
+         |        FROM ds, range(0, $k) r(k)),
+         |cnt AS (SELECT doc_id, count(*)::BIGINT AS dup_tokens
+         |        FROM cov GROUP BY doc_id),
+         |n AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM d)
+         |SELECT n.doc_id, n.n_tokens,
+         |       coalesce(c2.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |       ((coalesce(c2.dup_tokens, 0) * 1000) // n.n_tokens)::BIGINT
+         |         AS dup_permille
+         |FROM n LEFT JOIN cnt c2 USING (doc_id)""".stripMargin
+    }) { (s, dir) =>
+      Dedup.substringDupCoverage(Tables.documents(s, dir))
+    },
+
+    // sequence packing: greedy contiguous fill of fixed-token-budget
+    // training shards, parallel across hash buckets. A doc's shard is
+    // the budget unit its running prefix STARTS in (docs may straddle
+    // a boundary — the packer never splits a doc). Per-(bucket, shard)
+    // occupancy is the output a shard-writer would consume.
+    "x41_pack_shards" -> QueryDef(
+      s"""WITH s AS (SELECT doc_id,
+         |  ('0x'||substr(md5('$PackSeed|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |    % $PackBuckets AS bucket,
+         |  len(string_split(text,' '))::BIGINT AS tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, bucket, tok,
+         |        sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |      FROM s)
+         |SELECT bucket, ((cum - tok) // $PackBudget)::BIGINT AS shard,
+         |       count(*) AS n_docs, sum(tok)::BIGINT AS shard_tokens
+         |FROM c GROUP BY bucket, shard""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(
+        col("doc_id"),
+        expr(s"element_at(graft_hash60_array(array(CAST(doc_id AS STRING))," +
+          s" $PackSeed), 1) % $PackBuckets").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("shard", expr(s"(cum - tok) div $PackBudget"))
+        .groupBy(col("bucket"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast("bigint").as("shard_tokens"))
+    },
+
+    // hybrid retrieval: reciprocal-rank fusion (Cormack et al., 2009)
+    // of a BM25 keyword ranking (x38's scaled-rational integer score,
+    // restricted to the fixed query terms) and a dense cosine ranking
+    // against doc 0's embedding — the standard RAG retrieval stack as
+    // one declarative plan over the shared doc_id/vec_id key space.
+    // RRF contributions are integer-floored (10⁶ // (60+rank)) so the
+    // fused score is cross-engine exact; a doc missing from the BM25
+    // list contributes only its vector leg (bm25_rank = -1 sentinel —
+    // NULL BIGINT degrades to float64 through the oracle's pandas
+    // pull, the q20/q80 trap).
+    "x42_hybrid_rrf" -> QueryDef({
+      val terms = RrfQueryTerms.map(t => s"'$t'").mkString("[", ",", "]")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+         |              FROM documents),
+         |t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |      WHERE term <> '' GROUP BY 1,2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM t GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+         |g AS (SELECT count(*) AS n_docs,
+         |        (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS tot
+         |      FROM documents),
+         |bs AS (SELECT t.doc_id,
+         |         CAST(sum(((g.n_docs * 1000) // dfreq.df) *
+         |           ((t.tf * 44 * g.tot * 1000) //
+         |            (20 * t.tf * g.tot + 6 * g.tot + 18 * dl.dl * g.n_docs)))
+         |           AS BIGINT) AS score
+         |       FROM t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |       CROSS JOIN g
+         |       WHERE list_contains($terms, t.term) AND t.doc_id != 0
+         |       GROUP BY t.doc_id),
+         |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         |         AS bm25_rank FROM bs WHERE score > 0),
+         |cs AS (SELECT e.vec_id AS doc_id,
+         |         round(${SimilarityQueries.duckCos("e.embedding", "q.embedding")}, 6)
+         |           AS cos_sim
+         |       FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+         |       WHERE e.vec_id != 0),
+         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+         |         AS cos_rank FROM cs)
+         |SELECT rb.doc_id,
+         |       coalesce(ra.bm25_rank, -1)::BIGINT AS bm25_rank,
+         |       rb.cos_rank::BIGINT AS cos_rank,
+         |       (coalesce(1000000 // ($RrfK + ra.bm25_rank), 0) +
+         |        (1000000 // ($RrfK + rb.cos_rank)))::BIGINT AS rrf
+         |FROM rb LEFT JOIN ra USING (doc_id)
+         |ORDER BY rrf DESC, rb.doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      // ---- BM25 leg: x38's integer score, query terms only ----
+      val t = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = t.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("bigint").as("dl"))
+      val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val g = broadcast(docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).cast("bigint").as("tot"))))
+      val bs = t.filter(col("term").isin(RrfQueryTerms: _*) &&
+          col("doc_id") =!= 0)
+        .join(dfreq, Seq("term")).join(dl, Seq("doc_id")).crossJoin(g)
+        .withColumn("sc",
+          expr("((n_docs * 1000) div df) * ((tf * 44 * tot * 1000) div " +
+            "(20 * tf * tot + 6 * tot + 18 * dl * n_docs))"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("sc")).cast("bigint").as("score"))
+      val ra = bs.filter(col("score") > 0)
+        .withColumn("bm25_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("bm25_rank"))
+      // ---- dense leg: exact cosine vs doc 0's embedding ----
+      val q = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      val rb = emb.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id").as("doc_id"),
+          round(expr("graft_cosine(embedding, q_emb)"), 6).as("cos_sim"))
+        .withColumn("cos_rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cos_rank"))
+      // ---- fusion ----
+      rb.join(ra, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("bm25_rank"), lit(-1)).cast("long").as("bm25_rank"),
+          col("cos_rank").cast("long").as("cos_rank"),
+          (coalesce(expr(s"1000000 div ($RrfK + bm25_rank)"), lit(0L)) +
+            expr(s"1000000 div ($RrfK + cos_rank)")).cast("long").as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }
+  )
+}

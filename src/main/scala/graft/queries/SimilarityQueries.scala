@@ -19,8 +19,16 @@ object SimilarityQueries {
     * tops out near 0.49 with p99 ≈ 0.30, so 0.3 selects a real tail. */
   private val DupMinCosine = 0.3
 
-  /** DuckDB cosine with the same accumulation order as CosineSimF. */
-  private def duckCos(a: String, b: String): String =
+  /** Within-cell cosine threshold for x39 SemDeDup. The IVF cells
+    * gather the most-similar vectors, so the within-cell pair tail is
+    * denser than x24's corpus-wide one; 0.3 keeps a real, non-trivial
+    * removed set at every fixture sf. */
+  private val SemDupMinCosine = 0.3
+
+  /** DuckDB cosine with the same accumulation order as CosineSimF.
+    * `private[queries]`: PipelineQueries' hybrid-retrieval oracle
+    * reuses it for the vector ranking leg. */
+  private[queries] def duckCos(a: String, b: String): String =
     s"""(list_sum([($a[i]::DOUBLE * $b[i]::DOUBLE) for i in range(1, ${Dim + 1})]) /
        | (sqrt(list_sum([($a[i]::DOUBLE * $a[i]::DOUBLE) for i in range(1, ${Dim + 1})])) *
        |  sqrt(list_sum([($b[i]::DOUBLE * $b[i]::DOUBLE) for i in range(1, ${Dim + 1})]))))""".stripMargin
@@ -137,6 +145,24 @@ object SimilarityQueries {
              |FROM d GROUP BY vec_id
              |ORDER BY nn_dist DESC, vec_id LIMIT 50""".stripMargin) { (s, dir) =>
           Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)
+        },
+
+        // SemDeDup: semantic dedup inside the IVF cells — one row per
+        // would-be-removed vector (an earlier same-cell vector is
+        // within the cosine threshold), with the strongest evidence
+        "x39_semdedup" -> QueryDef(
+          s"""WITH $duckIvfAssign,
+             |e AS (SELECT a.vec_id, a.cell, em.embedding
+             |      FROM a JOIN embeddings em ON em.vec_id = a.vec_id),
+             |p AS (SELECT y.vec_id, y.cell,
+             |        round(${duckCos("x.embedding", "y.embedding")}, 6) AS c
+             |      FROM e x JOIN e y
+             |        ON x.cell = y.cell AND x.vec_id < y.vec_id)
+             |SELECT vec_id, cell, max(c) AS max_cos,
+             |       count(*)::BIGINT AS n_close
+             |FROM p WHERE c >= $SemDupMinCosine
+             |GROUP BY vec_id, cell""".stripMargin) { (s, dir) =>
+          Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)
         })
     } catch {
       case t: Throwable =>
@@ -150,7 +176,9 @@ object SimilarityQueries {
           "x32_embedding_outliers" -> QueryDef.rowsOnly((s, dir) =>
             Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)),
           "x35_batch_ann_ivf" -> QueryDef.rowsOnly((s, dir) =>
-            Ivf.batchTopK(s, Tables.embeddings(s, dir), probeMaxId = 100)))
+            Ivf.batchTopK(s, Tables.embeddings(s, dir), probeMaxId = 100)),
+          "x39_semdedup" -> QueryDef.rowsOnly((s, dir) =>
+            Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)))
     }
 
   // defs is lazy: building the IVF oracle SQL trains the codebook,

@@ -201,6 +201,45 @@ object Ivf {
       .select(col("probe_id"), col("nn_id"), col("cos_sim"))
   }
 
+  /** [EXT] SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embedding space, then drop vectors
+    * whose cosine to an earlier same-cluster member exceeds a
+    * threshold. The codebook cells ARE the clusters (the paper's
+    * k-means step), so the candidate set is within-cell only — never a
+    * corpus×corpus comparison. Keep-first semantics: a vector is
+    * reported (= would be removed) iff some LOWER-vec_id vector in its
+    * cell is within `minCosine`; ordering by id makes the survivor set
+    * deterministic and engine-independent.
+    *
+    * Output: (vec_id, cell, max_cos, n_close) — one row per REMOVED
+    * vector with its strongest same-cell evidence (cosine rounded to 6
+    * before thresholding, the x24 discipline) and how many earlier
+    * neighbors matched.
+    *
+    * Scale shape: one codegen'd cell-assign pass, then a self-join on
+    * `cell` — a shuffle hash join whose fan-out is Σ cell² pairs. The
+    * fixture codebook has K=16 cells; at corpus scale K grows with N
+    * (K ≈ N / targetCellSize, the standard IVF sizing), which keeps
+    * per-cell membership — and therefore both the pair fan-out and the
+    * join's per-key skew — bounded by the same constant that bounds
+    * probe cost. */
+  def semDedup(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val a = withCell(embeddings).select(col("vec_id"), col("cell"),
+      col("embedding"))
+    val x = a.select(col("vec_id").as("x_id"), col("cell"),
+      col("embedding").as("x_emb"))
+    val y = a.select(col("vec_id"), col("cell"),
+      col("embedding").as("y_emb"))
+    x.join(y, Seq("cell"))
+      .filter(col("x_id") < col("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        round(expr("graft_cosine(x_emb, y_emb)"), 6).as("c"))
+      .filter(col("c") >= minCosine)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(col("c")).as("max_cos"), count(lit(1)).as("n_close"))
+  }
+
   /** Cell occupancy — the quantizer-balance tuning view. */
   def cellStats(embeddings: DataFrame): DataFrame =
     withCell(embeddings)

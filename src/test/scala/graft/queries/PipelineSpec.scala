@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+/** Invariants of the pipeline part-2 queries (x41 packing, x42 RRF)
+  * beyond the oracle hash compare. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("x41: packing conserves docs+tokens; shards contiguous and budget-bounded") {
+    val res = SparkEntry.queries("x41_pack_shards")(spark, sf0001)
+      .select($"bucket", $"shard", $"n_docs", $"shard_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = graft.Tables.documents(spark, sf0001)
+    val totalDocs = docs.count()
+    val totalTokens = docs
+      .agg(sum(size(split($"text", " ")))).as[Long].head()
+    val maxDocTokens = docs
+      .agg(max(size(split($"text", " ")))).as[Long].head()
+    assert(res.map(_._3).sum == totalDocs, "every doc lands in one shard")
+    assert(res.map(_._4).sum == totalTokens, "token conservation")
+    // shard ids are contiguous from 0 within each bucket
+    res.groupBy(_._1).foreach { case (b, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids.head == 0 && ids.sameElements(ids.indices.map(_.toLong)),
+        s"bucket $b shards not contiguous: ${ids.toSeq}")
+    }
+    // a shard's docs all START inside one budget unit, so its total is
+    // < budget + the largest straddling doc
+    assert(res.forall(_._4 < PipelineQueries.PackBudget + maxDocTokens),
+      "shard exceeds budget by more than one straddling doc")
+  }
+
+  test("x42: rrf is exactly the integer-floored sum of its two rank legs") {
+    val rows = SparkEntry.queries("x42_hybrid_rrf")(spark, sf0001)
+      .select($"doc_id", $"bm25_rank", $"cos_rank", $"rrf")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (id, ra, rb, rrf) =>
+      assert(rb >= 1, s"doc $id: cosine leg always ranks every candidate")
+      assert(ra == -1 || ra >= 1)
+      val expected =
+        (if (ra > 0) 1000000L / (PipelineQueries.RrfK + ra) else 0L) +
+          1000000L / (PipelineQueries.RrfK + rb)
+      assert(rrf == expected, s"doc $id: rrf $rrf != $expected")
+    }
+    // top-20 ordering is (rrf desc, doc_id) — deterministic
+    val sorted = rows.sortBy(r => (-r._4, r._1)).toSeq
+    assert(rows.toSeq == sorted)
+  }
+}
