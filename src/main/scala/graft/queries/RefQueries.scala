@@ -186,6 +186,35 @@ object RefQueries {
         .agg(count(lit(1)).as("n_rows"))
     },
 
+    // S1+S3 through a REAL connector: the backup layout read back via
+    // the graftbackup DataSource V2 (`graft.sources.BackupSource`) with
+    // a partition-equality filter absorbed at PLANNING time — only the
+    // matching directory's chunk files are listed or opened (the other
+    // four event_type dirs are never planned; BackupSourceSpec pins
+    // that) — and column pruning reaching the JSON decoder (only
+    // user_id is parsed; date_dir comes from the directory name, so
+    // the grouping costs no decode at all).
+    "r15_backup_dsv2" -> QueryDef(
+      s"""SELECT strftime(ts, '%Y%m%d') AS date_dir,
+         |       count(*) AS n_rows, sum(user_id)::BIGINT AS sum_uid
+         |FROM events
+         |WHERE $oracleWindow AND event_type = 'click'
+         |GROUP BY date_dir""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r15", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.read.format("graftbackup").load(out)
+        .filter(col("event_type") === "click")
+        .groupBy(col("date_dir"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("user_id")).cast("bigint").as("sum_uid"))
+        .select(col("date_dir"), col("n_rows"), col("sum_uid"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

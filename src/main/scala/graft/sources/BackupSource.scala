@@ -1,0 +1,349 @@
+package graft.sources
+
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the backup sink's on-disk format
+  * (`graft.operators.Backup`): Hive-style partition directories
+  * (`<partCol>=<v>/date_dir=<yyyyMMdd>/`) holding gz-NDJSON chunk files
+  * named `<fromTS>_<toTS>_<crc32>.log.gz` (the reference's layout,
+  * cmd/backup.go:311-313).
+  *
+  * `spark.read.format("graftbackup").load(dir)` — registered via the
+  * `DataSourceRegister` service file, so the short name works anywhere
+  * the session does.
+  *
+  * What makes it a real connector rather than a directory glob:
+  *
+  *  - **Partition pruning at PLANNING time**: equality / IN / null-test
+  *    predicates on the directory-derived columns are absorbed by
+  *    `pushFilters` and evaluated against the directory VALUES during
+  *    `planInputPartitions` — a filtered query never lists, opens, or
+  *    even plans the chunk files of other partitions. At 100 TB the
+  *    difference between "scan 1/K of the files" and "scan all, filter
+  *    later" is the whole game.
+  *  - **Column pruning into the decoder**: `pruneColumns` reaches the
+  *    per-line JSON parse — unprojected fields are never materialized,
+  *    and a query that touches ONLY partition columns (e.g.
+  *    per-partition row counts) skips JSON parsing entirely and counts
+  *    raw lines.
+  *  - one InputPartition per chunk file: Spark's scheduler gets the
+  *    same work granularity the reference's per-chunk upload loop had,
+  *    so stragglers rebalance naturally.
+  *
+  * Schema: data fields are inferred from a bounded sample (first
+  * [[BackupSource.SampleLines]] lines of the first chunk in each of the
+  * first [[BackupSource.SampleDirs]] leaf directories — the JSON writer
+  * omits null fields, so one line is not enough); integral → LONG,
+  * fractional → DOUBLE, boolean → BOOLEAN, everything else (including
+  * the backup's formatted timestamp strings) → STRING. Partition
+  * columns are STRING, unescaped from the directory names
+  * (`__HIVE_DEFAULT_PARTITION__` → NULL). A user-supplied schema via
+  * `.schema(...)` bypasses inference (`supportsExternalMetadata`).
+  */
+class BackupSource extends TableProvider with DataSourceRegister {
+  import BackupSource._
+
+  override def shortName(): String = "graftbackup"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = requirePath(options)
+    val (partCols, leaves) = layout(path)
+    val dataFields = sampleDataFields(leaves)
+    StructType(dataFields ++ partCols.map(StructField(_, StringType)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftbackup requires a path"))
+    val (partCols, _) = layout(path)
+    new BackupTable(path, schema, partCols)
+  }
+
+  private def requirePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftbackup requires a path"))
+}
+
+object BackupSource {
+  /** Leaf dirs sampled for schema inference (sorted order — stable). */
+  val SampleDirs = 8
+  /** Lines sampled per sampled chunk file. */
+  val SampleLines = 100
+
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Undo Spark/Hive's %XX path escaping of partition values. */
+  def unescapePathName(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** A chunk file: visible, non-hidden, data-bearing. */
+  def isChunkFile(st: FileStatus): Boolean = {
+    val n = st.getPath.getName
+    st.isFile && !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Walk the Hive-style directory tree: returns the partition column
+    * names (outermost first) and every leaf directory with its decoded
+    * partition values. Driver-side metadata work, O(#dirs). */
+  def layout(root: String): (Seq[String], Seq[Leaf]) = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(new Configuration())
+    val partCols = mutable.ArrayBuffer.empty[String]
+    val leaves = mutable.ArrayBuffer.empty[Leaf]
+    def walk(p: Path, depth: Int, values: Map[String, String]): Unit = {
+      val children = fs.listStatus(p)
+      val dirs = children.filter(c => c.isDirectory &&
+        c.getPath.getName.contains("="))
+      if (dirs.isEmpty) {
+        leaves += Leaf(values,
+          children.filter(isChunkFile).map(_.getPath.toString).sorted.toSeq)
+      } else {
+        dirs.sortBy(_.getPath.getName).foreach { d =>
+          val Array(k, v) = d.getPath.getName.split("=", 2)
+          if (partCols.size <= depth) partCols += k
+          val dec = unescapePathName(v)
+          val value = if (dec == HiveDefaultPartition) null else dec
+          walk(d.getPath, depth + 1, values + (k -> value))
+        }
+      }
+    }
+    walk(rootPath, 0, Map.empty)
+    (partCols.toSeq, leaves.toSeq)
+  }
+
+  /** Open a chunk file (gzip by extension). */
+  def open(file: String): java.io.BufferedReader = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val raw = fs.open(p)
+    val in = if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      in, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Bounded-sample JSON field inference (see class doc). */
+  def sampleDataFields(leaves: Seq[Leaf]): Seq[StructField] = {
+    val mapper = new ObjectMapper()
+    // LinkedHashMap: field order = first-seen order, deterministic
+    val types = new java.util.LinkedHashMap[String, DataType]()
+    leaves.filter(_.files.nonEmpty).take(SampleDirs).foreach { leaf =>
+      val r = open(leaf.files.head)
+      try {
+        var i = 0
+        var line = r.readLine()
+        while (line != null && i < SampleLines) {
+          val node = mapper.readTree(line)
+          val it = node.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val t = jsonType(e.getValue)
+            types.merge(e.getKey, t, (a, b) => promote(a, b))
+          }
+          i += 1
+          line = r.readLine()
+        }
+      } finally r.close()
+    }
+    import scala.jdk.CollectionConverters._
+    types.asScala.toSeq.map { case (n, t) =>
+      StructField(n, if (t == NullType) StringType else t)
+    }
+  }
+
+  private def jsonType(n: JsonNode): DataType =
+    if (n.isNull) NullType
+    else if (n.isIntegralNumber) LongType
+    else if (n.isNumber) DoubleType
+    else if (n.isBoolean) BooleanType
+    else StringType
+
+  private def promote(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, x) => x
+    case (x, NullType) => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case _ => StringType
+  }
+
+  final case class Leaf(values: Map[String, String], files: Seq[String])
+}
+
+class BackupTable(path: String, tableSchema: StructType,
+                  partCols: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graftbackup:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BackupScanBuilder(path, tableSchema, partCols)
+}
+
+class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val partSet = partCols.toSet
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  /** A filter is absorbable iff it references only partition columns
+    * AND has a shape we evaluate exactly against directory values —
+    * then post-scan re-evaluation is unnecessary. */
+  private def absorbable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => partSet(a)
+    case EqualNullSafe(a, _) => partSet(a)
+    case In(a, _) => partSet(a)
+    case IsNotNull(a) => partSet(a)
+    case IsNull(a) => partSet(a)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (take, rest) = filters.partition(absorbable)
+    pushed = take
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new BackupScan(path, required, partCols, pushed)
+}
+
+class BackupScan(path: String, required: StructType, partCols: Seq[String],
+                 pushed: Array[Filter]) extends Scan with Batch {
+  import BackupSource._
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftbackup $path, pushed=[${pushed.mkString(", ")}], " +
+      s"read=[${required.fieldNames.mkString(", ")}]"
+
+  private def keep(values: Map[String, String]): Boolean =
+    pushed.forall {
+      case EqualTo(a, v) =>
+        values.get(a).exists(x => x != null && x == String.valueOf(v))
+      case EqualNullSafe(a, null) => values.get(a).exists(_ == null)
+      case EqualNullSafe(a, v) =>
+        values.get(a).exists(x => x != null && x == String.valueOf(v))
+      case In(a, vs) => values.get(a).exists(x =>
+        x != null && vs.exists(v => v != null && String.valueOf(v) == x))
+      case IsNotNull(a) => values.get(a).exists(_ != null)
+      case IsNull(a) => values.get(a).exists(_ == null)
+      case _ => true
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (_, leaves) = layout(path)
+    leaves.filter(l => keep(l.values))
+      .flatMap(l => l.files.map(f => BackupFilePartition(f, l.values)))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BackupReaderFactory(required, partCols.toSet)
+}
+
+final case class BackupFilePartition(file: String,
+                                     partValues: Map[String, String])
+    extends InputPartition
+
+class BackupReaderFactory(required: StructType, partCols: Set[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[BackupFilePartition]
+    new BackupPartitionReader(bp, required, partCols)
+  }
+}
+
+/** Streams one chunk file. Per required field, the extraction is fixed
+  * at construction: partition fields come from the directory values
+  * (constant per file), data fields from the per-line JSON. When no
+  * data field is required the JSON parse is skipped entirely. */
+class BackupPartitionReader(p: BackupFilePartition, required: StructType,
+                            partCols: Set[String])
+    extends PartitionReader[InternalRow] {
+  import BackupSource._
+
+  private val reader = open(p.file)
+  private val mapper = new ObjectMapper()
+
+  // Left(constant partition value) | Right((json field, type))
+  private val extractors: Array[Either[Any, (String, DataType)]] =
+    required.fields.map { f =>
+      if (partCols(f.name)) {
+        val v = p.partValues.get(f.name).orNull
+        Left(if (v == null) null else UTF8String.fromString(v))
+      } else Right((f.name, f.dataType))
+    }
+  private val needsParse = extractors.exists(_.isRight)
+
+  private var line: String = _
+
+  override def next(): Boolean = {
+    line = reader.readLine()
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val node: JsonNode = if (needsParse) mapper.readTree(line) else null
+    val row = new GenericInternalRow(extractors.length)
+    var i = 0
+    while (i < extractors.length) {
+      extractors(i) match {
+        case Left(const) => row.update(i, const)
+        case Right((name, dt)) =>
+          val v = node.get(name)
+          if (v == null || v.isNull) row.update(i, null)
+          else dt match {
+            case LongType => row.update(i, v.asLong())
+            case DoubleType => row.update(i, v.asDouble())
+            case BooleanType => row.update(i, v.asBoolean())
+            case IntegerType => row.update(i, v.asInt())
+            case StringType =>
+              val s = if (v.isTextual) v.asText() else v.toString
+              row.update(i, UTF8String.fromString(s))
+            case other => throw new IllegalArgumentException(
+              s"graftbackup cannot decode $name as $other")
+          }
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}
