@@ -479,29 +479,31 @@ case class SortedIntersectCountLong2Expr(left: Expression, right: Expression)
 /** SQL registration so `expr("graft_shingles(text, 3)")` etc. work from
   * the Column API (same route as [[VectorFunctions]]). */
 object DedupFunctions {
+  private def lit(e: Expression): Int = e.eval().asInstanceOf[Int]
+
+  /** (name, builder) pairs — shared by per-session [[register]] and the
+    * config-based [[graft.plans.GraftSparkExtensions]] injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingles" -> (es => ShinglesExpr(es.head, lit(es(1)))),
+    "graft_hash60_array" -> (es => Hash60ArrayExpr(es.head, lit(es(1)))),
+    "graft_minhash_sig" -> (es => MinHashSigExpr(es.head)),
+    "graft_simhash48" -> (es => SimHash48Expr(es.head, lit(es(1)))),
+    "graft_pairs" -> (es => UnorderedPairsExpr(es.head,
+      if (es.length > 1) lit(es(1)) else 0)),
+    "graft_sorted_inter_count" ->
+      (es => SortedIntersectCountExpr(es.head, es(1))),
+    "graft_hash120_array" -> (es => Hash120ArrayExpr(es.head, 0, 1)),
+    "graft_sorted_inter_count_long2" ->
+      (es => SortedIntersectCountLong2Expr(es.head, es(1))),
+    "graft_sorted_inter_count_long" ->
+      (es => SortedIntersectCountLongExpr(es.head, es(1))),
+    "graft_rolling_hash" ->
+      (es => RollingHashExpr(es.head, TextAnalysis.FpMod)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def lit(e: Expression): Int = e.eval().asInstanceOf[Int]
-    reg.createOrReplaceTempFunction("graft_shingles",
-      es => ShinglesExpr(es.head, lit(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hash60_array",
-      es => Hash60ArrayExpr(es.head, lit(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      es => MinHashSigExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash48",
-      es => SimHash48Expr(es.head, lit(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_pairs",
-      es => UnorderedPairsExpr(es.head,
-        if (es.length > 1) lit(es(1)) else 0), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_sorted_inter_count",
-      es => SortedIntersectCountExpr(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hash120_array",
-      es => Hash120ArrayExpr(es.head, 0, 1), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_sorted_inter_count_long2",
-      es => SortedIntersectCountLong2Expr(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_sorted_inter_count_long",
-      es => SortedIntersectCountLongExpr(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_rolling_hash",
-      es => RollingHashExpr(es.head, TextAnalysis.FpMod), "scala_udf")
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "scala_udf")
+    }
   }
 }

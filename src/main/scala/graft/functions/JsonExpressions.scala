@@ -175,10 +175,16 @@ case class JsonGetScalarExpr(left: Expression, right: Expression)
 }
 
 object JsonFunctions {
+  /** (name, builder) — shared by [[register]] and the config-based
+    * [[graft.plans.GraftSparkExtensions]] injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_json_scalar" -> (es => JsonGetScalarExpr(es.head, es(1))))
+
   /** Idempotent session registration (same route as [[DedupFunctions]]). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_json_scalar",
-      es => JsonGetScalarExpr(es.head, es(1)), "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "scala_udf")
+    }
   }
 }

@@ -346,28 +346,33 @@ object VectorFunctions {
   /** Register `graft_dot` / `graft_cosine` in the session's function
     * registry (idempotent) so `expr("graft_cosine(a, b)")` works.
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => DotProductF(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      es => CosineSimF(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hyperplane_sig",
-      es => HyperplaneSigExpr(es.head, graft.similarity.Ann.planeMatrix), "scala_udf")
+  /** (name, builder) pairs — shared by per-session [[register]] and the
+    * config-based [[graft.plans.GraftSparkExtensions]] injection.
+    * Builders run at PARSE time (an active session exists), so the
+    * lazily-trained Ivf codebook resolves correctly. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProductF(es.head, es(1))),
+    "graft_cosine" -> (es => CosineSimF(es.head, es(1))),
+    "graft_hyperplane_sig" ->
+      (es => HyperplaneSigExpr(es.head, graft.similarity.Ann.planeMatrix)),
     // bands/bits must be literals: the plane matrix is a compile-time
     // reference object sized bands*bits
-    reg.createOrReplaceTempFunction("graft_banded_sig",
-      es => {
-        val bands = es(1).eval().asInstanceOf[Int]
-        val bits = es(2).eval().asInstanceOf[Int]
-        BandedSigExpr(es.head,
-          graft.similarity.Ann.bandedPlaneMatrix(bands * bits), bands, bits)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("graft_quantize_stats",
-      es => QuantizeStatsExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_ivf_cell",
-      es => IvfCellExpr(es.head, graft.similarity.Ivf.centroids), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_ivf_dists",
-      es => IvfDistsExpr(es.head, graft.similarity.Ivf.centroids), "scala_udf")
+    "graft_banded_sig" -> (es => {
+      val bands = es(1).eval().asInstanceOf[Int]
+      val bits = es(2).eval().asInstanceOf[Int]
+      BandedSigExpr(es.head,
+        graft.similarity.Ann.bandedPlaneMatrix(bands * bits), bands, bits)
+    }),
+    "graft_quantize_stats" -> (es => QuantizeStatsExpr(es.head)),
+    "graft_ivf_cell" ->
+      (es => IvfCellExpr(es.head, graft.similarity.Ivf.centroids)),
+    "graft_ivf_dists" ->
+      (es => IvfDistsExpr(es.head, graft.similarity.Ivf.centroids)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "scala_udf")
+    }
   }
 }

@@ -186,9 +186,27 @@ object GroupTopK {
 }
 
 /** Config-based registration
-  * (`spark.sql.extensions=graft.plans.GraftSparkExtensions`). */
+  * (`spark.sql.extensions=graft.plans.GraftSparkExtensions`): the whole
+  * library surface — the GroupTopK physical strategy plus every graft_*
+  * expression family — lands in any session built with that one conf,
+  * no per-session `register(spark)` calls. This is the deployment story
+  * for a shared cluster: ship the jar, set the conf, and `expr(
+  * "graft_cosine(a, b)")` / SQL `SELECT graft_json_scalar(...)` work in
+  * every notebook and job. */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    val families =
+      graft.functions.DedupFunctions.builders ++
+        graft.functions.VectorFunctions.builders ++
+        graft.functions.JsonFunctions.builders
+    families.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
+  }
 }
