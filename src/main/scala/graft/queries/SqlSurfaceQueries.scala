@@ -870,6 +870,120 @@ object SqlSurfaceQueries {
           expr("mode(user_id % 3)").as("mode_bucket"),
           expr("listagg(CAST(event_id AS STRING), ',') " +
             "WITHIN GROUP (ORDER BY event_id)").as("id_list"))
+    },
+
+    // ---- q85: point-in-time (temporal AS OF) join against SCD2 ------
+    // The warehouse question q37's history build exists to answer:
+    // "what was each entity's state at time T?" — a probe grid joined
+    // into the [valid_from, valid_to) versions, NULL-open current rows
+    // included. Join is keyed on user_id (shuffle-safe at any scale);
+    // the interval test is a post-join filter. A user whose history
+    // starts after T contributes no row (inner semantics). Timestamps
+    // formatted under the repo's µs discipline; same (ts, event_id)
+    // tie order as q37, so zero-width versions at tied timestamps are
+    // deterministically unmatched in both engines.
+    "q85_scd2_pointintime" -> QueryDef(
+      """WITH marked AS (
+        |  SELECT user_id, event_type, date_trunc('microsecond', ts) AS ts,
+        |         event_id,
+        |         lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY date_trunc('microsecond', ts), event_id)),
+        |changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type != event_type),
+        |v AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |         lead(ts) OVER w2 AS valid_to
+        |  FROM changes
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, unnest([TIMESTAMP '2024-01-10 00:00:00',
+        |                          TIMESTAMP '2024-01-20 00:00:00']) AS probe_ts
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT g.user_id, strftime(g.probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+        |       v.event_type AS state
+        |FROM g JOIN v ON v.user_id = g.user_id
+        |  AND v.valid_from <= g.probe_ts
+        |  AND (v.valid_to IS NULL OR v.valid_to > g.probe_ts)""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val v = changes.select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w2).as("valid_to"))
+      val g = Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(col("user_id"), explode(array(
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-20 00:00:00").cast("timestamp"))).as("probe_ts"))
+      g.join(v, Seq("user_id"))
+        .filter(col("valid_from") <= col("probe_ts") &&
+          (col("valid_to").isNull || col("valid_to") > col("probe_ts")))
+        .select(col("user_id"),
+          date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+          col("event_type").as("state"))
+    },
+
+    // ---- q86: snapshot reconciliation diff ---------------------------
+    // The anti-entropy check every backup/replication system runs:
+    // compare two relation snapshots WITHOUT shipping rows — per
+    // partition, a row count and a bounded hash-sum (portable 60-bit
+    // md5 hash of the row identity, mod 10⁹ so a BIGINT sum holds ~10⁹
+    // rows per group), then a full-outer join of the two summary sides
+    // flags divergent partitions. Two scans + two map-side-combined
+    // aggregates + one tiny join — rows never cross the network, only
+    // per-partition digests. The fixture diffs the Jan-20 snapshot
+    // against Jan-25, so the later days genuinely diverge.
+    "q86_snapshot_diff" -> QueryDef({
+      val h = "('0x'||substr(md5('5|'||CAST(event_id AS VARCHAR)||'|'||" +
+        "CAST(user_id AS VARCHAR)),1,15))::BIGINT % 1000000000"
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS n_a,
+        |         CAST(sum(HEXPR) AS BIGINT) AS hashsum_a
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, count(*) AS n_b,
+        |         CAST(sum(HEXPR) AS BIGINT) AS hashsum_b
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |  GROUP BY 1)
+        |SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+        |       COALESCE(n_a, 0)::BIGINT AS n_a,
+        |       COALESCE(n_b, 0)::BIGINT AS n_b,
+        |       COALESCE(hashsum_a, 0)::BIGINT AS hashsum_a,
+        |       COALESCE(hashsum_b, 0)::BIGINT AS hashsum_b,
+        |       (COALESCE(n_a, 0) = COALESCE(n_b, 0) AND
+        |        COALESCE(hashsum_a, 0) = COALESCE(hashsum_b, 0)) AS is_match
+        |FROM a FULL OUTER JOIN b ON a.event_type = b.event_type""".stripMargin
+        .replace("HEXPR", h)
+    }) { (s, dir) =>
+      val h = graft.dedup.Dedup.hash60Sql(
+        "concat(CAST(event_id AS STRING), '|', CAST(user_id AS STRING))",
+        seed = 5) + " % 1000000000"
+      def snap(cut: String, n: String, hs: String) =
+        Tables.events(s, dir)
+          .filter(col("ts") <= lit(cut).cast("timestamp"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as(n), sum(expr(h)).cast("bigint").as(hs))
+      val a = snap("2024-01-20 00:00:00", "n_a", "hashsum_a")
+      val b = snap("2024-01-25 00:00:00", "n_b", "hashsum_b")
+      a.join(b, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("hashsum_a"), lit(0L)).as("hashsum_a"),
+          coalesce(col("hashsum_b"), lit(0L)).as("hashsum_b"),
+          (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+            coalesce(col("hashsum_a"), lit(0L)) ===
+              coalesce(col("hashsum_b"), lit(0L))).as("is_match"))
     }
   )
 }
