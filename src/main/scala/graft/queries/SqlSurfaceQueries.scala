@@ -844,6 +844,31 @@ object SqlSurfaceQueries {
         .select(col("e.item").as("event_type"), col("e.count").as("n"))
     },
 
+    // ---- q87: HLL sketch-merge distinct-count workflow ---------------
+    // The pre-aggregated-HLL-cube pattern next to q83's top-k twin:
+    // per-day DataSketches HLL sketches of the user domain, merged per
+    // week (`hll_union_agg`), estimated once — at 100 TB the weekly
+    // rollup shuffles kilobyte sketches, never re-scans the days, and
+    // the same day sketches serve ANY window (month, trailing-28d)
+    // by re-merge. Oracle-EXACT via the exact-when-sparse regime
+    // (q83's no-eviction discipline): lgConfigK=20 keeps the sketch in
+    // list/set mode far beyond the fixture's ≤1000-value domain
+    // (user_id % 1000), so the estimate IS the true distinct count at
+    // every SF; HllMergeSpec quantifies the full-domain (approximate)
+    // path and pins merge ≡ one-shot.
+    "q87_hll_sketch_merge" -> QueryDef(
+      """SELECT CAST(date_trunc('week', ts) AS DATE)::VARCHAR AS week,
+        |       count(DISTINCT user_id % 1000) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"),
+          to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id % 1000, 20)").as("sk"))
+        .groupBy(col("wk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users"))
+        .select(col("wk").cast("string").as("week"), col("n_users"))
+    },
+
     // ---- q84: modern aggregate family (median / mode / listagg) ------
     // Spark 4's direct aggregate forms of what older code spelled as
     // percentile(0.5) / a count-desc window / collect_list+sort. Cross-
