@@ -108,6 +108,41 @@ object PipelineQueries {
           sum(col("tok")).cast("bigint").as("shard_tokens"))
     },
 
+    // domain-mixture reweighting: the sampling-weight computation a
+    // mixture-controlled training run needs (the DoReMi/Pile recipe's
+    // bookkeeping step) — per source: token mass, actual share, and
+    // the resampling weight that would equalize the mixture
+    // (target = uniform across sources). Integer per-mille / scaled
+    // arithmetic throughout: weight_permille = (total · 1000) div
+    // (n_sources · src_tokens) — a source at exactly uniform share
+    // reads 1000. One explode-free aggregate + one broadcast of the
+    // single-row totals; the corpus is scanned once.
+    "x43_domain_mix" -> QueryDef(
+      """WITH s AS (SELECT source,
+        |             CAST(sum(len(string_split(text,' '))) AS BIGINT)
+        |               AS src_tokens
+        |           FROM documents GROUP BY source),
+        |g AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+        |             count(*) AS n_sources FROM s)
+        |SELECT source, src_tokens,
+        |       ((src_tokens * 1000) // g.total)::BIGINT AS share_permille,
+        |       ((g.total * 1000) // (g.n_sources * src_tokens))::BIGINT
+        |         AS weight_permille
+        |FROM s CROSS JOIN g""".stripMargin) { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " "))).cast("bigint")
+          .as("src_tokens"))
+      val g = broadcast(src.agg(
+        sum(col("src_tokens")).cast("bigint").as("total"),
+        count(lit(1)).as("n_sources")))
+      src.crossJoin(g)
+        .select(col("source"), col("src_tokens"),
+          expr("(src_tokens * 1000L) div total").as("share_permille"),
+          expr("(total * 1000L) div (n_sources * src_tokens)")
+            .as("weight_permille"))
+    },
+
     // hybrid retrieval: reciprocal-rank fusion (Cormack et al., 2009)
     // of a BM25 keyword ranking (x38's scaled-rational integer score,
     // restricted to the fixed query terms) and a dense cosine ranking

@@ -163,6 +163,17 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.streamToFileSink(s, dir)
     },
 
+    // streaming continuous backup: the event stream written to the
+    // batch Backup's partitioned gz-NDJSON layout (exactly-once file
+    // sink), read back through the graftbackup DSv2 connector — the
+    // sink format and the connector verify each other end-to-end
+    "s16_streaming_backup" -> QueryDef(
+      """SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+        |       count(*) AS n_rows, sum(user_id)::BIGINT AS sum_uid
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => StreamingJobs.streamingBackup(s, dir)
+    },
+
     // checkpoint-restart recovery: the aggregation runs over half the
     // input, the query stops (simulated failure), and a NEW query
     // started from the same checkpoint ingests the rest — recovered

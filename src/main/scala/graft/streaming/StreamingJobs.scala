@@ -604,6 +604,48 @@ object StreamingJobs {
     }
   }
 
+  /** Streaming CONTINUOUS BACKUP — the reference's batch pipeline
+    * (`cmd/backup.go`) as an always-on job: the event stream lands in
+    * the SAME partitioned gz-NDJSON layout the batch
+    * [[graft.operators.Backup]] writes (`event_type=<v>/date_dir=<d>/
+    * *.json.gz`), exactly-once via the file sink's commit log, and is
+    * then read back through the `graftbackup` DataSource V2 connector
+    * ([[graft.sources.BackupSource]]) — sink format and connector
+    * verify each other end-to-end. Per-partition counts + a decoded
+    * data-field sum must equal the batch computation over the fixture.
+    */
+  def streamingBackup(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_streambak")
+    try {
+      val out = scratch.resolve("out").toString
+      val q = eventsStream(spark, dir)
+        .withColumn("date_dir", date_format(col("ts"), "yyyyMMdd"))
+        .drop("ts") // formatted into date_dir; JSON ts strings are the
+                    // batch Backup's faithful-mode concern, not this job's
+        .writeStream
+        .format("json")
+        .option("compression", "gzip")
+        .option("path", out)
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .partitionBy("event_type", "date_dir")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val agg = spark.read.format("graftbackup").load(out)
+        .groupBy(col("event_type"), col("date_dir"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("user_id")).cast("bigint").as("sum_uid"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(agg.collect(): _*)),
+        agg.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
+
   /** Checkpoint-restart recovery — the fault-tolerance contract a
     * production stream lives by: an aggregation runs over HALF the
     * input, the query STOPS (simulated failure/redeploy), and a brand-
