@@ -1009,6 +1009,107 @@ object SqlSurfaceQueries {
           (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
             coalesce(col("hashsum_a"), lit(0L)) ===
               coalesce(col("hashsum_b"), lit(0L))).as("is_match"))
+    },
+
+    // ---- q88: SQL pipe syntax (Spark 4 |> operators) -----------------
+    // The linear FROM → WHERE → AGGREGATE → ORDER BY pipeline form —
+    // each |> stage consumes the previous stage's output, so the query
+    // reads in execution order. Parsing is surface-level only: the
+    // pipe form lowers to the SAME logical plan as the nested-SELECT
+    // equivalent (one parquet scan with the shipdate filter pushed
+    // down, one partial+final hash aggregate), which the identical
+    // ANSI oracle verifies. Decimal/double discipline matches q01.
+    "q88_pipe_syntax" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_q88_lineitem")
+      s.sql(
+        """FROM graft_q88_lineitem
+          ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          ||> AGGREGATE count(*) AS n,
+          |     CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS STRING)
+          |       AS DOUBLE) AS sum_qty
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // ---- q89: SQL scalar UDF (CREATE FUNCTION ... RETURN expr) -------
+    // Spark 4's SQL-defined functions: the discounted-price business
+    // rule declared ONCE in SQL and reused by name. The body is
+    // inlined into the plan at resolution time — the aggregate below
+    // codegens exactly like q01's hand-written DiscPrice column, so
+    // the UDF is an abstraction with zero execution cost (no UDF call
+    // boundary, unlike JVM/Python UDFs). RETURNS DECIMAL(26,4) is
+    // Spark's exact multiply precision for (12,2)×(13,2); the oracle
+    // inlines the same expression and both engines sum exactly.
+    "q89_sql_udf" -> QueryDef(
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_q89_disc_price(
+          |  p DOUBLE, d DOUBLE) RETURNS DECIMAL(26,4)
+          |RETURN CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2)))
+          |""".stripMargin)
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_q89_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(CAST(sum(graft_q89_disc_price(l_extendedprice, l_discount))
+          |    AS STRING) AS DOUBLE) AS revenue,
+          |  count(*) AS n
+          |FROM graft_q89_lineitem GROUP BY l_returnflag""".stripMargin)
+    },
+
+    // ---- q90: SQL table UDF + correlated LATERAL ---------------------
+    // A table-valued SQL function (RETURNS TABLE) invoked with a
+    // correlated argument under LATERAL — the declarative spine
+    // generator behind gap-fill (Resample builds the same shape with
+    // sequence+explode). Each region row fans out to r_regionkey+1
+    // steps; the UDTF body inlines to explode(sequence(...)), so the
+    // plan is one generate over the 5-row region table — no join, no
+    // shuffle. Oracle uses DuckDB's generate_series under LATERAL.
+    "q90_sql_table_udf" -> QueryDef(
+      """SELECT r_name, gs.step
+        |FROM region, LATERAL (
+        |  SELECT unnest(generate_series(1, CAST(r_regionkey AS INT) + 1))
+        |    AS step) gs""".stripMargin) { (s, dir) =>
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_q90_spine(n INT)
+          |RETURNS TABLE(step INT)
+          |RETURN SELECT explode(sequence(1, n)) AS step
+          |""".stripMargin)
+      Tables.region(s, dir).createOrReplaceTempView("graft_q90_region")
+      s.sql(
+        """SELECT r_name, t.step
+          |FROM graft_q90_region,
+          |  LATERAL graft_q90_spine(CAST(r_regionkey AS INT) + 1) t"""
+          .stripMargin)
+    },
+
+    // ---- q91: GROUP BY ALL / ORDER BY ALL ----------------------------
+    // Spark 4 (and DuckDB) infer the grouping key as every
+    // non-aggregate select item — the resilient form for wide rollups
+    // where hand-listing keys drifts from the select list. Inference
+    // is purely syntactic sugar over GROUP BY 1,2: same single hash
+    // aggregate, map-side combined. Cents kept in BIGINT (floor ×100)
+    // so the sum is integer-exact on both engines.
+    "q91_group_by_all" -> QueryDef(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("graft_q91_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+          |FROM graft_q91_orders GROUP BY ALL ORDER BY ALL""".stripMargin)
     }
   )
 }
