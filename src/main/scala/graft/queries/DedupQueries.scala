@@ -406,6 +406,50 @@ object DedupQueries {
         .select(col("doc_id"), col("n_total"), col("n_distinct"),
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_total"), 6)
             .as("rep_ratio"))
+    },
+
+    // ---- x45: cross-source near-dup overlap matrix -------------------
+    // "Which sources copy from which?" — the provenance view of x03's
+    // candidate pairs: every banded-LSH pair tagged with its two
+    // sources (pair normalized by least/greatest so the matrix is
+    // upper-triangular including the diagonal = intra-source dups).
+    // Scale shape: the pair set is already occupancy-capped by the LSH
+    // (never doc×doc); source tags arrive via two hash joins on doc_id
+    // (shuffle-safe at corpus scale — no broadcast of the corpus); the
+    // final aggregate is ≤ |sources|² rows. This is the table that
+    // decides which source to drop when near-dup mass concentrates in
+    // one pair of crawls.
+    "x45_source_overlap_matrix" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+         |bands AS ($duckBands),
+         |bx AS (SELECT *,
+         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
+         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
+         |  FROM bands),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bx a JOIN bx b
+         |       ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.doc_id < b.doc_id
+         |       WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm))
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM pr JOIN documents da ON pr.doc_a = da.doc_id
+         |        JOIN documents db ON pr.doc_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.lshCandidatePairs(docs)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), Seq("doc_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     }
   )
 

@@ -335,6 +335,44 @@ object TextQueries {
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("term"), col("score"))
         .orderBy(col("doc_id"), col("rn"))
+    },
+
+    // ---- x44: quality-filter funnel with per-reason attribution ------
+    // The audit view every corpus filter ships with: each document is
+    // attributed to its FIRST failing rule (too_short → lang_und →
+    // low_quality → pass; the CASE chain makes attribution exclusive,
+    // so funnel counts sum to the corpus), rolled up per source with
+    // the per-source share. x23 applies this filter; x44 explains it —
+    // which sources lose how much, and to which rule. One scan, all
+    // rules expression-level over the verified x11/x12 features, one
+    // map-side-combined hash aggregate; the share window runs over the
+    // |sources|×|reasons| aggregate (tiny at any corpus scale).
+    "x44_filter_funnel" -> QueryDef(
+      s"""WITH c AS (SELECT source,
+         |  CASE WHEN len(string_split(text,' ')) < 30 THEN 'too_short'
+         |       WHEN ($duckLangPred) = 'und' THEN 'lang_und'
+         |       WHEN round(0.4 * ($duckStopRatio) +
+         |              0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
+         |              0.3 * (1.0 - ($duckDigitRatio)), 6) < 0.5
+         |         THEN 'low_quality'
+         |       ELSE 'pass' END AS reason
+         |  FROM documents)
+         |SELECT source, reason, count(*) AS n,
+         |  round(count(*)::DOUBLE /
+         |    sum(count(*)) OVER (PARTITION BY source), 6) AS share
+         |FROM c GROUP BY source, reason""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val reason = when(wsTokens(col("text")) < 30, "too_short")
+        .when(langPred(col("text")) === "und", "lang_und")
+        .when(qualityScore(col("text")) < 0.5, "low_quality")
+        .otherwise("pass")
+      Tables.documents(s, dir)
+        .select(col("source"), reason.as("reason"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("source"))), 6))
     }
   )
 }

@@ -49,4 +49,35 @@ class PipelineSpec extends SparkTestBase {
     val sorted = rows.sortBy(r => (-r._4, r._1)).toSeq
     assert(rows.toSeq == sorted)
   }
+
+  test("x44: funnel attribution is exclusive (counts sum to the corpus, " +
+    "per-source shares sum to 1)") {
+    val res = SparkEntry.queries("x44_filter_funnel")(spark, sf0001)
+      .select($"source", $"reason", $"n", $"share")
+      .as[(String, String, Long, Double)].collect()
+    val corpus = graft.Tables.documents(spark, sf0001).count()
+    assert(res.map(_._3).sum == corpus,
+      "every document attributed to exactly one funnel bucket")
+    res.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-4,
+        s"source $src shares sum to $total, not 1")
+    }
+    assert(res.map(_._2).toSet.subsetOf(
+      Set("too_short", "lang_und", "low_quality", "pass")))
+  }
+
+  test("x45: overlap matrix is upper-triangular and conserves the " +
+    "x03 pair count") {
+    val m = SparkEntry.queries("x45_source_overlap_matrix")(spark, sf0001)
+      .select($"source_a", $"source_b", $"n_pairs")
+      .as[(String, String, Long)].collect()
+    m.foreach { case (a, b, _) =>
+      assert(a <= b, s"matrix cell ($a,$b) not normalized")
+    }
+    val pairTotal = SparkEntry.queries("x03_minhash_lsh_pairs")(spark, sf0001)
+      .count()
+    assert(m.map(_._3).sum == pairTotal,
+      "matrix cells partition the x03 candidate-pair set")
+  }
 }
