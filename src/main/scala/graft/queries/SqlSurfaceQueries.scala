@@ -1110,6 +1110,30 @@ object SqlSurfaceQueries {
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
           |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
           |FROM graft_q91_orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+
+    // ---- q92: parameterized SQL + IDENTIFIER clause ------------------
+    // Spark 4's injection-safe dynamic SQL: named parameter markers
+    // (`:minPrice`) bind VALUES and `IDENTIFIER(:tbl)` binds a NAME —
+    // the two halves of templated query execution that string
+    // interpolation does unsafely (SURVEY §2.8 F7 closed this for the
+    // Column API; this is the SQL-text equivalent). Parameters resolve
+    // at parse/analysis time, so the executed plan is byte-identical
+    // to the inlined query: same scan, same pushed filter, same
+    // aggregate. The oracle inlines the same literal values.
+    "q92_parameterized_sql" -> QueryDef(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("graft_q92_orders")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+          |FROM IDENTIFIER(:tbl) WHERE o_totalprice > :minPrice
+          |GROUP BY o_orderstatus""".stripMargin,
+        Map("tbl" -> "graft_q92_orders", "minPrice" -> 150000.0))
     }
   )
 }

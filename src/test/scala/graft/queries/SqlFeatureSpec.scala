@@ -61,6 +61,21 @@ class SqlFeatureSpec extends SparkTestBase {
     assert(df.count() == 15)
   }
 
+  test("q92 parameterized SQL resolves to the same plan as the inlined " +
+    "query — parameters bind at analysis, not execution") {
+    val param = run("q92_parameterized_sql")
+    Tables.orders(spark, sf0001).createOrReplaceTempView("graft_q92_orders")
+    val inlined = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM graft_q92_orders WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(param.queryExecution.optimizedPlan.canonicalized ==
+      inlined.queryExecution.optimizedPlan.canonicalized,
+      "parameter binding changed the optimized plan")
+    assert(param.collect().toSet == inlined.collect().toSet)
+  }
+
   test("q91 GROUP BY ALL infers the same grouping as the explicit form") {
     val all = run("q91_group_by_all")
     val explicitForm = Tables.orders(spark, sf0001)
