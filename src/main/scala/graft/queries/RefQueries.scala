@@ -215,6 +215,37 @@ object RefQueries {
         .select(col("date_dir"), col("n_rows"), col("sum_uid"))
     },
 
+    // S3+S5 as a first-class connector WRITE: the same window shipped
+    // through `df.write.format("graftbackup")` (BackupSink — staged
+    // task chunks, CRC32-of-compressed-bytes names computed as bytes
+    // stream, driver publish) instead of Backup.run's write+rename
+    // repair pass, then read back through the SAME connector and
+    // rolled up. Sink and source verify each other: a byte wrong in
+    // the chunk layout, a row lost in commit, or a mis-derived
+    // date_dir breaks the hash match against the source-table oracle.
+    "r16_backup_dsv2_write" -> QueryDef(
+      s"""SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+         |       count(*) AS n_rows, sum(user_id)::BIGINT AS sum_uid
+         |FROM events
+         |WHERE $oracleWindow AND event_type IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r16", dir)
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit(From).cast("timestamp") &&
+          col("ts") <= lit(To).cast("timestamp") &&
+          col("event_type").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.format("graftbackup").mode("overwrite")
+        .option("partitionColumns", "event_type")
+        .option("timeColumn", "ts")
+        .save(out)
+      s.read.format("graftbackup").load(out)
+        .groupBy(col("event_type"), col("date_dir"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("user_id")).cast("bigint").as("sum_uid"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

@@ -1,0 +1,357 @@
+package graft.sources
+
+import java.util.zip.{CRC32, CheckedOutputStream, GZIPOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** Write side of the graftbackup DataSource V2 connector: produces the
+  * SAME on-disk contract as the batch [[graft.operators.Backup]] sink
+  * and the reference's uploader (`cmd/backup.go:258-331`) — Hive-style
+  * `<partCol>=<v>/date_dir=<yyyyMMdd>/` directories holding gz-NDJSON
+  * chunks named `<fromTS>_<toTS>_<crc32>.log.gz` — but as a first-class
+  * `df.write.format("graftbackup")` path with exactly-once commit
+  * semantics:
+  *
+  *  - **Task-side staging, driver-side publish.** Each DataWriter
+  *    streams its rows straight into per-leaf gzip chunks under a
+  *    hidden `_staging_<queryId>/` directory; the CRC32 of the
+  *    COMPRESSED bytes (the reference checksums the uploaded gzip
+  *    body) and the min/max event time accumulate as the bytes are
+  *    written, so the final `<from>_<to>_<crc>` name is known the
+  *    moment a chunk closes — no re-read, unlike the batch sink's
+  *    [[graft.operators.Backup.finalizeChunkNames]] repair pass.
+  *    Speculative/failed task attempts leave only staging garbage;
+  *    `commit(messages)` publishes exactly the chunks of the winning
+  *    attempts (Spark's commit coordinator arbitrates), then deletes
+  *    the staging tree. At cluster scale the driver does O(#chunks)
+  *    renames and zero row work.
+  *  - **Rotation bound**: chunks rotate at `maxRecordsPerChunk`
+  *    (default 1000 — the reference's page size, `cmd/backup.go:229`),
+  *    so chunk memory is one gzip buffer per open leaf, not per row.
+  *  - **Modes**: append adds chunks next to existing ones (collision
+  *    names get a `-seq` suffix, as the batch finalizer does);
+  *    overwrite (`SupportsTruncate`) clears existing partition
+  *    directories first. The `_GRAFT_META.json` timezone stamp is
+  *    (re)written on every commit so [[graft.operators.Restore]]'s
+  *    timezone guard works on connector-written backups too.
+  *
+  * Options: `partitionColumns` (comma-separated, required), `timeColumn`
+  * (required — drives `date_dir` and chunk naming), `gzip` (default
+  * true), `maxRecordsPerChunk` (default 1000). Partition columns and
+  * the derived `date_dir` are directory metadata, not JSON fields, and
+  * null JSON fields are omitted — both exactly as the read side
+  * ([[BackupSource]]) expects.
+  */
+object BackupSink {
+  val FileFmt = "yyyyMMdd'T'HHmmss'Z'"
+  val LineTsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  val DefaultMaxRecords = 1000
+
+  final case class Config(root: String, partCols: Seq[String],
+                          timeCol: String, gzip: Boolean, maxRows: Int,
+                          truncate: Boolean, zone: String, queryId: String)
+      extends Serializable {
+    def stagingDir: String = s"$root/_staging_$queryId"
+  }
+
+  def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One published chunk: where it was staged and where it belongs. */
+  final case class StagedChunk(stagedPath: String, relDir: String,
+                               baseName: String, rows: Long)
+      extends Serializable
+
+  final case class TaskChunks(chunks: Seq[StagedChunk])
+      extends WriterCommitMessage
+}
+
+class BackupWriteBuilder(schema: StructType, options: java.util.Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  import BackupSink._
+
+  private def opt(k: String): Option[String] = {
+    // CaseInsensitiveStringMap lower-cases keys
+    val m = options
+    Option(m.get(k)).orElse(Option(m.get(k.toLowerCase)))
+  }
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val root = opt("path").getOrElse(
+      throw new IllegalArgumentException("graftbackup write requires a path"))
+    val partCols = opt("partitionColumns").getOrElse(
+      throw new IllegalArgumentException(
+        "graftbackup write requires option partitionColumns"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val timeCol = opt("timeColumn").getOrElse(
+      throw new IllegalArgumentException(
+        "graftbackup write requires option timeColumn"))
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c missing from write schema " +
+          schema.fieldNames.mkString("[", ",", "]"))
+    }
+    require(schema.fieldNames.contains(timeCol),
+      s"time column $timeCol missing from write schema")
+    require(schema(timeCol).dataType == TimestampType,
+      s"time column $timeCol must be TIMESTAMP, is ${schema(timeCol).dataType}")
+    // fail fast on types the NDJSON line encoder does not cover
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | BooleanType | StringType | TimestampType |
+             DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"graftbackup cannot encode column ${f.name} of type $other")
+      }
+    }
+    val zone = SparkSession.active.conf
+      .getOption("spark.sql.session.timeZone")
+      .getOrElse(java.util.TimeZone.getDefault.getID)
+    val cfg = Config(root, partCols, timeCol,
+      gzip = opt("gzip").forall(_.toBoolean),
+      maxRows = opt("maxRecordsPerChunk").map(_.toInt)
+        .getOrElse(DefaultMaxRecords),
+      truncate = doTruncate, zone = zone,
+      queryId = java.util.UUID.randomUUID().toString.take(8))
+    new BackupBatchWrite(cfg, schema)
+  }
+}
+
+class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
+    extends Write with BatchWrite {
+  import BackupSink._
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graftbackup ${cfg.root}, partitionBy=[${cfg.partCols.mkString(",")}]" +
+      s", timeColumn=${cfg.timeCol}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new BackupWriterFactory(cfg, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    val rootPath = new Path(cfg.root)
+    if (cfg.truncate) {
+      // overwrite: clear existing partition directories (and stale
+      // staging trees from dead queries), keep this query's staging
+      Option(fs.listStatus(rootPath)).getOrElse(Array.empty).foreach { st =>
+        val n = st.getPath.getName
+        val isOurs = n == s"_staging_${cfg.queryId}"
+        if (!isOurs && (st.isDirectory || n == "_GRAFT_META.json"))
+          fs.delete(st.getPath, true): Unit
+      }
+    }
+    val ext = if (cfg.gzip) ".log.gz" else ".log"
+    messages.foreach {
+      case TaskChunks(chunks) => chunks.foreach { c =>
+        val dir = new Path(rootPath, c.relDir)
+        fs.mkdirs(dir)
+        var dst = new Path(dir, c.baseName + ext)
+        var seq = 0
+        while (!fs.rename(new Path(c.stagedPath), dst)) {
+          if (!fs.exists(dst))
+            throw new java.io.IOException(
+              s"rename ${c.stagedPath} -> $dst failed but destination " +
+                "does not exist")
+          seq += 1
+          if (seq > 1000) throw new java.io.IOException(
+            s"cannot publish chunk ${c.stagedPath}")
+          dst = new Path(dir, s"${c.baseName}-$seq$ext")
+        }
+      }
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    // Restore's timezone guard reads this stamp (Backup.MetaFile)
+    val meta = new Path(rootPath, "_GRAFT_META.json")
+    val json =
+      s"""{"sessionTimeZone":"${jsonEscape(cfg.zone)}",""" +
+        s""""timeColumn":"${jsonEscape(cfg.timeCol)}",""" +
+        s""""partitionColumn":"${jsonEscape(cfg.partCols.mkString(","))}"}"""
+    val out = fs.create(meta, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new Path(cfg.stagingDir), true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    fs.delete(new Path(cfg.stagingDir), true): Unit
+  }
+}
+
+class BackupWriterFactory(cfg: BackupSink.Config, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new BackupDataWriter(cfg, schema, partitionId, taskId)
+}
+
+/** Streams rows into per-leaf gzip chunks. One open chunk per leaf
+  * directory at a time; rotation at cfg.maxRows. CRC32 wraps the FILE
+  * stream (compressed bytes), min/max event time tracked as longs —
+  * the final name needs no second pass over the data.
+  */
+class BackupDataWriter(cfg: BackupSink.Config, schema: StructType,
+                       partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import BackupSink._
+
+  private val fs: FileSystem = new Path(cfg.root).getFileSystem(new Configuration())
+  private val partIdx: Seq[(String, Int)] =
+    cfg.partCols.map(c => c -> schema.fieldIndex(c))
+  private val timeIdx: Int = schema.fieldIndex(cfg.timeCol)
+  private val dataFields: Seq[(StructField, Int)] = schema.fields.zipWithIndex
+    .filter { case (f, _) => !cfg.partCols.contains(f.name) }.toSeq
+
+  private val zone = java.time.ZoneId.of(cfg.zone)
+  private val dayFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd").withZone(zone)
+  private val nameFmt = java.time.format.DateTimeFormatter
+    .ofPattern(FileFmt).withZone(zone)
+  private val lineFmt = java.time.format.DateTimeFormatter
+    .ofPattern(LineTsFmt).withZone(zone)
+
+  private final class Chunk(val relDir: String) {
+    val staged = new Path(
+      s"${cfg.stagingDir}/t${partitionId}_${taskId}_$chunkSeq")
+    private val crc = new CRC32()
+    private val checked =
+      new CheckedOutputStream(fs.create(staged, true), crc)
+    private val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(
+        if (cfg.gzip) new GZIPOutputStream(checked) else checked,
+        java.nio.charset.StandardCharsets.UTF_8))
+    var rows = 0L
+    var minTs: Long = Long.MaxValue
+    var maxTs: Long = Long.MinValue
+
+    def write(line: String, tsMicros: Long): Unit = {
+      out.write(line); out.write('\n')
+      rows += 1
+      if (tsMicros < minTs) minTs = tsMicros
+      if (tsMicros > maxTs) maxTs = tsMicros
+    }
+
+    def finish(): StagedChunk = {
+      out.close() // flushes gzip trailer through the CRC stream
+      def fmt(us: Long) =
+        nameFmt.format(java.time.Instant.EPOCH.plusNanos(us * 1000L))
+      StagedChunk(staged.toString, relDir,
+        s"${fmt(minTs)}_${fmt(maxTs)}_${f"${crc.getValue}%08x"}", rows)
+    }
+  }
+
+  private var chunkSeq = 0
+  private val open = mutable.LinkedHashMap.empty[String, Chunk]
+  private val done = mutable.ArrayBuffer.empty[StagedChunk]
+
+  private def escape(v: String): String =
+    if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    else ExternalCatalogUtils.escapePathName(v)
+
+  private def partString(row: InternalRow, f: StructField, i: Int): String =
+    if (row.isNullAt(i)) null
+    else f.dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case TimestampType =>
+        lineFmt.format(java.time.Instant.EPOCH.plusNanos(row.getLong(i) * 1000L))
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i)).toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other for ${f.name}")
+    }
+
+  private def jsonLine(row: InternalRow): String = {
+    val sb = new java.lang.StringBuilder(128)
+    sb.append('{')
+    var first = true
+    dataFields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) { // omit-null convention (read side expects it)
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"').append(jsonEscape(f.name)).append("\":")
+        f.dataType match {
+          case LongType => sb.append(row.getLong(i))
+          case IntegerType => sb.append(row.getInt(i))
+          case ShortType => sb.append(row.getShort(i).toInt)
+          case ByteType => sb.append(row.getByte(i).toInt)
+          case DoubleType => sb.append(row.getDouble(i))
+          case FloatType => sb.append(row.getFloat(i).toDouble)
+          case BooleanType => sb.append(row.getBoolean(i))
+          case StringType => sb.append('"')
+            .append(jsonEscape(row.getUTF8String(i).toString)).append('"')
+          case TimestampType => sb.append('"')
+            .append(lineFmt.format(
+              java.time.Instant.EPOCH.plusNanos(row.getLong(i) * 1000L)))
+            .append('"')
+          case DateType => sb.append('"')
+            .append(java.time.LocalDate.ofEpochDay(row.getInt(i)).toString)
+            .append('"')
+          case other => throw new IllegalArgumentException(
+            s"graftbackup cannot encode ${f.name}: $other")
+        }
+      }
+    }
+    sb.append('}').toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(timeIdx),
+      s"graftbackup write: null ${cfg.timeCol} cannot be chunk-named")
+    val ts = row.getLong(timeIdx)
+    val relDir = (partIdx.map { case (c, i) =>
+      s"${ExternalCatalogUtils.escapePathName(c)}=" +
+        escape(partString(row, schema(c), i))
+    } :+ s"date_dir=${dayFmt.format(
+      java.time.Instant.EPOCH.plusNanos(ts * 1000L))}").mkString("/")
+    val chunk = open.getOrElseUpdate(relDir, { chunkSeq += 1; new Chunk(relDir) })
+    chunk.write(jsonLine(row), ts)
+    if (chunk.rows >= cfg.maxRows) {
+      done += chunk.finish()
+      open.remove(relDir): Unit
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(c => done += c.finish())
+    open.clear()
+    TaskChunks(done.toSeq)
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    open.values.foreach { c =>
+      try { fs.delete(c.staged, false): Unit } catch { case _: Exception => () }
+    }
+    open.clear()
+  }
+}

@@ -118,6 +118,9 @@ object BackupSource {
   def layout(root: String): (Seq[String], Seq[Leaf]) = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(new Configuration())
+    // A write target may not exist yet — empty layout, not an error
+    // (reads of a missing path surface as an empty schema/scan).
+    if (!fs.exists(rootPath)) return (Seq.empty, Seq.empty)
     val partCols = mutable.ArrayBuffer.empty[String]
     val leaves = mutable.ArrayBuffer.empty[Leaf]
     def walk(p: Path, depth: Int, values: Map[String, String]): Unit = {
@@ -199,13 +202,29 @@ object BackupSource {
 }
 
 class BackupTable(path: String, tableSchema: StructType,
-                  partCols: Seq[String]) extends Table with SupportsRead {
+                  partCols: Seq[String]) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftbackup:$path"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: the write schema is the DataFrame's, validated
+  // by BackupWriteBuilder itself (partition/time columns, encodable
+  // types) — the table-level schema is inference over whatever already
+  // exists on disk (empty for a fresh write target), which must not
+  // gate the append.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BackupScanBuilder(path, tableSchema, partCols)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val opts = new java.util.HashMap[String, String](info.options())
+    if (!opts.containsKey("path")) opts.put("path", path)
+    new BackupWriteBuilder(info.schema(), opts)
+  }
 }
 
 class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])

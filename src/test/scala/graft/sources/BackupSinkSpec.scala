@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** The graftbackup DSv2 WRITE path: on-disk contract (dir layout, chunk
+  * naming, CRC of compressed bytes), rotation bound, save-mode
+  * semantics, null partitions, and read-side roundtrip. */
+class BackupSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_sink_spec").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/out"
+  }
+
+  private def events = Tables.events(spark, sf0001)
+    .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+
+  private def writeEvents(dir: String, mode: String = "overwrite",
+                          extra: Map[String, String] = Map.empty): Unit = {
+    var w = events.write.format("graftbackup").mode(mode)
+      .option("partitionColumns", "event_type")
+      .option("timeColumn", "ts")
+    extra.foreach { case (k, v) => w = w.option(k, v) }
+    w.save(dir)
+  }
+
+  test("roundtrip: DSv2-written backup reads back row-identical " +
+    "through the DSv2 reader") {
+    val dir = freshDir()
+    writeEvents(dir)
+    val back = spark.read.format("graftbackup").load(dir)
+    assert(back.count() == events.count())
+    // event_id is unique — join back and compare every decoded field
+    val src = events.select($"event_id", $"user_id", $"event_type",
+      date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"), $"value")
+    val got = back.select($"event_id", $"user_id", $"event_type",
+      $"ts".as("ts_s"), $"value")
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
+      "roundtrip rows differ")
+  }
+
+  test("on-disk contract: hive dirs, chunk names carry true min/max " +
+    "event time and the CRC32 of the file bytes") {
+    val dir = freshDir()
+    writeEvents(dir)
+    val root = new java.io.File(dir)
+    val parts = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("event_type=")))
+    val chunkName =
+      raw"(\d{8}T\d{6}Z)_(\d{8}T\d{6}Z)_([0-9a-f]{8})(-\d+)?\.log\.gz".r
+    // hidden .crc sidecars are the local ChecksumFileSystem's, not ours
+    val chunks = root.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles())
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    assert(chunks.nonEmpty)
+    chunks.foreach { f =>
+      f.getName match {
+        case chunkName(from, to, crcHex, _) =>
+          val bytes = Files.readAllBytes(f.toPath)
+          val crc = new CRC32(); crc.update(bytes)
+          assert(f"${crc.getValue}%08x" == crcHex,
+            s"${f.getName}: name CRC != file CRC")
+          // the named window matches the decoded content
+          val tss = chunkLines(f).map(l =>
+            "\"ts\":\"([^\"]+)\"".r.findFirstMatchIn(l).get.group(1))
+          def nameFmt(s: String) =
+            s.substring(0, 10).replace("-", "") + "T" +
+              s.substring(11, 19).replace(":", "") + "Z"
+          assert((nameFmt(tss.min), nameFmt(tss.max)) == ((from, to)),
+            s"${f.getName}: window != content")
+        case other => fail(s"unexpected chunk file name $other")
+      }
+    }
+  }
+
+  /** Decode one gz-NDJSON chunk to its lines (test-side, no Spark). */
+  private def chunkLines(f: java.io.File): Seq[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(f)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+    finally in.close()
+  }
+
+  test("rotation: maxRecordsPerChunk bounds every chunk, rows conserved") {
+    val dir = freshDir()
+    writeEvents(dir, extra = Map("maxRecordsPerChunk" -> "100"))
+    val perFile = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles())
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => f.getName -> chunkLines(f).size.toLong)
+    assert(perFile.map(_._2).sum == events.count())
+    assert(perFile.forall(_._2 <= 100),
+      s"oversize chunk: ${perFile.filter(_._2 > 100).toSeq}")
+  }
+
+  test("save modes: append accumulates, overwrite truncates") {
+    val dir = freshDir()
+    writeEvents(dir)
+    val n = events.count()
+    writeEvents(dir, mode = "append")
+    assert(spark.read.format("graftbackup").load(dir).count() == 2 * n)
+    writeEvents(dir) // overwrite
+    assert(spark.read.format("graftbackup").load(dir).count() == n)
+    // staging is cleaned up
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_staging")), "staging left behind")
+  }
+
+  test("null partition value lands in __HIVE_DEFAULT_PARTITION__ and " +
+    "reads back as NULL") {
+    val dir = freshDir()
+    events.withColumn("event_type",
+      when($"event_id" % 10 === 0, lit(null)).otherwise($"event_type"))
+      .write.format("graftbackup").mode("overwrite")
+      .option("partitionColumns", "event_type")
+      .option("timeColumn", "ts").save(dir)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.contains("event_type=__HIVE_DEFAULT_PARTITION__"))
+    val back = spark.read.format("graftbackup").load(dir)
+    assert(back.filter($"event_type".isNull).count() ==
+      events.filter($"event_id" % 10 === 0).count())
+  }
+
+  test("timezone meta stamp is written so Restore's guard applies to " +
+    "connector backups") {
+    val dir = freshDir()
+    writeEvents(dir)
+    val meta = new String(Files.readAllBytes(
+      new java.io.File(dir, "_GRAFT_META.json").toPath))
+    assert(meta.contains("\"sessionTimeZone\":\"UTC\""))
+    assert(meta.contains("\"timeColumn\":\"ts\""))
+  }
+}
