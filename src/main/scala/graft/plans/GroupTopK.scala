@@ -166,6 +166,18 @@ object GroupTopK {
     * arbitrarily — exactly like `row_number()`, whose rank among full
     * ties is also arbitrary, but the SET of returned rows then differs
     * run-to-run; a unique tie-break makes both deterministic. */
+  /** Enable [[TopKRewrite]] (window-rank idiom → GroupTopKNode) plus
+    * the planning strategy on a live session — the runtime counterpart
+    * of config-based [[GraftSparkExtensions]] registration. */
+  def enableRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
+
   def topK(df: DataFrame, groupCols: Seq[String], orderCol: String,
            k: Int, desc: Boolean = true, tieBreak: String): DataFrame = {
     val spark = df.sparkSession
@@ -197,6 +209,10 @@ class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    // operator-optimization batch: runs BEFORE Spark's own
+    // InferWindowGroupLimit, so the bounded-heap plan wins when the
+    // conservative match applies (see TopKRewrite's scaladoc)
+    ext.injectOptimizerRule(_ => TopKRewrite)
     val families =
       graft.functions.DedupFunctions.builders ++
         graft.functions.VectorFunctions.builders ++

@@ -509,6 +509,32 @@ object TpchQueries {
         tieBreak = "o_orderkey")
     },
 
+    // q30's operator reached through the OPTIMIZER instead of the API:
+    // the user writes the standard row_number idiom, TopKRewrite
+    // (plans/TopKRewrite.scala) swaps in GroupTopKNode because the rank
+    // column is dropped — same plan as q30, zero API adoption needed.
+    // The oracle runs the SAME idiom text in DuckDB, so the hash match
+    // proves the rewrite is semantics-preserving, not just plan-shaped
+    // (TopKRewriteSpec pins the plan side: GroupTopKExec present, the
+    // Window gone, and the decline cases).
+    "q93_topk_rewrite" -> QueryDef(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      graft.plans.GroupTopK.enableRewrite(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    },
+
     // exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition; both
     // rounded to 6 decimals to absorb last-bit interpolation order
