@@ -21,6 +21,13 @@ object SqlSurfaceQueries {
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
   private def asD(c: Column): Column = c.cast("string").cast("double")
 
+  // q94 PageRank constants, shared by the Spark plan and the generated
+  // oracle so the two sides cannot drift: ranks in 10⁻¹² units,
+  // damping 85/100, base = (1-d)·scale.
+  private val PrIters = 5
+  private val PrScale = 1000000000000L
+  private val PrBase = 150000000000L
+
   val defs: Map[String, QueryDef] = Map(
 
     // conditional / selective aggregation family: count_if ↔ FILTER,
@@ -1134,6 +1141,90 @@ object SqlSurfaceQueries {
           |FROM IDENTIFIER(:tbl) WHERE o_totalprice > :minPrice
           |GROUP BY o_orderstatus""".stripMargin,
         Map("tbl" -> "graft_q92_orders", "minPrice" -> 150000.0))
+    },
+
+    // ---- q94: iterative PageRank in exact integer arithmetic ---------
+    // Fixed-point graph iteration on Spark: PageRank (damping 0.85,
+    // 5 iterations) over the event-type transition graph (edge src→dst
+    // weighted by how often a user's NEXT event moves between the
+    // types). Ranks live in integer 10⁻¹² units and every division is
+    // integer division, so both engines produce bit-identical ranks —
+    // the oracle UNROLLS the same five iterations as CTEs built from
+    // the same constants (PrIters/PrScale/damping 85/100), so the two
+    // sides cannot drift. Scale shape: each iteration is ONE shuffle
+    // join of ranks into the weighted edge list plus one dst-keyed
+    // aggregate; ranks are persisted per round and the previous round
+    // unpersisted, truncating the lineage chain that otherwise grows
+    // linearly with iterations (the standard Spark iterative-algorithm
+    // discipline — at web scale you also checkpoint every ~10 rounds).
+    // Overflow bound: rank·w ≤ 10¹²·|E-weight|, safe while any single
+    // edge weight < 9.2·10⁶ (sf100-events territory; rescale PrScale
+    // down if a corpus crosses it). Dangling nodes receive base rank
+    // only — the simplified formulation, identical in both engines.
+    "q94_pagerank" -> QueryDef({
+      val iters = (1 to PrIters).map { i =>
+        s"""r$i AS (
+           |  SELECT v.node,
+           |    ($PrBase // (SELECT n FROM nn)) +
+           |    (85 * COALESCE(s.contrib, 0)) // 100 AS rank
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS contrib
+           |    FROM e JOIN r${i - 1} r ON e.src = r.node
+           |           JOIN o ON e.src = o.src
+           |    GROUP BY e.dst) s ON v.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |e AS (SELECT event_type AS src, nxt AS dst, count(*) AS w
+         |      FROM m WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+         |v AS (SELECT DISTINCT event_type AS node FROM events),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |r0 AS (SELECT node, $PrScale // (SELECT n FROM nn) AS rank FROM v),
+         |$iters
+         |SELECT node AS event_type, rank AS rank_e12 FROM r$PrIters"""
+        .stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val events = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = events
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val out = edges.groupBy(col("src"))
+        .agg(sum(col("w")).cast("bigint").as("outw"))
+      val nodes = events.select(col("event_type").as("node")).distinct()
+      val n = nodes.count() // one scalar: |node types|, metadata-sized
+      val ew = edges.join(out, "src").persist()
+      var ranks = nodes.withColumn("rank", lit(PrScale / n)).persist()
+      (1 to PrIters).foreach { _ =>
+        val contrib = ew
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .withColumn("c", expr("(rank * w) div outw"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).cast("bigint").as("contrib"))
+        val next = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), (lit(PrBase / n) +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+          .persist()
+        next.count() // materialize before dropping the previous round
+        ranks.unpersist()
+        ranks = next
+      }
+      val res = ranks
+        .select(col("node").as("event_type"), col("rank").as("rank_e12"))
+      val collected = res.collect() // 5 rows; free ranks + edges caches
+      ranks.unpersist(); ew.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
     }
   )
 }

@@ -51,6 +51,15 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.tumblingCounts(s, dir)
     },
 
+    // Trigger.AvailableNow: bounded-batch backlog catch-up that
+    // self-terminates — the scheduled-incremental production mode
+    "s17_stream_available_now" -> QueryDef(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1""".stripMargin) {
+      (s, dir) => StreamingJobs.availableNowCatchup(s, dir)
+    },
+
     // stateful running per-partition counts (reference A3, streaming)
     "s02_stream_partition_counts" -> QueryDef(
       """SELECT event_type, count(*) AS n_rows

@@ -141,6 +141,45 @@ object StreamingJobs {
         col("sum_val").cast("double").as("sum_value"))
   }
 
+  /** Trigger.AvailableNow catch-up: process the backlog that exists at
+    * start in admission-controlled micro-batches (maxFilesPerTrigger
+    * still applies per batch, unlike Trigger.Once's single giant
+    * batch), then TERMINATE — the production "catch up and exit" mode
+    * for scheduled incremental jobs. `processAllAvailable` needs the
+    * caller to decide when a forever-query is done; AvailableNow
+    * retires itself, which is what a cron-driven 100 TB backfill
+    * actually runs. Sum kept in integer cents so the oracle compare is
+    * exact. Fails loudly if the query does not self-terminate within
+    * the timeout (a hung source must not look like success). */
+  def availableNowCatchup(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val agg = eventsStream(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100).cast("bigint")).as("cents"))
+    val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+    try {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        val finished = q.awaitTermination(300000)
+        if (!finished) {
+          q.stop()
+          throw new IllegalStateException(
+            "AvailableNow query did not self-terminate within 300s")
+        }
+      } finally if (q.isActive) q.stop()
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    spark.table(name)
+  }
+
   /** Stateful running per-partition counts — the streaming analogue of
     * the reference's totalRowsPerPartitions map. */
   def partitionCounts(spark0: SparkSession, dir: String): DataFrame = {

@@ -110,4 +110,20 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("AvailableNow catch-up self-terminates, equals batch, and is " +
+    "rerunnable (state torn down between runs)") {
+    def run() = StreamingJobs.availableNowCatchup(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val first = run()
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("bigint")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(first == batch)
+    // a second invocation must not inherit the first's state store or
+    // memory-sink table (availableNowCatchup would return stale rows)
+    assert(run() == batch)
+  }
 }
