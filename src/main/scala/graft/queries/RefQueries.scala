@@ -246,6 +246,64 @@ object RefQueries {
           sum(col("user_id")).cast("bigint").as("sum_uid"))
     },
 
+    // S1+A1 through the connector's PUSHED-AGGREGATE path: group-by on
+    // the partition column with COUNT(*) / MIN / MAX of directory-derived
+    // columns is answered with one partial row per chunk file — the
+    // count is a raw line count (no JSON parse), the min/max first/last
+    // day come straight from the directory names, and Spark's final
+    // aggregate merges the partials (BackupSourceSpec pins that the
+    // plan carries BackupAggScan). At 100 TB this is the difference
+    // between shipping every row into an aggregate and shipping one row
+    // per chunk.
+    "r17_backup_agg_pushdown" -> QueryDef(
+      s"""SELECT event_type, count(*) AS n_rows,
+         |       min(strftime(ts, '%Y%m%d')) AS first_day,
+         |       max(strftime(ts, '%Y%m%d')) AS last_day
+         |FROM events
+         |WHERE $oracleWindow AND event_type IS NOT NULL
+         |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r17", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.read.format("graftbackup").load(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("date_dir")).as("first_day"),
+          max(col("date_dir")).as("last_day"))
+    },
+
+    // S1+P3 with chunk-name ZONE MAPS: a narrow time window over the
+    // backup prunes whole `<fromTS>_<toTS>_<crc32>` chunk files by their
+    // name envelope before any gzip is opened (the reference encodes
+    // min/max into the name for exactly this incremental-range use,
+    // cmd/backup.go:311-313); the residual string predicate is still
+    // evaluated exactly above the scan, so the second-floored names can
+    // never change results — BackupSourceSpec pins both the skip and a
+    // sub-second boundary case.
+    "r18_backup_time_prune" -> QueryDef(
+      s"""SELECT event_id,
+         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 06:30:00'
+         |  AND event_type IS NOT NULL""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r18", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.read.format("graftbackup").load(out)
+        .filter(col("ts") >= "2024-01-10 00:00:00" &&
+          col("ts") < "2024-01-12 06:30:00")
+        .select(col("event_id"), col("ts").as("ts_str"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

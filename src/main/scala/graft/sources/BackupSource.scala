@@ -10,7 +10,8 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -199,6 +200,101 @@ object BackupSource {
   }
 
   final case class Leaf(values: Map[String, String], files: Seq[String])
+
+  /** Time column recorded in the backup's `_GRAFT_META.json` stamp
+    * (written by both the batch Backup and the DSv2 sink). Absent or
+    * unreadable stamp → None, and chunk-name pruning is simply off. */
+  def metaTimeColumn(root: String): Option[String] =
+    try {
+      val p = new Path(root, "_GRAFT_META.json")
+      val fs = p.getFileSystem(new Configuration())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val node = try new ObjectMapper().readTree(in) finally in.close()
+        Option(node.get("timeColumn")).filter(_.isTextual).map(_.asText())
+      }
+    } catch { case _: Exception => None }
+
+  // <fromTS>_<toTS>_<crc32>[_seq].log[.gz] — the reference's chunk
+  // naming (cmd/backup.go:311-313). from/to are the SECOND-floored
+  // min/max of the chunk's time column, rendered in the writing
+  // session's zone, so every row's naive-local micros lie in
+  // [from*1e6, (to+1)*1e6).
+  private val ChunkNameRe =
+    """(\d{8}T\d{6})Z_(\d{8}T\d{6})Z_[0-9a-fA-F]{8}(?:_\d+)?\.log(?:\.gz)?""".r
+  private val chunkFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+  // The sink's line format with an optional 0–6 digit fraction: accepts
+  // both the fixed-width sink output and a user-typed comparison bound
+  // like "2024-01-10 06:00:00".
+  private val boundFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.MICRO_OF_SECOND, 0, 6, true)
+    .optionalEnd()
+    .toFormatter
+
+  private def naiveMicros(ldt: java.time.LocalDateTime): Long =
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      ldt.getNano / 1000L
+
+  /** [fromMicros, toMicrosExclusive) covered by a chunk file name, in
+    * naive-local micros; None for names that don't follow the chunk
+    * convention (those are never skipped). */
+  def chunkRangeMicros(fileName: String): Option[(Long, Long)] =
+    fileName match {
+      case ChunkNameRe(from, to) =>
+        try {
+          val lo = naiveMicros(java.time.LocalDateTime.parse(from, chunkFmt))
+          val hi = naiveMicros(java.time.LocalDateTime.parse(to, chunkFmt)) +
+            1000000L
+          Some((lo, hi))
+        } catch { case _: java.time.format.DateTimeParseException => None }
+      case _ => None
+    }
+
+  /** Parse a pushed comparison bound (the time column is a STRING in
+    * the inferred schema, so filter values arrive as strings). */
+  def boundMicros(v: Any): Option[Long] = v match {
+    case s: String =>
+      try Some(naiveMicros(java.time.LocalDateTime.parse(s, boundFmt)))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    case _ => None
+  }
+
+  /** Conservative zone-map test: false ONLY when no row in the chunk's
+    * [lo, hi) envelope can satisfy the filter — the exact predicate is
+    * still re-evaluated by Spark post-scan (these filters are returned
+    * as residual), so the only burden here is soundness of the skip.
+    * `>` is treated as `>=` and `<` as `<=` at the boundary: the name
+    * is second-floored while values carry micros, so equality at a
+    * bound can't justify a skip. */
+  def chunkMayMatch(range: (Long, Long), timeCol: String,
+                    filters: Seq[Filter]): Boolean = {
+    val (lo, hi) = range
+    filters.forall {
+      case GreaterThan(a, v) if a == timeCol =>
+        boundMicros(v).forall(m => hi > m)
+      case GreaterThanOrEqual(a, v) if a == timeCol =>
+        boundMicros(v).forall(m => hi > m)
+      case LessThan(a, v) if a == timeCol =>
+        boundMicros(v).forall(m => lo < m)
+      case LessThanOrEqual(a, v) if a == timeCol =>
+        boundMicros(v).forall(m => lo <= m)
+      case EqualTo(a, v) if a == timeCol =>
+        boundMicros(v).forall(m => m >= lo && m < hi)
+      case _ => true
+    }
+  }
+
+  /** Single-column name of a connector expression, when it is one. */
+  def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
 }
 
 class BackupTable(path: String, tableSchema: StructType,
@@ -229,11 +325,21 @@ class BackupTable(path: String, tableSchema: StructType,
 
 class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
+  import BackupSource._
 
   private val partSet = partCols.toSet
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var timeFilters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+
+  /** The backup's time column, from the `_GRAFT_META.json` stamp —
+    * range predicates on it prune whole chunk files by the
+    * `<fromTS>_<toTS>` envelope in their names. */
+  private lazy val timeCol: Option[String] = metaTimeColumn(path)
 
   /** A filter is absorbable iff it references only partition columns
     * AND has a shape we evaluate exactly against directory values —
@@ -247,32 +353,92 @@ class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
     case _ => false
   }
 
+  /** A range predicate on the chunk-named time column: used for
+    * file-level zone-map skipping but ALWAYS returned as residual —
+    * the name floors to seconds, so only Spark's post-scan evaluation
+    * is exact. */
+  private def timePrunable(f: Filter): Boolean = timeCol.exists { t =>
+    f match {
+      case GreaterThan(a, _: String) => a == t
+      case GreaterThanOrEqual(a, _: String) => a == t
+      case LessThan(a, _: String) => a == t
+      case LessThanOrEqual(a, _: String) => a == t
+      case EqualTo(a, _: String) => a == t
+      case _ => false
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, rest) = filters.partition(absorbable)
     pushed = take
+    timeFilters = rest.filter(timePrunable)
     rest
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  // Advertised = absorbed + best-effort time ranges (parquet-style:
+  // listed as pushed, still re-evaluated above the scan).
+  override def pushedFilters(): Array[Filter] = pushed ++ timeFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new BackupScan(path, required, partCols, pushed)
+  /** Aggregate pushdown, partial mode (`supportCompletePushDown` stays
+    * false): group-by ⊆ partition columns and COUNT(*) / COUNT(partCol)
+    * / MIN/MAX(partCol) — everything answerable from the directory
+    * layout plus a raw line count, with NO JSON parsing and no per-row
+    * traffic into Spark's aggregate (one partial row per chunk file).
+    * Spark plans the final merge aggregate on top, so multiple chunks
+    * per group are fine. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions.forall(e =>
+      refName(e).exists(partSet))
+    def aggOk(f: AggregateFunc): Boolean = f match {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && refName(c.column).exists(partSet)
+      case m: Min => refName(m.column).exists(partSet)
+      case m: Max => refName(m.column).exists(partSet)
+      case _ => false
+    }
+    if (groupOk && agg.aggregateExpressions.forall(aggOk)) {
+      pushedAgg = Some(agg); true
+    } else false
+  }
+
+  /** Partial limit: each reader stops after `limit` lines (Spark keeps
+    * the global limit above the scan). */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      new BackupAggScan(path, partCols, pushed, timeCol, timeFilters, agg)
+    case None =>
+      new BackupScan(path, required, partCols, pushed, timeCol,
+        timeFilters, limit)
+  }
 }
 
-class BackupScan(path: String, required: StructType, partCols: Seq[String],
-                 pushed: Array[Filter]) extends Scan with Batch {
+/** Shared partition planning: directory-value filters (static pushed +
+  * DPP-style runtime) select leaves; chunk-name zone maps then skip
+  * files whose second-floored `<fromTS>_<toTS>` envelope can't satisfy
+  * the time-range residuals. Both prunings happen before any file is
+  * opened — at 100 TB a narrow time window over a long-lived backup
+  * touches only its chunks. */
+trait BackupPlanning { self: Scan =>
   import BackupSource._
 
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graftbackup $path, pushed=[${pushed.mkString(", ")}], " +
-      s"read=[${required.fieldNames.mkString(", ")}]"
+  def path: String
+  def pushed: Array[Filter]
+  def timeCol: Option[String]
+  def timeFilters: Array[Filter]
 
-  private def keep(values: Map[String, String]): Boolean =
-    pushed.forall {
+  /** Runtime (DPP) filters on partition columns, delivered by Spark
+    * after the build side of a join has executed. */
+  protected var runtimeFilters: Array[Filter] = Array.empty
+
+  protected def dirFilters: Array[Filter] = pushed ++ runtimeFilters
+
+  protected def keep(values: Map[String, String]): Boolean =
+    dirFilters.forall {
       case EqualTo(a, v) =>
         values.get(a).exists(x => x != null && x == String.valueOf(v))
       case EqualNullSafe(a, null) => values.get(a).exists(_ == null)
@@ -285,26 +451,178 @@ class BackupScan(path: String, required: StructType, partCols: Seq[String],
       case _ => true
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  protected def keepFile(file: String): Boolean =
+    timeCol.isEmpty || timeFilters.isEmpty || {
+      val name = new Path(file).getName
+      chunkRangeMicros(name).forall(r =>
+        chunkMayMatch(r, timeCol.get, timeFilters.toSeq))
+    }
+
+  protected def plannedFiles(): Seq[BackupFilePartition] = {
     val (_, leaves) = layout(path)
     leaves.filter(l => keep(l.values))
-      .flatMap(l => l.files.map(f => BackupFilePartition(f, l.values)))
-      .toArray
+      .flatMap(l => l.files.filter(keepFile)
+        .map(f => BackupFilePartition(f, l.values)))
+  }
+}
+
+class BackupScan(val path: String, required: StructType,
+                 partCols: Seq[String], val pushed: Array[Filter],
+                 val timeCol: Option[String],
+                 val timeFilters: Array[Filter],
+                 limit: Option[Int]) extends Scan with Batch
+    with BackupPlanning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftbackup $path, pushed=[${(pushed ++ timeFilters).mkString(", ")}], " +
+      s"read=[${required.fieldNames.mkString(", ")}]" +
+      limit.map(l => s", limit=$l").getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedFiles().toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BackupReaderFactory(required, partCols.toSet, limit)
+
+  /** DPP into the connector: a join on a partition column delivers the
+    * build side's key set as an In filter at runtime; only surviving
+    * directories are listed/opened. */
+  override def filterAttributes(): Array[NamedReference] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions
+      .column(_)).toArray
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  /** Post-pruning size: sum of the surviving chunk files' on-disk
+    * bytes (compressed). Spark's join planning sees a number that
+    * shrinks with pruning, so a filtered backup side can qualify for
+    * broadcast. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = {
+      val conf = new Configuration()
+      plannedFiles().map { p =>
+        val hp = new Path(p.file)
+        try hp.getFileSystem(conf).getFileStatus(hp).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+}
+
+/** Scan in pushed-aggregate mode: output schema is the group-by
+  * partition columns followed by the aggregate columns (Spark's
+  * V2ScanRelationPushDown contract — it re-aggregates these partials
+  * and casts as needed). One output row per surviving chunk file;
+  * COUNT comes from a raw line count (no JSON parse), MIN/MAX/COUNT of
+  * partition columns from the directory values (no read at all — the
+  * line count is skipped too when no COUNT(*) is requested). */
+class BackupAggScan(val path: String, partCols: Seq[String],
+                    val pushed: Array[Filter], val timeCol: Option[String],
+                    val timeFilters: Array[Filter], agg: Aggregation)
+    extends Scan with Batch with BackupPlanning {
+  import BackupSource._
+
+  private val groupCols: Seq[String] =
+    agg.groupByExpressions.toSeq.map(e => refName(e).get)
+  // (kind, col): kind 0 = count(*), 1 = count(col), 2 = min, 3 = max
+  private val aggSpecs: Seq[(Int, String)] =
+    agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => (0, "")
+      case c: Count => (1, refName(c.column).get)
+      case m: Min => (2, refName(m.column).get)
+      case m: Max => (3, refName(m.column).get)
+      case other => throw new IllegalStateException(
+        s"graftbackup accepted an unsupported pushed aggregate: $other")
+    }
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(StructField(_, StringType)) ++
+      aggSpecs.zipWithIndex.map {
+        case ((0, _), i) => StructField(s"count_star_$i", LongType)
+        case ((1, c), i) => StructField(s"count_${c}_$i", LongType)
+        case ((k, c), i) =>
+          StructField(s"${if (k == 2) "min" else "max"}_${c}_$i", StringType)
+      })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftbackup $path AGG pushed=[${agg.aggregateExpressions.mkString(", ")}], " +
+      s"groupBy=[${groupCols.mkString(", ")}], " +
+      s"filters=[${(pushed ++ timeFilters).mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = plannedFiles()
+    if (files.isEmpty && groupCols.isEmpty)
+      // Global aggregate over zero chunks: the final agg is a SUM of
+      // partial counts, and SUM over an empty scan is NULL, not 0 — one
+      // synthetic zero-row keeps COUNT(*) = 0 correct.
+      Array(BackupFilePartition(null, Map.empty))
+    else files.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BackupReaderFactory(required, partCols.toSet)
+    new PartitionReaderFactory {
+      private val specs = aggSpecs
+      private val groups = groupCols
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val bp = p.asInstanceOf[BackupFilePartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = {
+            lazy val lines: Long = {
+              if (bp.file == null) 0L
+              else {
+                val r = BackupSource.open(bp.file)
+                try {
+                  var n = 0L
+                  while (r.readLine() != null) n += 1
+                  n
+                } finally r.close()
+              }
+            }
+            def pv(c: String): String = bp.partValues.get(c).orNull
+            val row = new GenericInternalRow(groups.length + specs.length)
+            groups.zipWithIndex.foreach { case (g, i) =>
+              val v = pv(g)
+              row.update(i, if (v == null) null else UTF8String.fromString(v))
+            }
+            specs.zipWithIndex.foreach { case ((kind, c), i) =>
+              val j = groups.length + i
+              kind match {
+                case 0 => row.update(j, lines)
+                case 1 => row.update(j, if (pv(c) == null) 0L else lines)
+                case _ =>
+                  val v = pv(c)
+                  row.update(j, if (v == null) null else UTF8String.fromString(v))
+              }
+            }
+            row
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 final case class BackupFilePartition(file: String,
                                      partValues: Map[String, String])
     extends InputPartition
 
-class BackupReaderFactory(required: StructType, partCols: Set[String])
+class BackupReaderFactory(required: StructType, partCols: Set[String],
+                          limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BackupFilePartition]
-    new BackupPartitionReader(bp, required, partCols)
+    new BackupPartitionReader(bp, required, partCols, limit)
   }
 }
 
@@ -313,12 +631,15 @@ class BackupReaderFactory(required: StructType, partCols: Set[String])
   * (constant per file), data fields from the per-line JSON. When no
   * data field is required the JSON parse is skipped entirely. */
 class BackupPartitionReader(p: BackupFilePartition, required: StructType,
-                            partCols: Set[String])
+                            partCols: Set[String],
+                            limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   import BackupSource._
 
   private val reader = open(p.file)
   private val mapper = new ObjectMapper()
+  private val maxLines: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+  private var emitted = 0L
 
   // Left(constant partition value) | Right((json field, type))
   private val extractors: Array[Either[Any, (String, DataType)]] =
@@ -333,7 +654,11 @@ class BackupPartitionReader(p: BackupFilePartition, required: StructType,
   private var line: String = _
 
   override def next(): Boolean = {
+    // Partial limit pushdown: per-reader cap; Spark's global Limit
+    // above the scan enforces exactness across partitions.
+    if (emitted >= maxLines) return false
     line = reader.readLine()
+    if (line != null) emitted += 1
     line != null
   }
 

@@ -58,7 +58,8 @@ class BackupSourceSpec extends SparkTestBase {
     assert(planned.forall(_.partValues("event_type") == "click"),
       "non-matching partitions must not be planned")
     val all = new BackupScan(outDir,
-      scans.head.readSchema(), Seq("event_type", "date_dir"), Array.empty)
+      scans.head.readSchema(), Seq("event_type", "date_dir"), Array.empty,
+      None, Array.empty, None)
       .planInputPartitions()
     assert(planned.length < all.length,
       "pruned plan must cover fewer files than the full listing")
@@ -66,17 +67,33 @@ class BackupSourceSpec extends SparkTestBase {
     assert(scans.head.description().contains("event_type"))
   }
 
-  test("column pruning reaches the decoder; partition-only reads skip JSON") {
+  test("column pruning reaches the decoder on projection queries") {
     val df = spark.read.format("graftbackup").load(outDir)
-      .groupBy(col("event_type")).count()
+      .select(col("event_type"), col("user_id"))
     val scans = df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
         r.scan.asInstanceOf[BackupScan]
     }
     val names = scans.head.readSchema().fieldNames.toSet
-    assert(names.subsetOf(Set("event_type")),
-      s"partition-count query must read only the partition column: $names")
-    // correctness of the no-parse fast path: counts match the source
+    assert(names == Set("event_type", "user_id"),
+      s"projection must prune the read schema to its columns: $names")
+  }
+
+  test("partition-count query pushes the aggregate: one partial row per " +
+    "chunk, no JSON parse, counts still exact") {
+    val df = spark.read.format("graftbackup").load(outDir)
+      .groupBy(col("event_type")).count()
+    val aggScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect { case s: BackupAggScan => s }
+    assert(aggScans.size == 1,
+      "groupBy(partitionCol).count() must plan the pushed-aggregate scan")
+    // one partial row per chunk file, not per data row
+    val partials = aggScans.head.planInputPartitions().length
+    val rows = spark.read.format("graftbackup").load(outDir).count()
+    assert(partials < rows, s"agg scan emits $partials partials for $rows rows")
+    // correctness: counts match the source table
     val counts = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val src = graft.Tables.events(spark, sf0001)
       .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
@@ -85,6 +102,113 @@ class BackupSourceSpec extends SparkTestBase {
       .groupBy(col("event_type")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == src)
+  }
+
+  test("global count(*) over an empty/fully-pruned backup is 0, not null") {
+    val n = spark.read.format("graftbackup").load(outDir)
+      .filter(col("event_type") === "does_not_exist").count()
+    assert(n == 0L)
+  }
+
+  test("min/max of a partition column answer from directory values") {
+    val row = spark.read.format("graftbackup").load(outDir)
+      .agg(min(col("date_dir")).as("lo"), max(col("date_dir")).as("hi"))
+      .collect().head
+    val want = graft.Tables.events(spark, sf0001)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-25 00:00:00").cast("timestamp") &&
+        col("event_type").isNotNull)
+      .agg(min(date_format(col("ts"), "yyyyMMdd")),
+        max(date_format(col("ts"), "yyyyMMdd")))
+      .collect().head
+    assert(row == want)
+  }
+
+  test("time-range residuals skip chunk files by name, losslessly") {
+    val df = spark.read.format("graftbackup").load(outDir)
+    val lo = "2024-01-10 00:00:00"
+    val hi = "2024-01-12 00:00:00"
+    val filtered = df.filter(col("ts") >= lo && col("ts") < hi)
+      .select(col("event_id"), col("ts"))
+    val scans = filtered.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    val planned = scans.head.planInputPartitions().length
+    val all = new BackupScan(outDir, scans.head.readSchema(),
+      Seq("event_type", "date_dir"), Array.empty, None, Array.empty, None)
+      .planInputPartitions().length
+    assert(planned < all,
+      s"narrow time window must skip chunk files ($planned of $all planned)")
+    // losslessness: same rows as a full scan + exact filter
+    val viaPrune = filtered.collect().map(_.toSeq).toSet
+    val viaFull = spark.read.schema("event_id LONG, ts STRING").json(outDir)
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .select(col("event_id"), col("ts")).collect().map(_.toSeq).toSet
+    assert(viaPrune == viaFull)
+  }
+
+  test("zone-map boundary: sub-second bound at a chunk's floored edge " +
+    "cannot skip that chunk") {
+    // A bound INSIDE the first second of some chunk: the name floors to
+    // seconds, so the chunk must survive and Spark's residual filter
+    // must trim the rows exactly.
+    import BackupSource._
+    val r = chunkRangeMicros("20240110T050607Z_20240110T070000Z_deadbeef.log.gz")
+    assert(r.isDefined)
+    val (loM, hiM) = r.get
+    // bound just above the floored start: rows in [start, bound) would
+    // be wrongly dropped by a non-conservative skip
+    assert(chunkMayMatch((loM, hiM), "ts",
+      Seq(org.apache.spark.sql.sources.LessThan("ts", "2024-01-10 05:06:07.5"))))
+    assert(chunkMayMatch((loM, hiM), "ts",
+      Seq(org.apache.spark.sql.sources.GreaterThan("ts", "2024-01-10 06:59:59.9"))))
+    // and a disjoint window does skip
+    assert(!chunkMayMatch((loM, hiM), "ts",
+      Seq(org.apache.spark.sql.sources.LessThan("ts", "2024-01-10 05:06:07"))))
+    assert(!chunkMayMatch((loM, hiM), "ts",
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("ts", "2024-01-10 07:00:01"))))
+  }
+
+  test("runtime (DPP-style) In filter prunes directories after planning") {
+    val df = spark.read.format("graftbackup").load(outDir)
+      .select(col("event_type"), col("date_dir"))
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    val scan = scans.head
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("event_type", Array("click"))))
+    val after = scan.planInputPartitions()
+    assert(after.length < before)
+    assert(after.map(_.asInstanceOf[BackupFilePartition])
+      .forall(_.partValues("event_type") == "click"))
+  }
+
+  test("statistics report post-pruning on-disk bytes") {
+    val all = new BackupScan(outDir, new org.apache.spark.sql.types.StructType(),
+      Seq("event_type", "date_dir"), Array.empty, None, Array.empty, None)
+    val pruned = new BackupScan(outDir, new org.apache.spark.sql.types.StructType(),
+      Seq("event_type", "date_dir"),
+      Array(org.apache.spark.sql.sources.EqualTo("event_type", "click")),
+      None, Array.empty, None)
+    val a = all.estimateStatistics().sizeInBytes()
+    val p = pruned.estimateStatistics().sizeInBytes()
+    assert(a.isPresent && p.isPresent)
+    assert(p.getAsLong > 0 && p.getAsLong < a.getAsLong)
+  }
+
+  test("limit pushdown caps per-reader lines and stays exact") {
+    val df = spark.read.format("graftbackup").load(outDir)
+      .select(col("event_id")).limit(7)
+    assert(df.count() == 7)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    assert(scans.head.description().contains("limit=7"))
   }
 
   test("data fields decode with nulls and values intact") {
