@@ -37,6 +37,10 @@ object PipelineQueries {
   /** RRF rank damping constant (the k=60 of Cormack et al., 2009). */
   val RrfK = 60
 
+  /** Hash seed + sample size for the weighted πps sample (x46). */
+  val WSampleSeed = 23
+  val WSampleK = 500
+
   private val Dim = graft.similarity.Ann.Dim
 
   val defs: Map[String, QueryDef] = Map(
@@ -234,6 +238,39 @@ object PipelineQueries {
             expr(s"1000000 div ($RrfK + cos_rank)")).cast("long").as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // size-weighted πps sampling — sequential Poisson sampling
+    // (Ohlsson 1998): priority = u/w with u the portable 60-bit hash
+    // folded to 30 bits (so the IEEE-double division is exact-rational
+    // in range and bit-identical on both engines) and w the document's
+    // char length; the K smallest priorities are the sample. Inclusion
+    // probability is ∝ w for small sampling fractions — the standard
+    // way to sample a corpus proportional to token mass WITHOUT an RNG:
+    // membership is a pure function of doc_id, stable under reruns,
+    // repartitioning, and engine choice. Scale shape: narrow map +
+    // TakeOrderedAndProject (per-partition top-K heaps, K·partitions
+    // rows to the driver-side final merge — never a global sort).
+    "x46_weighted_sample" -> QueryDef(
+      s"""WITH s AS (SELECT doc_id, source,
+         |  greatest(length(text), 1) AS w,
+         |  ('0x'||substr(md5('$WSampleSeed|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |    % 1073741824 AS u
+         |  FROM documents)
+         |SELECT doc_id, source, w,
+         |       CAST(u AS DOUBLE) / w AS priority
+         |FROM s
+         |ORDER BY priority, doc_id LIMIT $WSampleK""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          greatest(length(col("text")), lit(1)).cast("long").as("w"),
+          expr(s"element_at(graft_hash60_array(array(CAST(doc_id AS STRING)), $WSampleSeed), 1) % 1073741824")
+            .as("u"))
+        .select(col("doc_id"), col("source"), col("w"),
+          (col("u").cast("double") / col("w")).as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(WSampleK)
     }
   )
 }
