@@ -1225,6 +1225,54 @@ object SqlSurfaceQueries {
       ranks.unpersist(); ew.unpersist()
       s.createDataFrame(
         s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
+    },
+
+    // table profile / data card — the ANALYZE-style per-column summary a
+    // pipeline publishes with every dataset release: row count, null
+    // count, exact distinct count, and formatted min/max for every
+    // column, in ONE pass over the table (a single Aggregate; the
+    // multi-countDistinct expands rows 5× map-side instead of scanning
+    // 5 times — at 100 TB one scan vs five is the whole cost). Output
+    // values are engine-portable strings: longs via plain cast, doubles
+    // through DECIMAL, timestamps pre-formatted to micros (so a
+    // nanosecond fixture regeneration cannot skew distinct counts).
+    "q95_table_profile" -> QueryDef({
+      val cols = Seq("event_id", "user_id", "event_type", "value", "ts_s")
+      val duckCols = cols.map { c =>
+        val (minE, maxE) =
+          if (c == "value")
+            (s"CAST(CAST(min($c) AS DECIMAL(18,4)) AS VARCHAR)",
+              s"CAST(CAST(max($c) AS DECIMAL(18,4)) AS VARCHAR)")
+          else (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $minE AS min_s, $maxE AS max_s FROM e""".stripMargin
+      }
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events)
+         |${duckCols.mkString("\nUNION ALL\n")}""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      val cols = Seq("event_id", "user_id", "event_type", "value", "ts_s")
+      def minMax(c: String, f: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        if (c == "value") f.cast("decimal(18,4)").cast("string")
+        else f.cast("string")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c"),
+          minMax(c, min(col(c))).as(s"min_$c"),
+          minMax(c, max(col(c))).as(s"max_$c"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, n_rows - nn_$c, nd_$c, min_$c, max_$c")
+        .mkString(", ")
+      e.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
     }
   )
 }
