@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary induction — the
+  * tokenizer-training step of a corpus pipeline, run where the corpus
+  * lives instead of sampling it down to one machine.
+  *
+  * Classic word-frequency BPE (Sennrich et al., 2016): train on the
+  * DISTINCT-word table weighted by word count, not on the raw corpus —
+  * at 100 TB the distinct-word table is orders of magnitude smaller
+  * than the text it summarizes, and it is the only thing the iteration
+  * touches after one corpus-wide word count. Each round is:
+  *
+  *   1. adjacent symbol pairs per word (narrow, codegen'd kernel) →
+  *      pair frequency aggregate (ONE shuffle of pair partials),
+  *   2. argmax pair by (freq, lexicographic tie-break) — a top-1
+  *      TakeOrdered, one row to the driver (metadata-sized, like
+  *      KMeans' k-row collect),
+  *   3. apply the merge to every word's symbol array (narrow map with
+  *      the strict leftmost-non-overlapping kernel), persist, and
+  *      unpersist the previous round — the q94 lineage-truncation
+  *      pattern, so plan depth stays O(1) per round.
+  *
+  * Determinism: integer frequencies, total tie-break order, no RNG —
+  * the learned rules are a pure function of the word-count table.
+  */
+object BpeTrain {
+
+  /** One learned merge rule: at `step`, (left, right) → merged, with
+    * the pair's corpus frequency at the time of the merge. */
+  final case class MergeRule(step: Int, left: String, right: String,
+                             merged: String, freq: Long)
+
+  /** @param words (word: String, cnt: Long) distinct-word counts
+    * @param rounds merge rules to learn
+    */
+  def train(spark: SparkSession, words: DataFrame, rounds: Int): Seq[MergeRule] = {
+    graft.functions.BpeFunctions.register(spark)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var vocab = words
+      .select(col("cnt"), call_function("graft_bpe_symbols", col("word")).as("syms"))
+      .persist()
+    vocab.count()
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= rounds && !exhausted) {
+        val top = vocab
+          .select(explode(call_function("graft_bpe_pairs", col("syms"))).as("p"),
+            col("cnt"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val Row(l: String, r: String, f: Long) = top(0)
+          rules += MergeRule(step, l, r, l + r, f)
+          val next = vocab
+            .select(col("cnt"),
+              call_function("graft_bpe_merge", col("syms"), lit(l), lit(r))
+                .as("syms"))
+            .persist()
+          next.count() // materialize before dropping the parent
+          vocab.unpersist()
+          vocab = next
+          step += 1
+        }
+      }
+    } finally vocab.unpersist()
+    rules.toSeq
+  }
+
+  /** Train on a text column: corpus → word counts → merge rules, as a
+    * DataFrame for the query surface. */
+  def trainOnText(spark: SparkSession, docs: DataFrame, textCol: String,
+                  rounds: Int): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val rules = train(spark, words, rounds)
+    import spark.implicits._
+    rules.toDF()
+      .select(col("step"), col("left"), col("right"), col("merged"),
+        col("freq"))
+  }
+}

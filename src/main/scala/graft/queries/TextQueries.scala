@@ -373,6 +373,22 @@ object TextQueries {
         .withColumn("share",
           round(col("n").cast("double") /
             sum(col("n")).over(Window.partitionBy(col("source"))), 6))
+    },
+
+    // distributed BPE tokenizer-vocabulary induction (Sennrich et al.,
+    // 2016) — learn the first merge rules of a tokenizer ON the corpus:
+    // word counts once, then per-round pair-frequency aggregate + top-1
+    // + codegen'd strict-leftmost merge over the distinct-word table
+    // (see operators/BpeTrain). rows-only BY DESIGN: the merge-apply
+    // step is sequential per word (leftmost non-overlapping) and not
+    // SQL-expressible — a string replace() encoding silently mismerges
+    // repeated-symbol runs. BpeSpec carries the correctness burden: an
+    // independent brute-force reference must agree rule-for-rule on the
+    // real corpus, plus adversarial run/overlap cases and a
+    // repartitioning-invariance check.
+    "x47_bpe_merges" -> QueryDef.rowsOnly { (s, dir) =>
+      graft.operators.BpeTrain.trainOnText(
+        s, Tables.documents(s, dir), "text", rounds = 8)
     }
   )
 }
