@@ -145,8 +145,91 @@ object Backup {
     val json =
       s"""{"sessionTimeZone":"${jsonEscape(sessionTz(spark))}",""" +
         s""""timeColumn":"${jsonEscape(cfg.timeColumn)}",""" +
-        s""""partitionColumn":"${jsonEscape(cfg.partitionColumn)}"}"""
+        s""""partitionColumn":"${jsonEscape(cfg.partitionColumn)}",""" +
+        s""""coveredTo":"${cfg.to}"}"""
     val out = fs.create(new Path(new Path(cfg.outputPath), MetaFile), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Incremental backup — resume an existing backup root up to `newTo`
+    * WITHOUT re-reading or rewriting what's already there.
+    *
+    * The exact resume point is the `coveredTo` stamp in
+    * `_GRAFT_META.json` (written by [[run]]): the increment is the
+    * half-open window (coveredTo, newTo], so repeated incrementals
+    * tile the timeline with no duplicates and no holes — chunk names
+    * only floor to seconds, which is why the stamp, not the names, is
+    * the resume authority (the names are cross-checked: a chunk
+    * claiming data past coveredTo fails fast rather than risking
+    * duplication). The increment ships through the DSv2 sink's APPEND
+    * mode, whose later-window chunk names sort after every existing
+    * name in a leaf — the append-monotonicity contract the streaming
+    * tail ([[graft.sources.BackupMicroBatchStream]]) relies on.
+    * Work is proportional to the increment: one filtered scan of the
+    * source (time-range pushed to parquet), zero reads of the existing
+    * backup beyond the one-line stamp.
+    */
+  def incremental(spark: SparkSession, inputPath: String, outputRoot: String,
+                  newTo: java.time.Instant): Unit = {
+    val fs = FileSystem.get(new java.net.URI(outputRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val metaPath = new Path(new Path(outputRoot), MetaFile)
+    require(fs.exists(metaPath),
+      s"$outputRoot has no $MetaFile stamp — not an existing backup root")
+    val node = {
+      val in = fs.open(metaPath)
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    }
+    def field(n: String): String = {
+      val v = node.get(n)
+      require(v != null && v.isTextual, s"$MetaFile is missing '$n'")
+      v.asText()
+    }
+    val timeCol = field("timeColumn")
+    val partCol = field("partitionColumn")
+    val coveredTo = java.time.Instant.parse(field("coveredTo"))
+    require(coveredTo.isBefore(newTo),
+      s"backup already covers $coveredTo >= $newTo — nothing to do")
+    val tz = field("sessionTimeZone")
+    require(tz == sessionTz(spark),
+      s"backup was written in zone $tz, session is ${sessionTz(spark)}")
+
+    // cross-check: no existing chunk name may claim data past coveredTo
+    val coveredFloorMicros =
+      coveredTo.getEpochSecond * 1000000L + coveredTo.getNano / 1000L
+    graft.sources.BackupSource.layout(outputRoot)._2.foreach { leaf =>
+      leaf.files.foreach { f =>
+        val name = new Path(f).getName
+        graft.sources.BackupSource.chunkRangeMicros(name).foreach {
+          case (_, hi) =>
+            // hi is exclusive and second-ceiled; data past coveredTo
+            // exists only if hi > coveredTo + 1s
+            require(hi <= coveredFloorMicros + 1000000L,
+              s"chunk $name extends past the coveredTo stamp ($coveredTo) " +
+                "— stamp and data disagree, refusing to append")
+        }
+      }
+    }
+
+    val src = Tables.loadPath(spark, inputPath)
+    src.filter(col(timeCol) > lit(java.sql.Timestamp.from(coveredTo)) &&
+        col(timeCol) <= lit(java.sql.Timestamp.from(newTo)) &&
+        col(partCol).isNotNull)
+      .write.format("graftbackup").mode("append")
+      .option("partitionColumns", partCol)
+      .option("timeColumn", timeCol)
+      .save(outputRoot)
+
+    // the sink's commit rewrote the stamp without coveredTo — re-stamp
+    // with the advanced watermark
+    val json =
+      s"""{"sessionTimeZone":"${jsonEscape(tz)}",""" +
+        s""""timeColumn":"${jsonEscape(timeCol)}",""" +
+        s""""partitionColumn":"${jsonEscape(partCol)}",""" +
+        s""""coveredTo":"$newTo"}"""
+    val out = fs.create(metaPath, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -304,6 +304,34 @@ object RefQueries {
         .select(col("event_id"), col("ts").as("ts_str"))
     },
 
+    // incremental backup — the reason the reference encodes
+    // <fromTS>_<toTS> into chunk names at all: resume a backup root up
+    // to a new end time touching ONLY the increment. The exact resume
+    // point is the coveredTo stamp in _GRAFT_META.json (names floor to
+    // seconds and are used as a cross-check, not the authority); the
+    // increment ships through the DSv2 sink's append mode. Base window
+    // + incremental extension must equal one full-window backup — the
+    // oracle counts the full window off the source table.
+    "r19_backup_incremental" -> QueryDef(
+      s"""SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+         |       count(*) AS n_rows
+         |FROM events WHERE $oracleWindow AND event_type IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r19", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse("2024-01-15T00:00:00Z"))
+      graft.operators.Backup.run(s, cfg) // overwrite wipes stale scratch
+      graft.operators.Backup.incremental(s, s"$dir/events.parquet", out,
+        java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      s.read.format("graftbackup").load(out)
+        .groupBy(col("event_type").cast("string").as("event_type"),
+          col("date_dir").cast("string").as("date_dir"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

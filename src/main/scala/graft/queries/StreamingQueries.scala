@@ -183,6 +183,22 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.streamingBackup(s, dir)
     },
 
+    // streaming tail of a growing backup: the graftbackup connector as
+    // a MICRO-BATCH SOURCE (per-leaf sorted-count offsets — the
+    // directory tree is the log), fed by Backup.incremental's append
+    // between triggers; final state must equal the batch aggregate
+    // over the full window
+    "s18_stream_backup_tail" -> QueryDef(
+      """SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+        |       count(*) AS n_rows
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |  AND event_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => StreamingJobs.streamBackupTail(s, dir)
+    },
+
     // checkpoint-restart recovery: the aggregation runs over half the
     // input, the query stops (simulated failure), and a NEW query
     // started from the same checkpoint ingests the rest — recovered

@@ -221,8 +221,10 @@ object BackupSource {
   // min/max of the chunk's time column, rendered in the writing
   // session's zone, so every row's naive-local micros lie in
   // [from*1e6, (to+1)*1e6).
+  // suffix: finalizeChunkNames disambiguates collisions with `_N`, the
+  // DSv2 sink with `-N` — accept both
   private val ChunkNameRe =
-    """(\d{8}T\d{6})Z_(\d{8}T\d{6})Z_[0-9a-fA-F]{8}(?:_\d+)?\.log(?:\.gz)?""".r
+    """(\d{8}T\d{6})Z_(\d{8}T\d{6})Z_[0-9a-fA-F]{8}(?:[-_]\d+)?\.log(?:\.gz)?""".r
   private val chunkFmt =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
   // The sink's line format with an optional 0–6 digit fraction: accepts
@@ -310,6 +312,7 @@ class BackupTable(path: String, tableSchema: StructType,
   // gate the append.
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -487,6 +490,15 @@ class BackupScan(val path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new BackupReaderFactory(required, partCols.toSet, limit)
 
+  /** Streaming read: tail a growing backup as micro-batches (see
+    * [[BackupMicroBatchStream]]). The same directory/zone-map pruning
+    * applies per batch — a filtered tail never lists or opens
+    * non-matching chunks. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BackupMicroBatchStream(path, required, partCols, pushed, timeCol,
+      timeFilters)
+
   /** DPP into the connector: a join on a partition column delivers the
     * build side's key set as an In filter at runtime; only surviving
     * directories are listed/opened. */
@@ -630,6 +642,103 @@ class BackupReaderFactory(required: StructType, partCols: Set[String],
   * at construction: partition fields come from the directory values
   * (constant per file), data fields from the per-line JSON. When no
   * data field is required the JSON parse is skipped entirely. */
+/** Streaming offset: per-leaf-directory chunk-file counts (sorted-name
+  * order), JSON-serialized. Resumable from a checkpoint without any
+  * source-side log: the directory tree IS the log.
+  *
+  * Append-monotonicity contract (documented on the sink side too): an
+  * appended backup covers a LATER time window, so its chunk names —
+  * `<fromTS>_...` — sort after every existing name in the same leaf,
+  * and new leaves (new partitions / date_dirs) start at count 0. Under
+  * that contract a (dir → n) prefix uniquely identifies the processed
+  * set across restarts. */
+final case class BackupOffset(counts: Map[String, Int])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    counts.toSeq.sortBy(_._1).foreach { case (d, n) => node.put(d, n) }
+    m.writeValueAsString(node)
+  }
+}
+
+object BackupOffset {
+  def fromJson(s: String): BackupOffset = {
+    val node = new ObjectMapper().readTree(s)
+    val b = Map.newBuilder[String, Int]
+    val it = node.fields()
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asInt() }
+    BackupOffset(b.result())
+  }
+}
+
+/** Micro-batch tail of a growing backup: each trigger lists the leaf
+  * directories (driver-side metadata, O(#dirs)), takes every leaf's
+  * sorted file list, and plans the per-leaf suffix past the previous
+  * offset — one InputPartition per new chunk file, decoded by the same
+  * pruned-column reader as the batch path. Pairs with the DSv2 sink's
+  * append mode / `Backup.incremental`: the write side appends
+  * later-window chunks, the read side picks up exactly those. */
+class BackupMicroBatchStream(val path: String, required: StructType,
+                             partCols: Seq[String],
+                             val pushed: Array[Filter],
+                             val timeCol: Option[String],
+                             val timeFilters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with BackupPlanning with Scan {
+  import BackupSource._
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graftbackup-stream $path, pushed=[${(pushed ++ timeFilters).mkString(", ")}]"
+
+  /** Leaf-relative key: partition values path, stable across listings. */
+  private def leafKey(values: Map[String, String], anyFile: String): String = {
+    // derive from the file's parent directory relative to the root —
+    // exact, including escaped partition values
+    val parent = new Path(anyFile).getParent.toString
+    val rootStr = new Path(path).toUri.getPath
+    val idx = parent.indexOf(rootStr)
+    if (idx >= 0) parent.substring(idx + rootStr.length).stripPrefix("/")
+    else parent
+  }
+
+  private def survivingLeaves(): Seq[(String, Seq[String])] = {
+    val (_, leaves) = layout(path)
+    leaves.filter(l => keep(l.values) && l.files.nonEmpty)
+      .map(l => leafKey(l.values, l.files.head) -> l.files)
+  }
+
+  override def initialOffset(): Offset = BackupOffset(Map.empty)
+
+  override def latestOffset(): Offset =
+    BackupOffset(survivingLeaves().map { case (k, fs) => k -> fs.length }.toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    BackupOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[BackupOffset].counts
+    val e = end.asInstanceOf[BackupOffset].counts
+    val (_, leaves) = layout(path)
+    leaves.filter(l => keep(l.values) && l.files.nonEmpty).flatMap { l =>
+      val k = leafKey(l.values, l.files.head)
+      val from = s.getOrElse(k, 0)
+      val to = math.min(e.getOrElse(k, 0), l.files.length)
+      l.files.slice(from, to).filter(keepFile)
+        .map(f => BackupFilePartition(f, l.values))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BackupReaderFactory(required, partCols.toSet)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 class BackupPartitionReader(p: BackupFilePartition, required: StructType,
                             partCols: Set[String],
                             limit: Option[Int] = None)

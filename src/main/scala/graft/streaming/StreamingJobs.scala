@@ -685,6 +685,54 @@ object StreamingJobs {
     }
   }
 
+  /** Streaming TAIL of a growing backup through the graftbackup DSv2
+    * micro-batch source ([[graft.sources.BackupMicroBatchStream]]) —
+    * the read-side complement of `Backup.incremental`: a base window
+    * is backed up batch-side, the stream aggregates it, the backup is
+    * then EXTENDED incrementally, and the next trigger picks up
+    * exactly the appended chunk files (per-leaf sorted-count offsets,
+    * no source-side log). Final complete-mode state must equal the
+    * batch aggregate over the full window — which is what the oracle
+    * checks; BackupStreamSpec additionally pins that batch 2 read only
+    * the increment's rows. */
+  def streamBackupTail(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tail")
+    try {
+      val out = scratch.resolve("bak").toString
+      val mid = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse("2024-01-05T00:00:00Z"), to = mid)
+      graft.operators.Backup.run(spark, cfg)
+      val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+      val q = spark.readStream.format("graftbackup").load(out)
+        .groupBy(col("event_type"), col("date_dir"))
+        .agg(count(lit(1)).as("n_rows"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: the base window's chunks
+        graft.operators.Backup.incremental(spark, s"$dir/events.parquet",
+          out, java.time.Instant.parse("2024-01-25T00:00:00Z"))
+        q.processAllAvailable() // batch 2: exactly the appended chunks
+      } finally q.stop()
+      val agg = spark.table(name)
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(agg.collect(): _*)),
+        agg.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
+
   /** Checkpoint-restart recovery — the fault-tolerance contract a
     * production stream lives by: an aggregation runs over HALF the
     * input, the query STOPS (simulated failure/redeploy), and a brand-
