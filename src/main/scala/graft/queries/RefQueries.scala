@@ -332,6 +332,35 @@ object RefQueries {
         .agg(count(lit(1)).as("n_rows"))
     },
 
+    // S1+O1+O2 through the connector's pushed-TopN path: "newest N
+    // events in the backup" — the reference's newest-first page order
+    // (cmd/backup.go:240-248) as a connector-planned top-k. The Sort +
+    // Limit above the DSv2 scan pushes down (SupportsPushDownTopN):
+    // each chunk-file reader keeps only its LOCAL top-50 in a bounded
+    // heap and the merging TopN above sees ≤ 50 rows per chunk instead
+    // of every decoded line. The backup's formatted ts strings are
+    // fixed-width, so string order IS chronological order — same
+    // collation in DuckDB. event_id breaks ties deterministically.
+    "r20_backup_topn" -> QueryDef(
+      s"""SELECT event_id,
+         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+         |       event_type, user_id
+         |FROM events WHERE $oracleWindow AND event_type IS NOT NULL
+         |ORDER BY ts_str DESC, event_id DESC LIMIT 50""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r20", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.read.format("graftbackup").load(out)
+        .select(col("event_id"), col("ts").as("ts_str"),
+          col("event_type"), col("user_id"))
+        .orderBy(col("ts_str").desc, col("event_id").desc)
+        .limit(50)
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

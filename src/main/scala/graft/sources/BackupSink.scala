@@ -143,13 +143,39 @@ class BackupWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
 }
 
 class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite with RequiresDistributionAndOrdering {
   import BackupSink._
 
   override def toBatch: BatchWrite = this
   override def description(): String =
     s"graftbackup ${cfg.root}, partitionBy=[${cfg.partCols.mkString(",")}]" +
       s", timeColumn=${cfg.timeCol}"
+
+  /** Distribution stays UNSPECIFIED on purpose: requiring a cluster on
+    * the partition columns would funnel each hot partition value into
+    * ONE task (the classic dynamic-partition-write skew trap) — the
+    * writer already handles interleaved leaves with one open gzip per
+    * leaf. What we DO require is a per-task sort: partition columns
+    * first (so a task's rows for one leaf arrive contiguously — open
+    * chunks collapse to one at a time, bounding writer memory at one
+    * gzip buffer regardless of leaf fan-in), then the time column
+    * DESCENDING (the reference's newest-first page order,
+    * `cmd/backup.go:240-248`, and what makes each chunk's
+    * `<from>_<to>` name a TIGHT envelope — consecutive chunks of a
+    * leaf cover disjoint time ranges, which is what the read side's
+    * zone-map skipping feeds on). A local sort costs no shuffle. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    (cfg.partCols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)) :+
+      Expressions.sort(Expressions.column(cfg.timeCol),
+        SortDirection.DESCENDING)).toArray
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =

@@ -297,6 +297,66 @@ object BackupSource {
       Some(nr.fieldNames()(0))
     case _ => None
   }
+
+  /** One pushed-TopN sort key: column, direction, null placement. */
+  final case class TopNKey(col: String, descending: Boolean,
+                           nullsFirst: Boolean) extends Serializable {
+    override def toString: String =
+      s"$col ${if (descending) "DESC" else "ASC"}" +
+        s" NULLS ${if (nullsFirst) "FIRST" else "LAST"}"
+  }
+
+  /** Pushed ORDER BY … LIMIT n: each reader keeps only its local top-n
+    * in a bounded heap (partial pushdown — Spark's TopN above merges).
+    * Caps the memory a reader may hold. */
+  final case class TopNSpec(keys: Seq[TopNKey], limit: Int)
+      extends Serializable
+
+  /** Refuse TopN pushdown above this limit: the per-reader heap holds
+    * up to `limit` decoded rows, and past this size Spark's own
+    * sort-based TopN over the streamed scan is the better plan. */
+  val TopNMaxLimit = 100000
+
+  /** Row comparator for a pushed TopN over the decoded read schema.
+    * Types are the ones the line decoder produces (long / int / double
+    * / boolean / UTF8String) — validated at pushdown time. */
+  def topNComparator(spec: TopNSpec, schema: StructType)
+      : java.util.Comparator[InternalRow] = {
+    val keys: Array[(Int, DataType, Boolean, Boolean)] = spec.keys.map { k =>
+      val i = schema.fieldIndex(k.col)
+      (i, schema.fields(i).dataType, k.descending, k.nullsFirst)
+    }.toArray
+    new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        var j = 0
+        while (j < keys.length) {
+          val (i, dt, desc, nullsFirst) = keys(j)
+          val an = a.isNullAt(i); val bn = b.isNullAt(i)
+          val c =
+            if (an && bn) 0
+            else if (an) { if (nullsFirst) -1 else 1 }
+            else if (bn) { if (nullsFirst) 1 else -1 }
+            else {
+              val base = dt match {
+                case LongType => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+                case IntegerType => Integer.compare(a.getInt(i), b.getInt(i))
+                case DoubleType =>
+                  java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+                case BooleanType =>
+                  java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+                case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+                case other => throw new IllegalStateException(
+                  s"graftbackup TopN on uncomparable type $other")
+              }
+              if (desc) -base else base
+            }
+          if (c != 0) return c
+          j += 1
+        }
+        0
+      }
+    }
+  }
 }
 
 class BackupTable(path: String, tableSchema: StructType,
@@ -329,7 +389,8 @@ class BackupTable(path: String, tableSchema: StructType,
 class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   import BackupSource._
 
   private val partSet = partCols.toSet
@@ -338,6 +399,7 @@ class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
   private var timeFilters: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
   private var limit: Option[Int] = None
+  private var topN: Option[TopNSpec] = None
 
   /** The backup's time column, from the `_GRAFT_META.json` stamp —
     * range predicates on it prune whole chunk files by the
@@ -411,12 +473,51 @@ class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
+  /** Partial TopN (`ORDER BY … LIMIT n`): accepted when every sort key
+    * is a plain column of a type the line decoder produces — then each
+    * reader returns only its LOCAL top-n from a bounded heap instead of
+    * every decoded row, and Spark's TopN above merges ≤ n rows per
+    * chunk file. The scan-side sort order is exact (same comparator
+    * semantics), so this is sound for any data; the win at 100 TB is
+    * that the shuffle into the final TopN carries n·#chunks rows, not
+    * the corpus. Refused above [[BackupSource.TopNMaxLimit]] — a huge n
+    * would turn every reader into an n-row buffer and Spark's own sort
+    * is the better plan there. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    def comparable(n: String): Boolean =
+      full.fields.find(_.name == n).map(_.dataType).exists {
+        case LongType | IntegerType | DoubleType | BooleanType |
+             StringType => true
+        case _ => false
+      }
+    val keys = orders.toSeq.map { so =>
+      refName(so.expression()).filter(comparable).map { n =>
+        TopNKey(n, so.direction() == SortDirection.DESCENDING,
+          so.nullOrdering() == NullOrdering.NULLS_FIRST)
+      }
+    }
+    if (l > 0 && l <= TopNMaxLimit && keys.nonEmpty &&
+        keys.forall(_.isDefined)) {
+      topN = Some(TopNSpec(keys.map(_.get), l)); true
+    } else false
+  }
+
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
       new BackupAggScan(path, partCols, pushed, timeCol, timeFilters, agg)
     case None =>
+      // TopN needs its sort keys in the decoded schema; Spark prunes
+      // to the plan's references, which include the Sort's keys when
+      // the TopN was only partially pushed — the guard is belt and
+      // braces (falling back to the plain scan stays sound: partial
+      // pushdown means Spark's TopN still runs above).
+      val effTopN = topN.filter(_.keys.forall(k =>
+        required.fieldNames.contains(k.col)))
       new BackupScan(path, required, partCols, pushed, timeCol,
-        timeFilters, limit)
+        timeFilters, if (effTopN.isDefined) None else limit, effTopN)
   }
 }
 
@@ -473,7 +574,9 @@ class BackupScan(val path: String, required: StructType,
                  partCols: Seq[String], val pushed: Array[Filter],
                  val timeCol: Option[String],
                  val timeFilters: Array[Filter],
-                 limit: Option[Int]) extends Scan with Batch
+                 limit: Option[Int],
+                 topN: Option[BackupSource.TopNSpec] = None)
+    extends Scan with Batch
     with BackupPlanning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -482,13 +585,15 @@ class BackupScan(val path: String, required: StructType,
   override def description(): String =
     s"graftbackup $path, pushed=[${(pushed ++ timeFilters).mkString(", ")}], " +
       s"read=[${required.fieldNames.mkString(", ")}]" +
-      limit.map(l => s", limit=$l").getOrElse("")
+      limit.map(l => s", limit=$l").getOrElse("") +
+      topN.map(t =>
+        s", topN=[${t.keys.mkString(", ")} LIMIT ${t.limit}]").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedFiles().toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BackupReaderFactory(required, partCols.toSet, limit)
+    new BackupReaderFactory(required, partCols.toSet, limit, topN)
 
   /** Streaming read: tail a growing backup as micro-batches (see
     * [[BackupMicroBatchStream]]). The same directory/zone-map pruning
@@ -630,11 +735,12 @@ final case class BackupFilePartition(file: String,
     extends InputPartition
 
 class BackupReaderFactory(required: StructType, partCols: Set[String],
-                          limit: Option[Int] = None)
+                          limit: Option[Int] = None,
+                          topN: Option[BackupSource.TopNSpec] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val bp = p.asInstanceOf[BackupFilePartition]
-    new BackupPartitionReader(bp, required, partCols, limit)
+    new BackupPartitionReader(bp, required, partCols, limit, topN)
   }
 }
 
@@ -741,7 +847,8 @@ class BackupMicroBatchStream(val path: String, required: StructType,
 
 class BackupPartitionReader(p: BackupFilePartition, required: StructType,
                             partCols: Set[String],
-                            limit: Option[Int] = None)
+                            limit: Option[Int] = None,
+                            topN: Option[BackupSource.TopNSpec] = None)
     extends PartitionReader[InternalRow] {
   import BackupSource._
 
@@ -761,18 +868,51 @@ class BackupPartitionReader(p: BackupFilePartition, required: StructType,
   private val needsParse = extractors.exists(_.isRight)
 
   private var line: String = _
+  private var row: InternalRow = _
 
-  override def next(): Boolean = {
-    // Partial limit pushdown: per-reader cap; Spark's global Limit
-    // above the scan enforces exactness across partitions.
-    if (emitted >= maxLines) return false
-    line = reader.readLine()
-    if (line != null) emitted += 1
-    line != null
+  // Pushed TopN: drain the file into a bounded heap (worst of the kept
+  // set at the head, via the reversed comparator), then serve the
+  // survivors in sorted order. The reader holds ≤ limit decoded rows —
+  // bounded by TopNMaxLimit at pushdown time — and emits ≤ limit rows
+  // into Spark's merging TopN, instead of every line in the chunk.
+  private val topRows: java.util.Iterator[InternalRow] = topN match {
+    case None => null
+    case Some(spec) =>
+      val cmp = topNComparator(spec, required)
+      val pq = new java.util.PriorityQueue[InternalRow](
+        math.min(spec.limit + 1, 1024), cmp.reversed())
+      var l = reader.readLine()
+      while (l != null) {
+        pq.offer(decode(l)): Unit
+        if (pq.size > spec.limit) pq.poll(): Unit
+        l = reader.readLine()
+      }
+      reader.close()
+      val arr = pq.toArray(new Array[InternalRow](pq.size))
+      java.util.Arrays.sort(arr, cmp)
+      java.util.Arrays.asList(arr: _*).iterator()
   }
 
-  override def get(): InternalRow = {
-    val node: JsonNode = if (needsParse) mapper.readTree(line) else null
+  override def next(): Boolean = {
+    if (topRows != null) {
+      if (!topRows.hasNext) return false
+      row = topRows.next()
+      true
+    } else {
+      // Partial limit pushdown: per-reader cap; Spark's global Limit
+      // above the scan enforces exactness across partitions.
+      if (emitted >= maxLines) return false
+      line = reader.readLine()
+      if (line != null) emitted += 1
+      line != null
+    }
+  }
+
+  override def get(): InternalRow =
+    if (topRows != null) row else decode(line)
+
+  private def decode(l: String): InternalRow = {
+    val node: JsonNode = if (needsParse) mapper.readTree(l) else null
     val row = new GenericInternalRow(extractors.length)
     var i = 0
     while (i < extractors.length) {

@@ -103,6 +103,41 @@ class BackupSinkSpec extends SparkTestBase {
       s"oversize chunk: ${perFile.filter(_._2 > 100).toSeq}")
   }
 
+  test("required ordering: chunk lines are newest-first and a leaf's " +
+    "chunks cover disjoint time ranges") {
+    val dir = freshDir()
+    writeEvents(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val leaves = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val chunks = leaf.listFiles().filter(_.getName.endsWith(".log.gz"))
+      val ranges = chunks.map { f =>
+        val r = BackupSource.open(f.getAbsolutePath)
+        val ts = Iterator.continually(r.readLine()).takeWhile(_ != null)
+          .map(l => mapper.readTree(l).get("ts").asText()).toVector
+        r.close()
+        // RequiresDistributionAndOrdering sorts each task's rows by
+        // (partCols, ts desc): within one chunk the formatted
+        // timestamps must be non-increasing
+        assert(ts == ts.sorted.reverse,
+          s"chunk ${f.getName} is not newest-first")
+        (ts.last, ts.head) // (min, max), fixed-width strings
+      }
+      // desc-sorted input + rotation ⇒ one leaf's chunks tile disjoint
+      // (possibly touching) ranges: sort by max desc, then each
+      // chunk's min must be >= the next chunk's max
+      val sorted = ranges.sortBy(_._2).reverse
+      sorted.sliding(2).foreach {
+        case Array((lo1, _), (_, hi2)) =>
+          assert(lo1 >= hi2,
+            s"overlapping chunk ranges in ${leaf.getName}: $lo1 < $hi2")
+        case _ => ()
+      }
+    }
+  }
+
   test("save modes: append accumulates, overwrite truncates") {
     val dir = freshDir()
     writeEvents(dir)

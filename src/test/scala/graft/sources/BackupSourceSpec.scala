@@ -211,6 +211,58 @@ class BackupSourceSpec extends SparkTestBase {
     assert(scans.head.description().contains("limit=7"))
   }
 
+  test("topN pushdown: desc order with tiebreaker, exact against a " +
+    "full in-memory sort") {
+    val df = spark.read.format("graftbackup").load(outDir)
+      .select(col("event_id"), col("ts"))
+      .orderBy(col("ts").desc, col("event_id").desc).limit(10)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    assert(scans.head.description().contains("topN=[ts DESC"),
+      s"TopN must reach the scan: ${scans.head.description()}")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = spark.read.format("graftbackup").load(outDir)
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, ts) => (ts, id) }.reverse.take(10)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("topN pushdown: asc with NULLS FIRST on a nullable decoded field") {
+    val df = spark.read.format("graftbackup").load(outDir)
+      .select(col("event_id"), col("user_id"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_id").asc).limit(8)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    assert(scans.head.description()
+      .contains("topN=[user_id ASC NULLS FIRST"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val want = spark.read.format("graftbackup").load(outDir)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy { case (id, uid) => (uid.isDefined, uid.getOrElse(0L), id) }
+      .take(8)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("topN refused above the per-reader memory cap") {
+    val df = spark.read.format("graftbackup").load(outDir)
+      .select(col("event_id"))
+      .orderBy(col("event_id")).limit(BackupSource.TopNMaxLimit + 1)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    assert(!scans.head.description().contains("topN="),
+      "a limit past TopNMaxLimit must not push: Spark's sort is the " +
+        "better plan there")
+  }
+
   test("data fields decode with nulls and values intact") {
     val got = spark.read.format("graftbackup").load(outDir)
       .agg(sum(col("user_id")).cast("long"), count(col("props")))
