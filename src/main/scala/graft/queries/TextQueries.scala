@@ -17,6 +17,10 @@ object TextQueries {
   private def duckList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("[", ",", "]")
 
+  /** Hash seed for the x48 bigram-LM token space (independent of the
+    * substring-dedup (0), packing (11) and πps-sample (23) seeds). */
+  val LmSeed = 29
+
   /** DuckDB mirror of langPred's score-and-argmax CASE chain. */
   private val duckLangPred: String = {
     val scores = LangMarkers.map { case (lang, markers) =>
@@ -389,6 +393,82 @@ object TextQueries {
     "x47_bpe_merges" -> QueryDef.rowsOnly { (s, dir) =>
       graft.operators.BpeTrain.trainOnText(
         s, Tables.documents(s, dir), "text", rounds = 8)
+    },
+
+    // corpus-LM quality score — the CCNet/Gopher "perplexity filter"
+    // re-expressed so the oracle can reproduce it BIT-EXACTLY: an
+    // add-one-smoothed bigram model is trained on the corpus itself and
+    // scored back over every document as the integer-floored average
+    // next-token probability in 10⁻¹² units (higher = more typical
+    // text; boilerplate scores high, lorem-noise scores low). Real
+    // perplexity exponentiates a float log-sum that no two engines
+    // round identically — the scaled-rational mean probability is the
+    // same monotone quality axis with none of the float divergence
+    // (the x36/x38 discipline).
+    //
+    // Scale shape: tokens fold to portable 60-bit hashes inside the
+    // scan stage (the substring-dedup/x40 trick), so the two model
+    // shuffles — the bigram table and the history table — carry 8-byte
+    // keys, and scoring is two hash joins back on those keys. The
+    // vocabulary size V crosses the plan as ONE broadcast row; the
+    // vocabulary itself is never collected or broadcast. At 100 TB the
+    // (cb+1)·10¹² numerator wants DECIMAL headroom (bigram counts past
+    // ~10⁶ approach BIGINT range); at fixture geometry longs are exact
+    // in both engines. Single-token docs have no bigrams: sentinel
+    // score −1 (NULL degrades to float64 through the oracle's pandas
+    // pull — the q20 trap).
+    "x48_bigram_lm" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |pos AS (SELECT doc_id,
+         |    unnest([('0x'||substr(md5('$LmSeed|'||w[i]),1,15))::BIGINT
+         |            for i in range(1, len(w))]) AS h1,
+         |    unnest([('0x'||substr(md5('$LmSeed|'||array_to_string(w[i:i+1],' ')),1,15))::BIGINT
+         |            for i in range(1, len(w))]) AS h2
+         |  FROM d),
+         |hist AS (SELECT h1, count(*) AS ch FROM pos GROUP BY h1),
+         |bg AS (SELECT h1, h2, count(*) AS cb FROM pos GROUP BY h1, h2),
+         |vv AS (SELECT count(DISTINCT ('0x'||substr(md5('$LmSeed|'||u),1,15))::BIGINT) AS v
+         |       FROM (SELECT unnest(w) AS u FROM d)),
+         |sc AS (SELECT p.doc_id, count(*) AS nb,
+         |         (sum((bg.cb + 1) * 1000000000000 // (hist.ch + vv.v))
+         |            // count(*)) AS score
+         |       FROM pos p JOIN bg USING (h1, h2) JOIN hist USING (h1)
+         |            CROSS JOIN vv
+         |       GROUP BY p.doc_id)
+         |SELECT d.doc_id, coalesce(sc.nb, 0)::BIGINT AS n_bigrams,
+         |       coalesce(sc.score, -1)::BIGINT AS lm_score
+         |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val arrs = toks.select(col("doc_id"),
+        expr(s"""CASE WHEN size(w) >= 2 THEN
+                |  graft_hash60_array(slice(w, 1, size(w) - 1), $LmSeed)
+                |ELSE array() END""".stripMargin).as("ha"),
+        expr(s"""CASE WHEN size(w) >= 2 THEN
+                |  graft_hash60_array(
+                |    transform(sequence(1, size(w) - 1),
+                |      i -> concat(element_at(w, i), ' ', element_at(w, i + 1))),
+                |    $LmSeed)
+                |ELSE array() END""".stripMargin).as("hb"))
+      val pos = arrs
+        .select(col("doc_id"), explode(arrays_zip(col("ha"), col("hb"))).as("z"))
+        .select(col("doc_id"), col("z.ha").as("h1"), col("z.hb").as("h2"))
+      val hist = pos.groupBy(col("h1")).agg(count(lit(1)).as("ch"))
+      val bg = pos.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cb"))
+      val vv = broadcast(
+        toks.select(explode(expr(s"graft_hash60_array(w, $LmSeed)")).as("h"))
+          .agg(countDistinct(col("h")).as("v")))
+      val sc = pos.join(bg, Seq("h1", "h2")).join(hist, Seq("h1"))
+        .crossJoin(vv)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"),
+          expr("sum(((cb + 1) * 1000000000000) div (ch + v)) div count(1)")
+            .as("score"))
+      docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
+          coalesce(col("score"), lit(-1L)).cast("long").as("lm_score"))
     }
   )
 }

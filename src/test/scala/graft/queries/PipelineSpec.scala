@@ -67,6 +67,39 @@ class PipelineSpec extends SparkTestBase {
       Set("too_short", "lang_und", "low_quality", "pass")))
   }
 
+  test("x48: add-one bigram LM score equals an independent brute force " +
+    "over the real corpus") {
+    val got = SparkEntry.queries("x48_bigram_lm")(spark, sf0001)
+      .select($"doc_id", $"n_bigrams", $"lm_score").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      // limit -1 keeps trailing empties — Spark split and DuckDB
+      // string_split both do; a drifting tokenizer here would hide a
+      // real mismatch
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val hist = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    toks.foreach { case (_, w) =>
+      w.sliding(2).filter(_.size == 2).foreach { p =>
+        hist(p.head) += 1; bg((p.head, p(1))) += 1
+      }
+    }
+    val v = toks.flatMap(_._2).distinct.size.toLong
+    assert(v > 0 && got.size == toks.length)
+    toks.foreach { case (id, w) =>
+      val ps = w.sliding(2).filter(_.size == 2).map { p =>
+        ((bg((p.head, p(1))) + 1L) * 1000000000000L) / (hist(p.head) + v)
+      }.toSeq
+      val want =
+        if (ps.isEmpty) (0L, -1L) else (ps.size.toLong, ps.sum / ps.size)
+      assert(got(id) == want,
+        s"doc $id: got ${got(id)}, brute force $want")
+    }
+  }
+
   test("x45: overlap matrix is upper-triangular and conserves the " +
     "x03 pair count") {
     val m = SparkEntry.queries("x45_source_overlap_matrix")(spark, sf0001)
