@@ -595,6 +595,64 @@ object TimeSeriesQueries {
         toleranceSeconds = Some(7L * 24 * 3600))
         .select(col("event_id"),
           coalesce(col("o_orderkey"), lit(-1L)).as("matched_orderkey"))
+    },
+
+    // ---- q96: rolling z-score anomaly flags --------------------------
+    // The monitoring primitive over a metric stream: flag the hours
+    // where a series departs >3σ from its own trailing window. The
+    // z-test runs in EXACT integers — (x−μ)² > 9σ² over the trailing
+    // window's (n, Σx, Σx²) cross-multiplies to
+    //   (n·x − sx)² > 9·(n·sxx − sx²)
+    // so there is no float mean/stddev for the engines to round apart
+    // (the q78 co-moment discipline; sqrt never happens). The trailing
+    // frame EXCLUDES the current row — an anomaly must not damp its
+    // own baseline — and fewer than 5 prior hours means no verdict
+    // (flag 0; -1/0/1 keeps the column BIGINT for the pandas pull).
+    // Plan: one distributed hourly aggregate (map-side combined), then
+    // the window runs per event_type over calendar-bounded rows.
+    // Intermediates stay under BIGINT at fixture geometry (n ≤ 20,
+    // cents sums ≤ 10⁸ → (n·x)² ≤ 4·10¹⁸); the 100 TB path lifts the
+    // co-moments to DECIMAL first.
+    "q96_rolling_anomaly" -> QueryDef(
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hr,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, hr, x,
+        |    count(*) OVER w AS n,
+        |    COALESCE(sum(x) OVER w, 0) AS sx,
+        |    COALESCE(sum(x * x) OVER w, 0) AS sxx
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr, x, n,
+        |  CASE WHEN n < 5 THEN 0
+        |       WHEN (n * x - sx) * (n * x - sx) >
+        |            9 * (n * sxx - sx * sx) THEN 1
+        |       ELSE -1 END AS anomaly
+        |FROM roll""".stripMargin) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
+            .as("hr"))
+        .agg(sum((dec(col("value")) * 100).cast("bigint")).cast("bigint")
+          .as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-20, -1)
+      val roll = hourly.select(col("event_type"), col("hr"), col("x"),
+        count(lit(1)).over(w).as("n"),
+        coalesce(sum(col("x")).over(w), lit(0L)).as("sx"),
+        coalesce(sum(col("x") * col("x")).over(w), lit(0L)).as("sxx"))
+      val dev = col("n") * col("x") - col("sx")
+      roll.select(col("event_type"), col("hr"), col("x"), col("n"),
+        when(col("n") < 5, lit(0))
+          .when(dev * dev > lit(9L) * (col("n") * col("sxx") -
+            col("sx") * col("sx")), lit(1))
+          .otherwise(lit(-1)).as("anomaly"))
     }
   )
 }

@@ -79,4 +79,32 @@ class TimeSeriesSpec extends SparkTestBase {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(actual == expected && actual.nonEmpty)
   }
+
+  test("q96: anomaly flags equal a brute-force trailing-window z-test " +
+    "(current row excluded, warm-up returns no verdict)") {
+    val rows = TimeSeriesQueries.defs("q96_rolling_anomaly").fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val ordered = series.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, _, x, n, flag), i) =>
+        val trail = ordered.slice(math.max(0, i - 20), i).map(_._3)
+        assert(n == trail.length, "window size must count prior rows only")
+        val want =
+          if (trail.length < 5) 0
+          else {
+            val nn = trail.length.toLong
+            val sx = trail.sum
+            val sxx = trail.map(v => v * v).sum
+            val dev = nn * x - sx
+            if (dev * dev > 9L * (nn * sxx - sx * sx)) 1 else -1
+          }
+        assert(flag == want, s"row $i: got $flag, brute force $want")
+      }
+    }
+    // the fixture actually exercises all three verdicts
+    assert(rows.map(_._5).toSet == Set(-1, 0, 1))
+  }
 }
