@@ -34,6 +34,37 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.streamStreamLeftJoin(s, dir)
     },
 
+    // stream-stream FULL OUTER join: null-side emission on BOTH roles
+    // (unmatched clicks and unmatched purchases), watermark-driven via
+    // the same both-roles flush sentinel; bounded result equals the
+    // batch FULL JOIN.
+    "s19_stream_stream_full_join" -> QueryDef(
+      """SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |  COALESCE(c.event_id, -1) AS click_event,
+        |  COALESCE(p.event_id, -1) AS purchase_event
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |FULL JOIN (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin) {
+      (s, dir) => StreamingJobs.streamStreamFullJoin(s, dir)
+    },
+
+    // streaming CDC apply: per-batch last-writer-wins collapse +
+    // apply-if-newer Merge.merge rewrite of a serving table; final
+    // table equals the batch per-user argmax under any batch split.
+    "s20_stream_cdc_merge" -> QueryDef(
+      """SELECT user_id, event_id AS latest_event,
+        |  event_type AS latest_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin) {
+      (s, dir) => StreamingJobs.cdcMergeStream(s, dir)
+    },
+
     "s14_stream_update_mode" -> QueryDef(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

@@ -609,6 +609,159 @@ object StreamingJobs {
     } finally deleteRecursively(scratch)
   }
 
+  /** Stream-stream FULL OUTER join — completes the s10 (inner) / s15
+    * (left outer) family: clicks with no purchase in the following
+    * hour AND purchases with no click in the preceding hour both
+    * surface as null-side rows, each only once the OTHER side's
+    * watermark proves no future match can arrive. Same both-roles
+    * flush-sentinel discipline as s15 (a finite source's watermark
+    * never passes the last real event, so outer state would otherwise
+    * be dropped silently at stop()); the bounded pair set equals the
+    * batch FULL JOIN the oracle runs. Null sides are −1-encoded so the
+    * BIGINT columns survive the oracle's pandas pull. */
+  def streamStreamFullJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ssfj_stream")
+    val streamDir = scratch.resolve("in")
+    val nDataFiles = stageFixtureWithSentinel(spark, dir, scratch, streamDir,
+      raw => {
+        val base = raw.limit(1).withColumn("ts", farFutureTs(raw))
+          .withColumn("user_id", lit(-1L))
+        base.withColumn("event_type", lit("click"))
+          .unionByName(base.withColumn("event_type", lit("purchase")))
+      })
+    val glob = s"$streamDir/events*.parquet"
+    val clicks = eventsStreamFrom(spark, dir, glob, nDataFiles)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "40 days")
+    val purchases = eventsStreamFrom(spark, dir, glob, nDataFiles)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "40 days")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    try {
+      runToCompletion(
+        joined.select(
+          coalesce(col("c_user"), col("p_user")).as("user_id"),
+          coalesce(col("c_event"), lit(-1L)).as("click_event"),
+          coalesce(col("p_event"), lit(-1L)).as("purchase_event")),
+        mode = "append")
+        .filter(col("user_id") >= 0)
+    } finally deleteRecursively(scratch)
+  }
+
+  /** Streaming CDC APPLY — the canonical "merge a change stream into a
+    * serving table" job: every micro-batch collapses to one winner row
+    * per key (lexicographic max of (ts, event_id) — the CDC
+    * last-writer-wins collapse [[graft.operators.Merge.merge]]'s
+    * contract asks feeds to do), drops rows the base already beats
+    * (apply-if-newer: a batch's winner only lands if STRICTLY newer
+    * than the served row, so the final table is the global per-key
+    * argmax under ANY batch split, not just time-ordered staging), and
+    * rewrites the base through Merge.merge's anti-join + union with
+    * the staging hop Spark's read-overwrite rule requires. The final
+    * serving table must equal the batch per-user argmax the oracle
+    * computes. At scale the base rewrite is [[graft.operators
+    * .Merge.mergePartitioned]]'s partition-scoped variant; the
+    * unpartitioned rewrite here keeps the fixture job simple.
+    *
+    * The fixture streams as FOUR time-ordered chunks (one per
+    * micro-batch) so the base actually evolves across merges;
+    * `reverseChunkOrder` stages the same chunks newest-first —
+    * StreamingSpec pins that the served table is IDENTICAL either way,
+    * which is the apply-if-newer guarantee (a naive blind upsert gives
+    * the order-dependent answer). */
+  def cdcMergeStream(spark0: SparkSession, dir: String,
+                     reverseChunkOrder: Boolean = false): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_merge")
+    try {
+      val streamDir = scratch.resolve("in")
+      java.nio.file.Files.createDirectories(streamDir): Unit
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val tsType = raw.schema("ts").dataType
+      def bound(iso: String): org.apache.spark.sql.Column = {
+        val ldt = java.time.LocalDateTime.parse(iso)
+        tsType match {
+          case LongType =>
+            lit(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L)
+          case TimestampNTZType => lit(ldt)
+          case _ =>
+            timestamp_seconds(lit(ldt.toEpochSecond(java.time.ZoneOffset.UTC)))
+        }
+      }
+      val bounds = Seq("2024-01-08T12:30:00", "2024-01-16T06:30:00",
+        "2024-01-23T18:30:00").map(bound)
+      val chunks0 = Seq(
+        raw.filter(col("ts") < bounds(0)),
+        raw.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
+        raw.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
+        raw.filter(col("ts") >= bounds(2)))
+      val chunks = if (reverseChunkOrder) chunks0.reverse else chunks0
+      val base = System.currentTimeMillis()
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val f = stageParquet(c, scratch, streamDir, f"events_$i%02d")
+        bumpMtimeOrFail(f, base + i * 60000L,
+          "file-source ordering would be undefined and the chunk-order " +
+            "invariance this job pins would be vacuous")
+      }
+      val basePath = scratch.resolve("base").toString
+      val stagePath = scratch.resolve("staging").toString
+      new java.io.File(basePath).mkdirs()
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+      val q = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet",
+          nDataFiles = chunks.size)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .writeStream
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cur = spark.read.schema(sch).parquet(basePath)
+          // batch-local last-writer-wins collapse
+          val winners = batch
+            .select(col("user_id"),
+              struct(col("ts"), col("event_id"), col("event_type")).as("s"))
+            .groupBy(col("user_id")).agg(max(col("s")).as("s"))
+            .select(col("user_id"), col("s.ts").as("ts"),
+              col("s.event_id").as("event_id"),
+              col("s.event_type").as("event_type"))
+          // apply-if-newer: served row wins unless strictly older
+          val newer = winners
+            .join(cur.select(col("user_id"), col("ts").as("b_ts"),
+              col("event_id").as("b_eid")), Seq("user_id"), "left")
+            .filter(col("b_ts").isNull ||
+              struct(col("ts"), col("event_id")) >
+                struct(col("b_ts"), col("b_eid")))
+            .drop("b_ts", "b_eid")
+          graft.operators.Merge.merge(cur, newer, "user_id")
+            .write.mode("overwrite").parquet(stagePath)
+          spark.read.schema(sch).parquet(stagePath)
+            .write.mode("overwrite").parquet(basePath)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val served = spark.read.schema(sch).parquet(basePath)
+        .select(col("user_id"), col("event_id").as("latest_event"),
+          col("event_type").as("latest_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(served.collect(): _*)),
+        served.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
+
   /** Streaming → parquet FILE sink — the production sink (memory is
     * test-only): append-mode write with a checkpoint (the sink's commit
     * log is what makes file output exactly-once), then a batch read-back

@@ -126,4 +126,27 @@ class StreamingSpec extends SparkTestBase {
     // memory-sink table (availableNowCatchup would return stale rows)
     assert(run() == batch)
   }
+
+  test("CDC merge stream: served table equals batch argmax and is " +
+    "INVARIANT to chunk arrival order (apply-if-newer, not blind upsert)") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    val forward = asMap(StreamingJobs.cdcMergeStream(spark, sf0001))
+    val batch = asMap(Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("s"))
+      .groupBy(col("user_id")).agg(max(col("s")).as("s"))
+      .select(col("user_id"), col("s.event_id").as("latest_event"),
+        col("s.event_type").as("latest_type"),
+        date_format(col("s.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts")))
+    assert(forward == batch && forward.nonEmpty)
+    // newest-first arrival: every later batch carries only OLDER rows,
+    // so a blind last-batch-wins upsert would serve the oldest events;
+    // apply-if-newer must serve the identical table
+    val reversed = asMap(
+      StreamingJobs.cdcMergeStream(spark, sf0001, reverseChunkOrder = true))
+    assert(reversed == batch)
+  }
 }
