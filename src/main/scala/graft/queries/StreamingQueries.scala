@@ -65,6 +65,18 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.cdcMergeStream(s, dir)
     },
 
+    // stateful aggregation on the RocksDB state store provider with
+    // changelog checkpointing — the off-heap production state backend;
+    // the job fails loudly if the checkpoint lacks RocksDB artifacts.
+    "s21_rocksdb_state" -> QueryDef(
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => StreamingJobs.rocksdbStateCounts(s, dir)
+    },
+
     "s14_stream_update_mode" -> QueryDef(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

@@ -141,6 +141,71 @@ object StreamingJobs {
         col("sum_val").cast("double").as("sum_value"))
   }
 
+  /** Stateful aggregation on the ROCKSDB state store provider — the
+    * production backend for streaming state that does not fit on the
+    * executor heap (the default HDFSBackedStateStoreProvider keeps
+    * every store's full map in memory; at 100 TB-scale key
+    * cardinalities that is the OOM, and RocksDB's off-heap SST files
+    * are the standard fix). Changelog checkpointing is ON — per-batch
+    * uploads ship only the delta instead of a full SST snapshot, the
+    * knob that makes commit cost O(changed keys). The job FAILS if the
+    * checkpoint does not carry RocksDB's artifact shapes (zip
+    * snapshots / changelogs, never the HDFS provider's .delta files) —
+    * a silent fall-back to the default provider must not pass as
+    * success. Results must equal the batch aggregate exactly: the
+    * store swap is a durability/memory choice, never a semantics
+    * choice. */
+  def rocksdbStateCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_rocksdb")
+    val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+    try {
+      val agg = eventsStream(spark, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+            .as("cents"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val stateDir = scratch.resolve("ckpt").resolve("state")
+      val names = {
+        val s = java.nio.file.Files.walk(stateDir)
+        try {
+          val it = s.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) buf += it.next().getFileName.toString
+          buf.toSeq
+        } finally s.close()
+      }
+      require(names.exists(n =>
+        n.endsWith(".zip") || n.endsWith(".changelog")),
+        "checkpoint carries no RocksDB snapshot/changelog artifacts — " +
+          "the provider silently fell back to the default store")
+      require(!names.exists(_.endsWith(".delta")),
+        "checkpoint carries HDFS-provider .delta files — RocksDB was " +
+          "not the active provider")
+      val out = spark.table(name)
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+        out.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
+
   /** Trigger.AvailableNow catch-up: process the backlog that exists at
     * start in admission-controlled micro-batches (maxFilesPerTrigger
     * still applies per batch, unlike Trigger.Once's single giant
