@@ -74,6 +74,44 @@ object BpeTrain {
     rules.toSeq
   }
 
+  /** ENCODE with a learned rule list — the inference half of the
+    * tokenizer: each word decomposes to code-point symbols and the
+    * merges apply IN RULE ORDER (BPE inference replays training order;
+    * greedy-by-local-frequency at inference is a different, wrong
+    * tokenizer). The whole rule chain folds into ONE nested projection
+    * of [[graft.functions.BpeMergeExpr]] kernels, so a document is
+    * encoded in a single codegen'd pass over the scan — no per-rule
+    * shuffle, no vocabulary broadcast (the rules ARE the vocabulary,
+    * R≈8–50k entries folded into the plan as literals; a 50k-rule
+    * production vocab would switch to one mapPartitions pass with a
+    * compiled merge table, same contract).
+    *
+    * Output per doc: words, pre-merge symbol count, post-merge token
+    * count, and the integer per-mille compression the vocabulary buys
+    * — the "does this tokenizer fit this corpus" audit number. */
+  def encodeStats(docs: DataFrame, textCol: String,
+                  rules: Seq[MergeRule]): DataFrame = {
+    graft.functions.BpeFunctions.register(docs.sparkSession)
+    val words = docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val base = call_function("graft_bpe_symbols", col("word"))
+    val encoded = rules.sortBy(_.step).foldLeft(base) { (c, m) =>
+      call_function("graft_bpe_merge", c, lit(m.left), lit(m.right))
+    }
+    words
+      .select(col("doc_id"), size(base).cast("long").as("n_sym"),
+        size(encoded).cast("long").as("n_tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_symbols"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_symbols"),
+        col("n_tokens"),
+        expr("(n_symbols - n_tokens) * 1000 div n_symbols")
+          .as("saved_permille"))
+  }
+
   /** Train on a text column: corpus → word counts → merge rules, as a
     * DataFrame for the query surface. */
   def trainOnText(spark: SparkSession, docs: DataFrame, textCol: String,

@@ -395,6 +395,24 @@ object TextQueries {
         s, Tables.documents(s, dir), "text", rounds = 8)
     },
 
+    // BPE ENCODE — the inference half of x47: replay the learned merge
+    // rules over every document (rule order, strict leftmost — the
+    // same kernel tier training used) and report per-doc token counts
+    // + the integer per-mille compression the vocabulary buys. The
+    // whole rule chain folds into one nested codegen projection; no
+    // per-rule shuffle, no vocabulary broadcast. rows-only like x47
+    // (the sequential merge-apply is not SQL-expressible); BpeSpec's
+    // independent brute-force applier is the oracle.
+    "x49_bpe_encode" -> QueryDef.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val rules = graft.operators.BpeTrain.train(s, words, rounds = 8)
+      graft.operators.BpeTrain.encodeStats(docs, "text", rules)
+    },
+
     // corpus-LM quality score — the CCNet/Gopher "perplexity filter"
     // re-expressed so the oracle can reproduce it BIT-EXACTLY: an
     // add-one-smoothed bigram model is trained on the corpus itself and

@@ -104,6 +104,59 @@ class BpeSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("encodeStats agrees with an independent brute-force rule replay " +
+    "over the real corpus") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val rules = BpeTrain.train(spark, words, 8)
+    val got = BpeTrain.encodeStats(docs, "text", rules)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // brute force: split to code points, replay merges in rule order
+    // with strict leftmost application (refBpe's applier shape)
+    def applyRule(syms: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      val encoded = ws.map { w =>
+        val base = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            val cp = w.codePointAt(i)
+            buf += new String(Character.toChars(cp))
+            i += Character.charCount(cp)
+          }
+          buf.toVector
+        }
+        val post = rules.sortBy(_.step).foldLeft(base)((s, m) =>
+          applyRule(s, m.left, m.right))
+        (base.length.toLong, post.length.toLong)
+      }
+      val nSym = encoded.map(_._1).sum
+      val nTok = encoded.map(_._2).sum
+      val want = (ws.length.toLong, nSym, nTok, (nSym - nTok) * 1000 / nSym)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // the learned vocabulary actually compresses the corpus
+    assert(got.values.exists(_._4 > 0))
+  }
+
   test("multi-code-point symbols split correctly") {
     val syms = graft.functions.BpeKernels.toSymbols(
       org.apache.spark.unsafe.types.UTF8String.fromString("aé😀b"))
