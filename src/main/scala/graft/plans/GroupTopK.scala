@@ -30,11 +30,28 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * [[GroupTopK.topK]]) or through SparkSessionExtensions with
   * [[GraftSparkExtensions]].
   */
+/** Which rank function's `<= k` semantics the operator reproduces.
+  *  - [[RowNumberMode]]: exactly k rows per group (boundary ties
+  *    dropped arbitrarily — row_number's own contract).
+  *  - [[RankMode]]: rows with fewer than k strictly-better rows — the
+  *    whole boundary tie class is KEPT, so a group may emit more than
+  *    k rows (`rank() <= k`).
+  *  - [[DenseRankMode]]: every row of the k best distinct order-values
+  *    (`dense_rank() <= k`).
+  * Tie-heavy data makes Rank/DenseRank retention unbounded in the tie
+  * mass — that is the SEMANTICS, not a leak; the partial-pass flush cap
+  * still bounds task memory. */
+sealed trait TopKMode extends Serializable
+case object RowNumberMode extends TopKMode
+case object RankMode extends TopKMode
+case object DenseRankMode extends TopKMode
+
 final case class GroupTopKNode(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    mode: TopKMode = RowNumberMode) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -48,7 +65,8 @@ final case class GroupTopKExec(
     k: Int,
     partial: Boolean,
     maxPartialGroups: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    mode: TopKMode = RowNumberMode) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -79,22 +97,88 @@ final case class GroupTopKExec(
     // every row of a group before emitting, so it never flushes; its
     // memory is O(k · groups-in-partition) = proportional to its output.
     val flushThreshold = if (partial) maxPartialGroups else Int.MaxValue
+    val modeLocal = mode
     child.execute().mapPartitions ({ iter =>
       val groupProj = UnsafeProjection.create(groupExprsLocal, childOutput)
       val ord = RowOrdering.create(orderLocal, childOutput)
       val worstFirst = ord.reverse
+
+      // Per-group retained set, admission semantics per TopKMode.
+      sealed trait Retained {
+        def admit(row: InternalRow): Unit // copies if it keeps the row
+        def drainInto(out: java.util.ArrayList[InternalRow]): Unit
+      }
+      // bounded heap, HEAD = worst retained row: admission is one compare
+      final class HeapRetained extends Retained {
+        private val heap =
+          new java.util.PriorityQueue[InternalRow](kLocal, worstFirst)
+        def admit(row: InternalRow): Unit =
+          if (heap.size < kLocal) heap.add(row.copy()): Unit
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy()): Unit
+          }
+        def drainInto(out: java.util.ArrayList[InternalRow]): Unit = {
+          out.addAll(heap): Unit
+        }
+      }
+      // tie-class buckets ordered best-first; prune from the worst end.
+      // RankMode keeps a bucket iff rows-strictly-better < k
+      // (total − worstBucketSize ≥ k ⇒ the worst bucket's rank > k);
+      // DenseRankMode keeps the k best buckets. Boundary-tie mass makes
+      // retention exceed k — that IS rank()/dense_rank() semantics.
+      final class BucketRetained(dense: Boolean) extends Retained {
+        private val buckets =
+          new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](ord)
+        private var total = 0
+
+        def admit(row: InternalRow): Unit = {
+          // cheap reject before copying: row worse than the worst
+          // retained bucket while the set is already full
+          val last = if (buckets.isEmpty) null else buckets.lastKey()
+          val full =
+            if (dense) buckets.size >= kLocal
+            else total >= kLocal
+          if (last != null && full && ord.compare(row, last) > 0) return
+          val copy = row.copy()
+          var b = buckets.get(copy)
+          if (b == null) {
+            b = new java.util.ArrayList[InternalRow]()
+            buckets.put(copy, b)
+          }
+          b.add(copy): Unit
+          total += 1
+          var done = false
+          while (!done && !buckets.isEmpty) {
+            val worst = buckets.lastEntry()
+            val size = worst.getValue.size
+            val drop =
+              if (dense) buckets.size > kLocal
+              else total - size >= kLocal
+            if (drop) {
+              buckets.remove(worst.getKey): Unit
+              total -= size
+            } else done = true
+          }
+        }
+        def drainInto(out: java.util.ArrayList[InternalRow]): Unit =
+          buckets.values.forEach(b => { out.addAll(b); () })
+      }
+      def newRetained(): Retained = modeLocal match {
+        case RowNumberMode => new HeapRetained
+        case RankMode => new BucketRetained(dense = false)
+        case DenseRankMode => new BucketRetained(dense = true)
+      }
+
       new Iterator[InternalRow] {
-        // per group: bounded heap whose HEAD is the worst retained row
-        // (max under the requested ordering), so admission is one compare
-        private val heaps =
-          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private val groups = new java.util.HashMap[UnsafeRow, Retained]()
         private var drain: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator[InternalRow]()
 
         private def startDrain(): Unit = {
           val all = new java.util.ArrayList[InternalRow]()
-          heaps.values.forEach(h => { all.addAll(h); () })
-          heaps.clear()
+          groups.values.forEach(r => r.drainInto(all))
+          groups.clear()
           drain = all.iterator()
         }
 
@@ -102,19 +186,15 @@ final case class GroupTopKExec(
           while (!drain.hasNext && iter.hasNext) {
             val row = iter.next()
             val key = groupProj(row)
-            var heap = heaps.get(key)
-            if (heap == null) {
-              heap = new java.util.PriorityQueue[InternalRow](kLocal, worstFirst)
-              heaps.put(key.copy(), heap)
+            var ret = groups.get(key)
+            if (ret == null) {
+              ret = newRetained()
+              groups.put(key.copy(), ret)
             }
-            if (heap.size < kLocal) heap.add(row.copy()): Unit
-            else if (ord.compare(row, heap.peek()) < 0) {
-              heap.poll()
-              heap.add(row.copy()): Unit
-            }
-            if (heaps.size >= flushThreshold) startDrain()
+            ret.admit(row)
+            if (groups.size >= flushThreshold) startDrain()
           }
-          if (!drain.hasNext && !iter.hasNext && !heaps.isEmpty) startDrain()
+          if (!drain.hasNext && !iter.hasNext && !groups.isEmpty) startDrain()
         }
 
         override def hasNext: Boolean = {
@@ -132,13 +212,13 @@ final case class GroupTopKExec(
 
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopKNode(g, o, k, child) =>
+    case GroupTopKNode(g, o, k, child, mode) =>
       val cap = math.max(1, org.apache.spark.sql.internal.SQLConf.get
         .getConfString(GroupTopK.MaxPartialGroupsKey,
           GroupTopK.DefaultMaxPartialGroups.toString).toInt)
       val partialExec =
-        GroupTopKExec(g, o, k, partial = true, cap, planLater(child))
-      GroupTopKExec(g, o, k, partial = false, cap, partialExec) :: Nil
+        GroupTopKExec(g, o, k, partial = true, cap, planLater(child), mode)
+      GroupTopKExec(g, o, k, partial = false, cap, partialExec, mode) :: Nil
     case _ => Nil
   }
 }

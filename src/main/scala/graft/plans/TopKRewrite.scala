@@ -21,19 +21,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * applies and Spark's fallback still catches what this rule declines.
   *
   * Matches conservatively — ALL of:
-  *  - the Window computes exactly ONE window function, `row_number()`
-  *    (rank/dense_rank admit >k rows on ties; a heap cannot), with the
-  *    default ROWS UNBOUNDED PRECEDING..CURRENT ROW frame;
+  *  - the Window computes exactly ONE window function: `row_number()`
+  *    (default ROWS frame) → [[RowNumberMode]], `rank()` →
+  *    [[RankMode]], or `dense_rank()` → [[DenseRankMode]] (default
+  *    RANGE frame) — each mapped to the matching retention semantics,
+  *    so rank's boundary-tie class is KEPT and dense_rank keeps the k
+  *    best distinct order-values (tie-aware buckets, not a blind
+  *    k-heap);
   *  - the Filter directly above it is `rn <= k` / `rn < k` / `rn = 1`
   *    (the "latest per key" idiom) with a foldable positive limit;
   *  - a Project above the Filter drops the rank column (if the rank is
   *    still referenced, the rewrite declines — GroupTopK returns rows,
   *    not ranks).
   *
-  * Tie contract is row_number()'s own: among full order-ties the
-  * returned SET is arbitrary either way; with a total order (unique
-  * tie-break, as every oracle query here uses) both forms are
-  * deterministic and identical.
+  * Tie contract: rank() and dense_rank() rewrites are EXACT on any
+  * data (the emitted row set is tie-invariant by definition).
+  * row_number()'s is its own: among full order-ties the returned SET
+  * is arbitrary either way; with a total order (unique tie-break, as
+  * every oracle query here uses) both forms are deterministic and
+  * identical.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
@@ -53,12 +59,24 @@ object TopKRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def isRowNumber(e: NamedExpression): Boolean = e match {
-    case Alias(WindowExpression(_: RowNumber,
+  /** The retention mode for the window function, when it is a rank
+    * family member on its DEFAULT frame (row_number runs on ROWS
+    * UNBOUNDED..CURRENT, rank/dense_rank on the RANGE equivalent — a
+    * user-specified frame means something else is going on; decline). */
+  private def modeOf(e: NamedExpression): Option[TopKMode] = e match {
+    case Alias(WindowExpression(f,
       WindowSpecDefinition(_, _,
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) =>
-      true
-    case _ => false
+        SpecifiedWindowFrame(frame, UnboundedPreceding, CurrentRow))), _) =>
+      f match {
+        case _: RowNumber if frame == RowFrame => Some(RowNumberMode)
+        // rank-like functions IGNORE their frame (and Spark rejects a
+        // user-specified one at analysis), so any resolved default —
+        // Spark 4 resolves to the ROWS shape — is the pattern
+        case _: Rank => Some(RankMode)
+        case _: DenseRank => Some(DenseRankMode)
+        case _ => None
+      }
+    case _ => None
   }
 
   /** Spark's InferWindowGroupLimit batch runs before user-injected
@@ -79,7 +97,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(winExpr), partitionSpec, orderSpec, child0, _)))
-        if isRowNumber(winExpr) && orderSpec.nonEmpty =>
+        if modeOf(winExpr).isDefined && orderSpec.nonEmpty =>
       limitOf(cond) match {
         case Some((rnAttr, k)) =>
           val child = stripGroupLimit(child0, partitionSpec, orderSpec, k)
@@ -89,7 +107,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
               // partition keys must be plain attributes of the child
               partitionSpec.forall(_.references.subsetOf(child.outputSet)) &&
               orderSpec.forall(_.references.subsetOf(child.outputSet)))
-            Project(projectList, GroupTopKNode(partitionSpec, orderSpec, k, child))
+            Project(projectList, GroupTopKNode(partitionSpec, orderSpec, k,
+              child, modeOf(winExpr).get))
           else p
         case _ => p
       }

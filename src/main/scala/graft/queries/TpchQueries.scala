@@ -535,6 +535,56 @@ object TpchQueries {
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
     },
 
+    // q93's idiom with rank(): the tie-CLASS top-k — every order tying
+    // at the boundary price band comes back, which is the semantics a
+    // "top 3 price bands per priority" report actually wants. The
+    // TopKRewrite fires in RankMode (tie-aware buckets, not a blind
+    // k-heap): the emitted row SET is tie-invariant by definition, so
+    // no tie-break column is needed for determinism — the oracle runs
+    // the identical idiom text. o_totalprice is decimal with dense
+    // collisions at fixture scale; both engines keep whole tie classes.
+    "q97_rank_topk" -> QueryDef(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY floor(o_totalprice / 10000) DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      graft.plans.GroupTopK.enableRewrite(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(floor(col("o_totalprice") / 10000).desc)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("band", floor(col("o_totalprice") / 10000))
+        .withColumn("rn", rank().over(
+          Window.partitionBy(col("o_orderpriority")).orderBy(col("band").desc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // dense_rank() variant: every order in the k best DISTINCT bands
+    // per priority — rank() skips bands after a fat tie class,
+    // dense_rank() does not, and the rewrite's DenseRankMode keeps
+    // exactly the k best distinct order-values' rows.
+    "q98_dense_rank_topk" -> QueryDef(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY floor(o_totalprice / 10000) DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2""".stripMargin) { (s, dir) =>
+      graft.plans.GroupTopK.enableRewrite(s)
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("band", floor(col("o_totalprice") / 10000))
+        .withColumn("rn", dense_rank().over(
+          Window.partitionBy(col("o_orderpriority")).orderBy(col("band").desc)))
+        .filter(col("rn") <= 2)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    },
+
     // exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition; both
     // rounded to 6 decimals to absorb last-bit interpolation order

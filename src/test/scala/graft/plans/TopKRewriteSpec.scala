@@ -57,16 +57,54 @@ class TopKRewriteSpec extends SparkTestBase {
       s"rewrote despite rank in output:\n$physical")
   }
 
-  test("declines for rank() — ties could admit more than k rows") {
+  test("rank() <= k rewrites tie-aware: the whole boundary tie class " +
+    "is kept, result equals the window plan on tie-heavy data") {
+    // l_quantity is integral-valued in the fixture → dense ties
     val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc)
-    val df = lineitem
-      .withColumn("rn", rank().over(w))
-      .filter(col("rn") <= 5)
-      .select("l_returnflag", "l_orderkey")
-    val physical = df.queryExecution.executedPlan.toString
-    assert(!physical.contains("GroupTopK "),
-      s"rewrote a rank() filter:\n$physical")
+      .orderBy(col("l_quantity").desc)
+    def idiom(keepRank: Boolean) = {
+      val base = lineitem
+        .withColumn("rn", rank().over(w))
+        .filter(col("rn") <= 3)
+      if (keepRank)
+        base.select("l_returnflag", "l_orderkey", "l_quantity", "rn")
+          .drop("rn")
+      else base.select("l_returnflag", "l_orderkey", "l_quantity")
+    }
+    val physical = idiom(keepRank = false).queryExecution.executedPlan.toString
+    assert(physical.contains("GroupTopK "), s"no GroupTopK:\n$physical")
+    assert(!physical.contains(" Window "), s"Window survived:\n$physical")
+    val viaRewrite = idiom(keepRank = false).collect().toSet
+    val ground = idiom(keepRank = true).collect().toSet
+    assert(viaRewrite == ground)
+    // ties actually exercised: more than 3·groups rows came back
+    val groups = viaRewrite.map(_.getString(0)).size
+    assert(viaRewrite.size > 3 * groups,
+      s"fixture produced no boundary ties (${viaRewrite.size} rows)")
+  }
+
+  test("dense_rank() <= k rewrites: every row of the k best distinct " +
+    "order-values, equals the window plan") {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    def idiom(keepRank: Boolean) = {
+      val base = lineitem
+        .withColumn("rn", dense_rank().over(w))
+        .filter(col("rn") <= 2)
+      if (keepRank)
+        base.select("l_returnflag", "l_orderkey", "l_quantity", "rn")
+          .drop("rn")
+      else base.select("l_returnflag", "l_orderkey", "l_quantity")
+    }
+    val physical = idiom(keepRank = false).queryExecution.executedPlan.toString
+    assert(physical.contains("GroupTopK "), s"no GroupTopK:\n$physical")
+    val viaRewrite = idiom(keepRank = false).collect().toSet
+    assert(viaRewrite == idiom(keepRank = true).collect().toSet)
+    // exactly 2 distinct quantities per group survive
+    viaRewrite.groupBy(_.getString(0)).foreach { case (g, rows) =>
+      assert(rows.map(_.get(2)).size == 2,
+        s"group $g kept a wrong distinct-value count")
+    }
   }
 
   test("rn = 1 (latest-per-key idiom) rewrites with k = 1") {
