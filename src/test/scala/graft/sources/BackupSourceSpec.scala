@@ -263,6 +263,57 @@ class BackupSourceSpec extends SparkTestBase {
         "better plan there")
   }
 
+  test("corrupt chunk (truncated gzip) fails the read loudly — never " +
+    "silently empty") {
+    // copy the staged backup, truncate one chunk mid-stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val src = new java.io.File(outDir)
+    def copyTree(f: java.io.File, to: java.io.File): Unit = {
+      if (f.isDirectory) {
+        to.mkdirs()
+        f.listFiles().foreach(c => copyTree(c, new java.io.File(to, c.getName)))
+      } else java.nio.file.Files.copy(f.toPath, to.toPath): Unit
+    }
+    copyTree(src, new java.io.File(dir))
+    val victim = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles()).find(_.getName.endsWith(".log.gz")).get
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(victim.toPath,
+      java.util.Arrays.copyOf(bytes, math.max(20, bytes.length / 2)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graftbackup").load(dir)
+        .agg(count(col("event_id"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("malformed chunk name: zone maps keep the file (conservative), " +
+    "rows still read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badname").toString
+    val cfg = BackupConfig(
+      inputPath = s"$sf0001/events.parquet", outputPath = dir,
+      timeColumn = "ts", partitionColumn = "event_type",
+      from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
+    graft.operators.Backup.run(spark, cfg)
+    // strip the time envelope from one chunk's name
+    val victim = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles()).find(_.getName.endsWith(".log.gz")).get
+    val renamed = new java.io.File(victim.getParentFile, "oddly_named.log.gz")
+    assert(victim.renameTo(renamed))
+    val all = spark.read.format("graftbackup").load(dir).count()
+    // a time filter cannot zone-map-skip the unparseable name: its rows
+    // must still be evaluated (and survive the residual filter exactly)
+    val filtered = spark.read.format("graftbackup").load(dir)
+      .filter(col("ts") >= "2024-01-05 00:00:00" &&
+        col("ts") <= "2024-01-25 00:00:00")
+      .count()
+    assert(all == filtered && all > 0,
+      "rows behind a malformed chunk name must not be silently skipped")
+  }
+
   test("data fields decode with nulls and values intact") {
     val got = spark.read.format("graftbackup").load(outDir)
       .agg(sum(col("user_id")).cast("long"), count(col("props")))
