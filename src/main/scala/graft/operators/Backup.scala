@@ -308,4 +308,145 @@ object Backup {
         r.getAs[String]("date_dir"), from, to, hex, r.getAs[Long]("n"))
     }.seq
   }
+
+  /** One chunk file's integrity verdict (see [[fsck]]). `rows` is −1
+    * when the gzip stream would not decode. */
+  final case class FsckRow(file: String, part: String, rows: Long,
+                           readable: Boolean, crcOk: Boolean,
+                           envelopeOk: Boolean)
+
+  private val chunkNameRe =
+    raw"(\d{8}T\d{6}Z)_(\d{8}T\d{6}Z)_([0-9a-f]{8})(?:-\d+)?\.log(?:\.gz)?".r
+
+  private def lineTsParse(s: String): java.time.LocalDateTime =
+    java.time.LocalDateTime.parse(s,
+      new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("yyyy-MM-dd HH:mm:ss")
+        .optionalStart()
+        .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+          0, 9, true)
+        .optionalEnd()
+        .toFormatter())
+
+  /** Backup FSCK — the audit the reference's chunk naming exists to
+    * make possible (`cmd/backup.go:309-321`: the name CARRIES the CRC32
+    * of the compressed bytes and the row min/max event time): re-derive
+    * all three from the bytes on disk and report, per chunk, whether
+    * the file still matches its own name. One task per chunk file
+    * (the reference's upload granularity), each streaming its file
+    * twice — once raw for the CRC, once decoded for rows + the
+    * envelope — so driver memory is O(#chunks) verdict rows and no
+    * chunk is ever held in memory. An unreadable (truncated/corrupt)
+    * gzip is a VERDICT here (`readable = false`), not a crash: fsck's
+    * job is to report damage, the read path's is to refuse it.
+    *
+    * Unparseable names get `crcOk = envelopeOk = false` — a chunk that
+    * lost its name has lost its integrity claim. */
+  def fsck(spark: SparkSession, root: String,
+           partitionColumn: String): DataFrame = {
+    val (_, leaves) = graft.sources.BackupSource.layout(root)
+    val timeCol = graft.sources.BackupSource.metaTimeColumn(root)
+      .getOrElse("ts")
+    val files: Seq[(String, String)] = leaves.flatMap(l =>
+      l.files.map(f => (f, l.values.getOrElse(partitionColumn, null))))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { case (path, partVal) =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // pass 1: CRC32 of the file bytes (what the name claims). A
+        // transport-level checksum failure (Hadoop's own sidecar CRCs
+        // on a corrupted local file) is itself a corruption VERDICT,
+        // not a crash.
+        val crc = new CRC32()
+        val crcComputed =
+          try {
+            val in = fs.open(p)
+            try {
+              val buf = new Array[Byte](64 * 1024)
+              var n = in.read(buf)
+              while (n > 0) { crc.update(buf, 0, n); n = in.read(buf) }
+              true
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => false }
+        // pass 2: decoded rows + min/max event time
+        var rows = 0L
+        var readable = true
+        var minT: java.time.LocalDateTime = null
+        var maxT: java.time.LocalDateTime = null
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        try {
+          val r = graft.sources.BackupSource.open(path)
+          try {
+            var line = r.readLine()
+            while (line != null) {
+              rows += 1
+              val v = mapper.readTree(line).get(timeCol)
+              if (v != null && !v.isNull) {
+                val t = lineTsParse(v.asText())
+                if (minT == null || t.isBefore(minT)) minT = t
+                if (maxT == null || t.isAfter(maxT)) maxT = t
+              }
+              line = r.readLine()
+            }
+          } finally r.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            readable = false; rows = -1L
+        }
+        val nameFmt = java.time.format.DateTimeFormatter.ofPattern(FileFmt)
+        p.getName match {
+          case chunkNameRe(from, to, hex) =>
+            val crcOk = crcComputed && f"${crc.getValue}%08x" == hex
+            val envOk = readable && minT != null &&
+              nameFmt.format(minT) == from && nameFmt.format(maxT) == to
+            FsckRow(path, partVal, rows, readable, crcOk, envOk)
+          case _ =>
+            FsckRow(path, partVal, rows, readable, crcOk = false,
+              envelopeOk = false)
+        }
+      }
+    spark.createDataFrame(rdd)
+  }
+
+  /** Retention prune — delete every chunk whose NAME-claimed envelope
+    * lies entirely before `cutoff`, without opening a single file: the
+    * other half of what the reference's `<from>_<to>` naming buys
+    * (r18's zone maps are the read side; this is the lifecycle side).
+    * Strictly conservative: a chunk STRADDLING the cutoff survives
+    * whole (per-row deletion would rewrite data; retention is a
+    * metadata operation), and an unparseable name is never deleted —
+    * the same soundness-over-pruning rule the zone maps follow. Names
+    * floor to seconds, so "entirely before" means the envelope's
+    * exclusive second-ceiling end ≤ cutoff. Emptied leaf directories
+    * are removed. Returns the number of chunks deleted. */
+  def retentionPrune(spark: SparkSession, root: String,
+                     cutoff: java.time.Instant): Long = {
+    val (_, leaves) = graft.sources.BackupSource.layout(root)
+    val cutoffMicros = java.time.LocalDateTime
+      .ofInstant(cutoff, java.time.ZoneOffset.UTC)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    var deleted = 0L
+    leaves.foreach { l =>
+      var left = l.files.size
+      l.files.foreach { f =>
+        val name = new Path(f).getName
+        graft.sources.BackupSource.chunkRangeMicros(name).foreach {
+          case (_, hiExclusive) =>
+            if (hiExclusive <= cutoffMicros) {
+              if (fs.delete(new Path(f), false)) { deleted += 1; left -= 1 }
+            }
+        }
+      }
+      if (left == 0 && l.files.nonEmpty) {
+        val dir = new Path(l.files.head).getParent
+        // only the leaf dir itself, and only if truly empty now
+        if (Option(fs.listStatus(dir)).forall(_.isEmpty))
+          fs.delete(dir, false): Unit
+      }
+    }
+    deleted
+  }
 }

@@ -361,6 +361,65 @@ object RefQueries {
         .limit(50)
     },
 
+    // S5 put to WORK — backup fsck: re-derive CRC32 + row count + time
+    // envelope from the bytes on disk and check every chunk against
+    // its own name (the audit the reference's naming scheme exists to
+    // enable, cmd/backup.go:309-321). A healthy backup must report
+    // zero bad chunks AND per-partition row totals equal to the source
+    // window — which is exactly what the oracle counts. One task per
+    // chunk; BackupSpec corrupts bytes/names and watches the verdicts
+    // flip.
+    "r21_backup_fsck" -> QueryDef(
+      s"""SELECT event_type, count(*) AS n_rows,
+         |  0 AS n_unreadable, 0 AS n_crc_bad, 0 AS n_env_bad
+         |FROM events WHERE $oracleWindow
+         |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r21", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      graft.operators.Backup.fsck(s, out, "event_type")
+        .groupBy(col("part").as("event_type"))
+        .agg(sum(col("rows")).cast("long").as("n_rows"),
+          sum(when(!col("readable"), 1L).otherwise(0L)).cast("int")
+            .as("n_unreadable"),
+          sum(when(!col("crcOk"), 1L).otherwise(0L)).cast("int")
+            .as("n_crc_bad"),
+          sum(when(!col("envelopeOk"), 1L).otherwise(0L)).cast("int")
+            .as("n_env_bad"))
+    },
+
+    // the lifecycle half of the <from>_<to> names (r18's zone maps are
+    // the read half): retention-prune deletes every chunk whose
+    // name-claimed envelope ends before the cutoff WITHOUT opening a
+    // file; straddling chunks survive whole (retention is a metadata
+    // op, not a rewrite), so a post-prune time filter still yields
+    // exactly the source rows at-or-after the cutoff — which is the
+    // oracle. BackupSpec pins that files were actually deleted and
+    // that straddlers/malformed names survive.
+    "r22_backup_retention" -> QueryDef(
+      s"""SELECT event_type, count(*) AS n_rows
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND $oracleWindow
+         |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r22", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      graft.operators.Backup.retentionPrune(s, out,
+        java.time.Instant.parse("2024-01-15T00:00:00Z")): Unit
+      s.read.format("graftbackup").load(out)
+        .filter(col("ts") >= "2024-01-15 00:00:00")
+        .groupBy(col("event_type").cast("string").as("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

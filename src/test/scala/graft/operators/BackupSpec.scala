@@ -93,4 +93,83 @@ class BackupSpec extends SparkTestBase {
     assert(parts.sameElements(
       Array("click", "error", "purchase", "signup", "view")))
   }
+
+  private def chunkFiles(out: String): Seq[java.io.File] =
+    new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles())
+      .filter(f => f.getName.endsWith(".log.gz") && !f.getName.startsWith("."))
+      .toSeq
+
+  test("fsck: clean backup reports every chunk ok; corruption and " +
+    "name tampering flip the verdicts") {
+    val out = freshOut()
+    Backup.run(spark, cfg0.copy(outputPath = out))
+    def report() = Backup.fsck(spark, out, "event_type").collect()
+      .map(r => new java.io.File(r.getString(0)).getName ->
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    val clean = report()
+    assert(clean.nonEmpty)
+    assert(clean.values.forall { case (rows, readable, crc, env) =>
+      rows > 0 && readable && crc && env })
+    // corrupt one chunk's bytes (delete the Hadoop .crc sidecar so we
+    // test OUR verdict, not the transport checksum)
+    val victim = chunkFiles(out).head
+    new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+      .delete(): Unit
+    val bytes = Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    Files.write(victim.toPath, bytes): Unit
+    val afterCorrupt = report()(victim.getName)
+    assert(!afterCorrupt._3, "flipped bytes must fail the CRC check")
+    // tamper another chunk's name envelope: from-ts year 2024 -> 2023
+    val victim2 = chunkFiles(out).find(_.getName != victim.getName).get
+    val tampered = new java.io.File(victim2.getParentFile,
+      victim2.getName.replaceFirst("2024", "2023"))
+    new java.io.File(victim2.getParentFile, s".${victim2.getName}.crc")
+      .delete(): Unit
+    assert(victim2.renameTo(tampered))
+    val afterTamper = report()(tampered.getName)
+    assert(afterTamper._2 && !afterTamper._4,
+      "a name that disagrees with the decoded envelope must flag")
+  }
+
+  test("retention prune: strictly-older chunks deleted by name alone, " +
+    "straddlers and malformed names survive, reads stay exact") {
+    val out = freshOut()
+    Backup.run(spark, cfg0.copy(outputPath = out))
+    val before = chunkFiles(out)
+    // give one chunk a name outside the convention: retention must
+    // never touch what it cannot prove old
+    val odd = before.head
+    val oddName = new java.io.File(odd.getParentFile, "keepsake.log.gz")
+    assert(odd.renameTo(oddName))
+    val cutoff = Instant.parse("2024-01-15T00:00:00Z")
+    val deleted = Backup.retentionPrune(spark, out, cutoff)
+    assert(deleted > 0, "some chunks end before the mid-window cutoff")
+    val after = chunkFiles(out)
+    assert(after.size == before.size - deleted)
+    assert(after.exists(_.getName == "keepsake.log.gz"),
+      "malformed names are not provably old - must survive")
+    // every surviving well-formed chunk's envelope END is at/after the
+    // cutoff (straddlers survive; nothing strictly older remains)
+    val re = raw"(\d{8}T\d{6}Z)_(\d{8}T\d{6}Z)_.*".r
+    after.map(_.getName).foreach {
+      case re(_, to) => assert(to >= "20240114T235959Z", s"stale chunk $to")
+      case _ => ()
+    }
+    // and a post-prune filtered read equals the source at-or-after rows
+    val got = spark.read.format("graftbackup").load(out)
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        "2024-01-15 00:00:00").count()
+    val want = Tables.loadPath(spark, cfg0.inputPath)
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit("2024-01-15 00:00:00")
+          .cast("timestamp") &&
+        org.apache.spark.sql.functions.col("ts") <=
+        org.apache.spark.sql.functions.lit("2024-01-25 00:00:00")
+          .cast("timestamp")).count()
+    assert(got == want)
+  }
 }
