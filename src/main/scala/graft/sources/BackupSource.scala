@@ -155,13 +155,19 @@ object BackupSource {
       in, java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Bounded-sample JSON field inference (see class doc). */
+  /** Bounded-sample JSON field inference (see class doc). Each sampled
+    * leaf contributes its FIRST and its LAST chunk (sorted-name order =
+    * time order under the sink's append-monotonicity contract): the
+    * line encoder omits null fields, so a column added by a later
+    * append window exists ONLY in later-sorting chunks — sampling just
+    * the head would silently drop evolved columns from every read.
+    * Still bounded: ≤ 2·SampleDirs files, SampleLines lines each. */
   def sampleDataFields(leaves: Seq[Leaf]): Seq[StructField] = {
     val mapper = new ObjectMapper()
     // LinkedHashMap: field order = first-seen order, deterministic
     val types = new java.util.LinkedHashMap[String, DataType]()
-    leaves.filter(_.files.nonEmpty).take(SampleDirs).foreach { leaf =>
-      val r = open(leaf.files.head)
+    def sampleFile(file: String): Unit = {
+      val r = open(file)
       try {
         var i = 0
         var line = r.readLine()
@@ -177,6 +183,10 @@ object BackupSource {
           line = r.readLine()
         }
       } finally r.close()
+    }
+    leaves.filter(_.files.nonEmpty).take(SampleDirs).foreach { leaf =>
+      sampleFile(leaf.files.head)
+      if (leaf.files.size > 1) sampleFile(leaf.files.last)
     }
     import scala.jdk.CollectionConverters._
     types.asScala.toSeq.map { case (n, t) =>

@@ -314,6 +314,34 @@ class BackupSourceSpec extends SparkTestBase {
       "rows behind a malformed chunk name must not be silently skipped")
   }
 
+  test("schema evolution: a column added by a later append window is " +
+    "inferred (first+last chunk sampling) and reads null for old rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-05 00:00:00"), "click"),
+        (2L, ts("2024-01-05 01:00:00"), "click"))
+      .toDF("event_id", "ts", "event_type")
+      .write.format("graftbackup").mode("overwrite")
+      .option("partitionColumns", "event_type")
+      .option("timeColumn", "ts").save(dir)
+    // later window appends with an EXTRA column (omit-null encoding:
+    // the new field exists only in the later-sorting chunks)
+    Seq((3L, ts("2024-02-01 00:00:00"), "click", "eu-west"),
+        (4L, ts("2024-02-01 01:00:00"), "click", "us-east"))
+      .toDF("event_id", "ts", "event_type", "region")
+      .write.format("graftbackup").mode("append")
+      .option("partitionColumns", "event_type")
+      .option("timeColumn", "ts").save(dir)
+    val back = spark.read.format("graftbackup").load(dir)
+    assert(back.schema.fieldNames.contains("region"),
+      s"evolved column missing from ${back.schema.fieldNames.mkString(",")}")
+    val rows = back.select($"event_id", $"region").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> None, 2L -> None,
+      3L -> Some("eu-west"), 4L -> Some("us-east")))
+  }
+
   test("data fields decode with nulls and values intact") {
     val got = spark.read.format("graftbackup").load(outDir)
       .agg(sum(col("user_id")).cast("long"), count(col("props")))
