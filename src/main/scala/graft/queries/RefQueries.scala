@@ -420,6 +420,36 @@ object RefQueries {
         .agg(count(lit(1)).as("n_rows"))
     },
 
+    // the connector's CATALOG tier: backups named like tables and
+    // queried straight from SQL — `graft.<namespace>.<table>` resolves
+    // through graft.sources.BackupCatalog (warehouse/<ns>/<table> = a
+    // backup root; the directory tree IS the metastore, so any backup
+    // dropped into the warehouse is immediately queryable). All scan
+    // pushdown (partition pruning, column pruning, aggregates, zone
+    // maps, TopN) rides along because loadTable returns the same
+    // BackupTable the path reader builds; CatalogSpec pins DDL,
+    // zero-config INSERT INTO, and pruning through the catalog path.
+    "r23_backup_catalog" -> QueryDef(
+      s"""SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+         |       count(*) AS n_rows
+         |FROM events WHERE $oracleWindow
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wh = QueryDef.scratchDir("r23_wh", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = s"$wh/bak/events",
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.BackupCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("""SELECT event_type, date_dir, count(*) AS n_rows
+              |FROM graft.bak.events
+              |GROUP BY event_type, date_dir""".stripMargin)
+        .select(col("event_type").cast("string").as("event_type"),
+          col("date_dir").cast("string").as("date_dir"), col("n_rows"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 CATALOG over a warehouse of backup roots — the last
+  * connector tier (TableProvider ✓, function registry ✓, session
+  * extensions ✓, catalog plugin here): name backups like tables and
+  * query them straight from SQL, no `.format(...).load(path)` strings
+  * in user code.
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.BackupCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/backups
+  *   SELECT event_type, count(*) FROM graft.prod.events GROUP BY 1
+  * }}}
+  *
+  * Layout IS the catalog: `warehouse/<namespace…>/<table>` directories,
+  * each table a backup root in the reference chunk layout — no
+  * metastore, no sync problem; a backup dropped into the warehouse by
+  * any writer is immediately queryable (the reference's S3-prefix
+  * worldview, `cmd/backup.go:311-313`, lifted to SQL). All the scan
+  * machinery — planning-time partition pruning, column pruning into
+  * the JSON decode, aggregate pushdown, zone maps, TopN — rides along
+  * unchanged because `loadTable` returns the same [[BackupTable]] the
+  * path-based reader builds. `INSERT INTO` works without options: the
+  * write config (partition/time columns) is recovered from the table's
+  * own `_GRAFT_META.json` stamp (see [[BackupTable.newWriteBuilder]]).
+  */
+class BackupCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = new Path(warehouse).getFileSystem(new Configuration())
+
+  private def pathOf(parts: Seq[String]): Path =
+    parts.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
+
+  private def tableDir(ident: Identifier): Path =
+    pathOf(ident.namespace().toSeq :+ ident.name())
+
+  // ---- tables -------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = pathOf(namespace.toSeq)
+    if (!fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(p).filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    val path = dir.toString
+    val (partCols, leaves) = BackupSource.layout(path)
+    val schema = StructType(
+      BackupSource.sampleDataFields(leaves) ++
+        partCols.map(StructField(_, StringType)))
+    new BackupTable(path, schema, partCols)
+  }
+
+  /** A fresh (empty) backup root: just the directory — the write path
+    * validates and stamps the real contract on first commit. The
+    * declared schema is advisory (ACCEPT_ANY_SCHEMA, as the path-based
+    * writer): inference over what lands on disk is the truth. */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    fs.mkdirs(dir): Unit
+    new BackupTable(dir.toString, schema, Seq.empty)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables are directories; ALTER is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val src = tableDir(oldIdent)
+    val dst = tableDir(newIdent)
+    if (!fs.exists(src))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(oldIdent.namespace().toSeq :+ oldIdent.name())
+    if (fs.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          newIdent.namespace().toSeq :+ newIdent.name())
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
+  // ---- namespaces ---------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val p = pathOf(namespace.toSeq)
+      if (!fs.exists(p))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchNamespaceException(namespace.toSeq)
+      // one level of nesting: namespaces hold tables, not namespaces
+      Array.empty
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs.exists(pathOf(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    fs.mkdirs(pathOf(namespace.toSeq)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val p = pathOf(namespace.toSeq)
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
+}

@@ -215,6 +215,13 @@ object BackupSource {
     * (written by both the batch Backup and the DSv2 sink). Absent or
     * unreadable stamp → None, and chunk-name pruning is simply off. */
   def metaTimeColumn(root: String): Option[String] =
+    metaField(root, "timeColumn")
+
+  /** Partition column(s) from the meta stamp (comma-joined on write). */
+  def metaPartitionColumns(root: String): Option[String] =
+    metaField(root, "partitionColumn")
+
+  private def metaField(root: String, field: String): Option[String] =
     try {
       val p = new Path(root, "_GRAFT_META.json")
       val fs = p.getFileSystem(new Configuration())
@@ -222,7 +229,7 @@ object BackupSource {
       else {
         val in = fs.open(p)
         val node = try new ObjectMapper().readTree(in) finally in.close()
-        Option(node.get("timeColumn")).filter(_.isTextual).map(_.asText())
+        Option(node.get(field)).filter(_.isTextual).map(_.asText())
       }
     } catch { case _: Exception => None }
 
@@ -392,6 +399,17 @@ class BackupTable(path: String, tableSchema: StructType,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val opts = new java.util.HashMap[String, String](info.options())
     if (!opts.containsKey("path")) opts.put("path", path)
+    // Catalog writes (INSERT INTO graft.ns.tbl) carry no reader
+    // options: recover the write contract from the table's own
+    // _GRAFT_META.json stamp, so an existing backup accepts appends
+    // with zero configuration. A fresh CTAS-style target still needs
+    // explicit options (nothing on disk to learn from).
+    if (!opts.containsKey("partitioncolumns"))
+      BackupSource.metaPartitionColumns(path)
+        .foreach(v => opts.put("partitioncolumns", v))
+    if (!opts.containsKey("timecolumn"))
+      BackupSource.metaTimeColumn(path)
+        .foreach(v => opts.put("timecolumn", v))
     new BackupWriteBuilder(info.schema(), opts)
   }
 }

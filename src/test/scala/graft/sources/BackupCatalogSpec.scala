@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.{SparkTestBase, Tables}
+import graft.config.BackupConfig
+import org.apache.spark.sql.functions._
+
+/** The graft TableCatalog: directory-tree-as-metastore DDL, zero-config
+  * INSERT INTO via the meta stamp, and pushdown surviving the catalog
+  * resolution path. */
+class BackupCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_catalog").toString
+    val cfg = BackupConfig(
+      inputPath = s"$sf0001/events.parquet", outputPath = s"$wh/prod/events",
+      timeColumn = "ts", partitionColumn = "event_type",
+      from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
+    graft.operators.Backup.run(spark, cfg)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.BackupCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    wh
+  }
+
+  test("a backup in the warehouse is immediately queryable by name") {
+    warehouse
+    val got = spark.sql(
+      "SELECT count(*) FROM graft.prod.events").head.getLong(0)
+    val want = Tables.events(spark, sf0001)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-25 00:00:00").cast("timestamp"))
+      .count()
+    assert(got == want && got > 0)
+  }
+
+  test("SHOW surfaces: namespaces and tables come from the directory tree") {
+    warehouse
+    val nss = spark.sql("SHOW NAMESPACES IN graft")
+      .collect().map(_.getString(0)).toSet
+    assert(nss.contains("prod"))
+    val tables = spark.sql("SHOW TABLES IN graft.prod")
+      .collect().map(_.getString(1)).toSet
+    assert(tables == Set("events"))
+  }
+
+  test("pushdown survives catalog resolution: partition filter prunes " +
+    "planned files") {
+    warehouse
+    val df = spark.sql(
+      "SELECT date_dir FROM graft.prod.events WHERE event_type = 'click'")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    assert(scans.size == 1)
+    val planned = scans.head.planInputPartitions()
+      .map(_.asInstanceOf[BackupFilePartition])
+    assert(planned.nonEmpty &&
+      planned.forall(_.partValues("event_type") == "click"))
+  }
+
+  test("INSERT INTO works with zero options: write contract recovered " +
+    "from the meta stamp") {
+    warehouse
+    val before = spark.sql(
+      "SELECT count(*) FROM graft.prod.events").head.getLong(0)
+    spark.sql(
+      """INSERT INTO graft.prod.events
+        |SELECT 999999999 AS event_id,
+        |       TIMESTAMP '2024-06-01 12:00:00' AS ts,
+        |       42 AS user_id, 'click' AS event_type,
+        |       CAST(1.5 AS DOUBLE) AS value, CAST(NULL AS STRING) AS props""".stripMargin)
+    val after = spark.sql(
+      "SELECT count(*) FROM graft.prod.events").head.getLong(0)
+    assert(after == before + 1)
+    val row = spark.sql(
+      """SELECT event_type, date_dir FROM graft.prod.events
+        |WHERE event_id = 999999999""".stripMargin).head
+    assert(row.getString(0) == "click" && row.getString(1) == "20240601")
+  }
+
+  test("DDL: create/rename/drop table and namespace map to directories") {
+    warehouse
+    spark.sql("CREATE NAMESPACE graft.staging")
+    assert(new java.io.File(s"$warehouse/staging").isDirectory)
+    spark.sql(
+      """CREATE TABLE graft.staging.t1 (event_id BIGINT, ts TIMESTAMP,
+        |  event_type STRING) USING graftbackup""".stripMargin)
+    assert(new java.io.File(s"$warehouse/staging/t1").isDirectory)
+    spark.sql("ALTER TABLE graft.staging.t1 RENAME TO staging.t2")
+    assert(!new java.io.File(s"$warehouse/staging/t1").exists())
+    assert(new java.io.File(s"$warehouse/staging/t2").isDirectory)
+    spark.sql("DROP TABLE graft.staging.t2")
+    assert(!new java.io.File(s"$warehouse/staging/t2").exists())
+    spark.sql("DROP NAMESPACE graft.staging")
+    assert(!new java.io.File(s"$warehouse/staging").exists())
+  }
+}
