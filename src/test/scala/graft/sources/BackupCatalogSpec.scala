@@ -81,6 +81,35 @@ class BackupCatalogSpec extends SparkTestBase {
     assert(row.getString(0) == "click" && row.getString(1) == "20240601")
   }
 
+  test("streaming reads resolve through the catalog: " +
+    "readStream.table over a backup tails it exactly once") {
+    warehouse
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.BackupCatalog")
+    s2.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cat_stream").toString
+    val q = s2.readStream.table("graft.prod.events")
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("cat_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$ckpt/c")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow must terminate")
+    finally q.stop()
+    val streamed = s2.table("cat_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.sql(
+      """SELECT event_type, count(*) FROM graft.prod.events
+        |GROUP BY event_type""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   test("DDL: create/rename/drop table and namespace map to directories") {
     warehouse
     spark.sql("CREATE NAMESPACE graft.staging")

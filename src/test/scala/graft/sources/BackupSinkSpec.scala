@@ -138,6 +138,30 @@ class BackupSinkSpec extends SparkTestBase {
     }
   }
 
+  test("task abort leaves no published chunks: staged files are " +
+    "dropped, the root stays clean") {
+    val dir = freshDir()
+    val sch = events.schema
+    val cfg = BackupSink.Config(dir, Seq("event_type"), "ts",
+      gzip = true, maxRows = 1000, truncate = false, zone = "UTC",
+      queryId = "abortspec")
+    val writer = new BackupDataWriter(cfg, sch, partitionId = 0, taskId = 7L)
+    val rows = events.limit(20).queryExecution.toRdd
+      .map(_.copy()).collect()
+    rows.foreach(writer.write)
+    writer.abort()
+    // nothing published, and the aborted task's staging files are gone
+    val root = new java.io.File(dir)
+    val published = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+    assert(published.isEmpty, "abort must not publish partition dirs")
+    val staged = new java.io.File(s"$dir/_staging_abortspec")
+    val stagedFiles = Option(staged.listFiles()).getOrElse(Array.empty)
+      .filter(!_.getName.startsWith("."))
+    assert(stagedFiles.isEmpty,
+      s"aborted staging files remain: ${stagedFiles.map(_.getName).toSeq}")
+  }
+
   test("save modes: append accumulates, overwrite truncates") {
     val dir = freshDir()
     writeEvents(dir)
