@@ -450,6 +450,34 @@ object RefQueries {
           col("date_dir").cast("string").as("date_dir"), col("n_rows"))
     },
 
+    // DELETE FROM as a metadata operation: a partition-predicate SQL
+    // DELETE against a catalog-resolved backup drops matching leaf
+    // directories whole — no file opened, no rewrite (SupportsDelete;
+    // finer predicates are refused at analysis, and row-level rewrite
+    // is Merge's job). TRUNCATE TABLE rides the same interface.
+    "r24_partition_delete" -> QueryDef(
+      s"""SELECT event_type, count(*) AS n_rows
+         |FROM events
+         |WHERE $oracleWindow AND event_type IS NOT NULL
+         |  AND event_type <> 'error'
+         |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val wh = QueryDef.scratchDir("r24_wh", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = s"$wh/bak/events",
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.BackupCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("DELETE FROM graft.bak.events WHERE event_type = 'error'")
+      s.sql("""SELECT event_type, count(*) AS n_rows FROM graft.bak.events
+              |WHERE event_type IS NOT NULL
+              |GROUP BY event_type""".stripMargin)
+        .select(col("event_type").cast("string").as("event_type"),
+          col("n_rows"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

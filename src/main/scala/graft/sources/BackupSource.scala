@@ -379,9 +379,81 @@ object BackupSource {
 class BackupTable(path: String, tableSchema: StructType,
                   partCols: Seq[String]) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import BackupSource._
+
   override def name(): String = s"graftbackup:$path"
   override def schema(): StructType = tableSchema
+
+  /** `DELETE FROM` as a METADATA operation: accepted only when every
+    * predicate is a partition-column shape we evaluate exactly against
+    * directory values (the scan's `absorbable` set) — then matching
+    * leaf directories are dropped whole, no file opened, no rewrite.
+    * Anything finer (a data-column or time-range predicate) is
+    * refused, and Spark surfaces "cannot delete": row-level rewrite on
+    * an append-only chunk log is a different operation
+    * ([[graft.operators.Merge]] is that path). `TRUNCATE TABLE` rides
+    * the same interface (empty filter array = every leaf matches) and
+    * keeps `_GRAFT_META.json`, so the write contract survives the
+    * truncate. */
+  private val partSet = partCols.toSet
+
+  private def deletable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => partSet(a)
+    case EqualNullSafe(a, _) => partSet(a)
+    case In(a, _) => partSet(a)
+    case IsNotNull(a) => partSet(a)
+    case IsNull(a) => partSet(a)
+    case org.apache.spark.sql.sources.And(l, r) => deletable(l) && deletable(r)
+    case _ => false
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(deletable)
+
+  // explicit: the SupportsDelete default may not route TRUNCATE here
+  override def truncateTable(): Boolean = {
+    deleteWhere(Array.empty[Filter])
+    true
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    def flatten(f: Filter): Seq[Filter] = f match {
+      case org.apache.spark.sql.sources.And(l, r) => flatten(l) ++ flatten(r)
+      case other => Seq(other)
+    }
+    val flat = filters.flatMap(flatten)
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val (_, leaves) = layout(path)
+    leaves.foreach { leaf =>
+      val matches = flat.forall {
+        case EqualTo(a, v) => leaf.values.get(a)
+          .exists(x => x != null && x == String.valueOf(v))
+        case EqualNullSafe(a, null) => leaf.values.get(a).exists(_ == null)
+        case EqualNullSafe(a, v) => leaf.values.get(a)
+          .exists(x => x != null && x == String.valueOf(v))
+        case In(a, vs) => leaf.values.get(a).exists(x =>
+          (x == null && vs.contains(null)) ||
+            (x != null && vs.exists(v => v != null && String.valueOf(v) == x)))
+        case IsNotNull(a) => leaf.values.get(a).exists(_ != null)
+        case IsNull(a) => leaf.values.get(a).exists(_ == null)
+        case _ => false
+      }
+      if (matches && leaf.files.nonEmpty) {
+        // the leaf dir itself (…/partCol=v/date_dir=d)
+        fs.delete(new Path(leaf.files.head).getParent, true): Unit
+      }
+    }
+    // drop partition dirs emptied by the leaf deletes (walk bottom-up
+    // one level: partCol=v dirs with no children left)
+    Option(fs.listStatus(new Path(path))).getOrElse(Array.empty)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { st =>
+        if (Option(fs.listStatus(st.getPath)).forall(_.isEmpty))
+          fs.delete(st.getPath, false): Unit
+      }
+  }
   // ACCEPT_ANY_SCHEMA: the write schema is the DataFrame's, validated
   // by BackupWriteBuilder itself (partition/time columns, encodable
   // types) — the table-level schema is inference over whatever already

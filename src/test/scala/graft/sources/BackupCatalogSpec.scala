@@ -110,6 +110,42 @@ class BackupCatalogSpec extends SparkTestBase {
     catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  test("DELETE FROM: partition predicates drop directories; finer " +
+    "predicates are refused; TRUNCATE empties but keeps the contract") {
+    warehouse
+    // fresh table so the other tests' view is untouched
+    val cfg = BackupConfig(
+      inputPath = s"$sf0001/events.parquet",
+      outputPath = s"$warehouse/prod/events_del",
+      timeColumn = "ts", partitionColumn = "event_type",
+      from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
+    graft.operators.Backup.run(spark, cfg)
+    val types0 = spark.sql(
+      "SELECT DISTINCT event_type FROM graft.prod.events_del")
+      .collect().map(_.getString(0)).toSet
+    assert(types0.contains("error"))
+    spark.sql("DELETE FROM graft.prod.events_del WHERE event_type = 'error'")
+    val types1 = spark.sql(
+      "SELECT DISTINCT event_type FROM graft.prod.events_del")
+      .collect().map(_.getString(0)).toSet
+    assert(types1 == types0 - "error")
+    assert(!new java.io.File(
+      s"$warehouse/prod/events_del/event_type=error").exists())
+    // a data-column predicate must be refused, not half-applied
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.prod.events_del WHERE user_id = 5")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    // TRUNCATE drops every partition dir but keeps the meta stamp
+    spark.sql("TRUNCATE TABLE graft.prod.events_del")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.prod.events_del").head.getLong(0) == 0L)
+    assert(new java.io.File(
+      s"$warehouse/prod/events_del/_GRAFT_META.json").exists(),
+      "the write contract must survive TRUNCATE")
+  }
+
   test("DDL: create/rename/drop table and namespace map to directories") {
     warehouse
     spark.sql("CREATE NAMESPACE graft.staging")
