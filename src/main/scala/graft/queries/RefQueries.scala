@@ -478,6 +478,37 @@ object RefQueries {
           col("n_rows"))
     },
 
+    // chunk PROVENANCE as metadata columns (SupportsMetadataColumns):
+    // `_chunk_file` / `_chunk_from` / `_chunk_to` surface which
+    // physical chunk a row came from and its name-claimed envelope —
+    // per-file constants, zero parse cost. The per-partition min of
+    // chunk-froms equals the second-floored min event time (every
+    // chunk's from IS the floor of its own min), so the oracle can
+    // hash-check provenance without knowing the chunk layout.
+    "r25_chunk_provenance" -> QueryDef(
+      s"""SELECT event_type,
+         |  strftime(date_trunc('second', min(ts)), '%Y%m%dT%H%M%SZ')
+         |    AS first_from,
+         |  strftime(date_trunc('second', max(ts)), '%Y%m%dT%H%M%SZ')
+         |    AS last_to,
+         |  count(*) AS n_rows
+         |FROM events WHERE $oracleWindow
+         |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r25", dir)
+      val cfg = graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.read.format("graftbackup").load(out)
+        .select(col("event_type"), col("_chunk_from"), col("_chunk_to"))
+        .groupBy(col("event_type").cast("string").as("event_type"))
+        .agg(min(col("_chunk_from")).as("first_from"),
+          max(col("_chunk_to")).as("last_to"),
+          count(lit(1)).as("n_rows"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

@@ -84,6 +84,10 @@ class BackupSource extends TableProvider with DataSourceRegister {
 }
 
 object BackupSource {
+  /** Reserved metadata-column names (chunk provenance). */
+  val MetaColNames: Array[String] =
+    Array("_chunk_file", "_chunk_from", "_chunk_to")
+
   /** Leaf dirs sampled for schema inference (sorted order — stable). */
   val SampleDirs = 8
   /** Lines sampled per sampled chunk file. */
@@ -258,6 +262,14 @@ object BackupSource {
     ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
       ldt.getNano / 1000L
 
+  /** Raw (from, to) name stamps of a conventional chunk name, e.g.
+    * ("20240105T000000Z", "20240107T235958Z"); None off-convention. */
+  def chunkNameParts(fileName: String): Option[(String, String)] =
+    fileName match {
+      case ChunkNameRe(from, to) => Some((from + "Z", to + "Z"))
+      case _ => None
+    }
+
   /** [fromMicros, toMicrosExclusive) covered by a chunk file name, in
     * naive-local micros; None for names that don't follow the chunk
     * convention (those are never skipped). */
@@ -380,11 +392,34 @@ class BackupTable(path: String, tableSchema: StructType,
                   partCols: Seq[String]) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import BackupSource._
 
   override def name(): String = s"graftbackup:$path"
   override def schema(): StructType = tableSchema
+
+  /** Chunk provenance as METADATA COLUMNS (`SELECT _chunk_file, …`):
+    * which physical chunk a row came from and the time envelope its
+    * name claims — the lineage questions an incremental backup
+    * operator (r19) or an fsck follow-up asks. Constant per chunk
+    * file, so they cost nothing to produce (no JSON parse); reserved
+    * names win over same-named JSON fields (documented shadowing —
+    * the sink never emits underscore fields). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    BackupSource.MetaColNames.map { n =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def comment(): String = n match {
+          case "_chunk_file" => "absolute path of the source chunk file"
+          case "_chunk_from" => "chunk name's from-timestamp (floored s)"
+          case _ => "chunk name's to-timestamp (floored s)"
+        }
+      }
+    }
 
   /** `DELETE FROM` as a METADATA operation: accepted only when every
     * predicate is a partition-column shape we evaluate exactly against
@@ -957,11 +992,22 @@ class BackupPartitionReader(p: BackupFilePartition, required: StructType,
   private val maxLines: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
   private var emitted = 0L
 
-  // Left(constant partition value) | Right((json field, type))
+  // Left(constant partition value) | Right((json field, type)).
+  // Reserved provenance names resolve to per-file constants — no
+  // JSON parse, and they shadow same-named JSON fields (documented).
   private val extractors: Array[Either[Any, (String, DataType)]] =
     required.fields.map { f =>
       if (partCols(f.name)) {
         val v = p.partValues.get(f.name).orNull
+        Left(if (v == null) null else UTF8String.fromString(v))
+      } else if (f.name == "_chunk_file") {
+        Left(if (p.file == null) null else UTF8String.fromString(p.file))
+      } else if (f.name == "_chunk_from" || f.name == "_chunk_to") {
+        val name = if (p.file == null) "" else new Path(p.file).getName
+        val v = BackupSource.chunkNameParts(name)
+          .map(parts =>
+            if (f.name == "_chunk_from") parts._1 else parts._2)
+          .orNull
         Left(if (v == null) null else UTF8String.fromString(v))
       } else Right((f.name, f.dataType))
     }

@@ -342,6 +342,35 @@ class BackupSourceSpec extends SparkTestBase {
       3L -> Some("eu-west"), 4L -> Some("us-east")))
   }
 
+  test("metadata columns: hidden from SELECT *, resolve to the chunk " +
+    "path and its name envelope when asked") {
+    val df = spark.read.format("graftbackup").load(outDir)
+    assert(!df.columns.contains("_chunk_file"),
+      "metadata columns must stay hidden from the default projection")
+    val rows = df.select(col("_chunk_file"), col("_chunk_from"),
+      col("_chunk_to"), col("event_id")).collect()
+    assert(rows.nonEmpty)
+    val nameRe = raw"(\d{8}T\d{6}Z)_(\d{8}T\d{6}Z)_[0-9a-f]{8}.*".r
+    rows.foreach { r =>
+      val file = r.getString(0)
+      assert(file != null && new java.io.File(
+        file.stripPrefix("file:")).getName.endsWith(".log.gz"))
+      new java.io.File(file.stripPrefix("file:")).getName match {
+        case nameRe(from, to) =>
+          assert(r.getString(1) == from && r.getString(2) == to,
+            s"envelope mismatch for $file")
+        case other => fail(s"unexpected chunk name $other")
+      }
+      assert(!r.isNullAt(3), "data fields must decode alongside metadata")
+    }
+    // provenance is per-file constant: distinct files == distinct (file,
+    // from, to) triples
+    val files = rows.map(_.getString(0)).distinct.length
+    val triples = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).distinct.length
+    assert(files == triples)
+  }
+
   test("data fields decode with nulls and values intact") {
     val got = spark.read.format("graftbackup").load(outDir)
       .agg(sum(col("user_id")).cast("long"), count(col("props")))
