@@ -441,11 +441,18 @@ object RefQueries {
         from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
         to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
       graft.operators.Backup.run(s, cfg)
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.BackupCatalog")
-      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      s.sql("""SELECT event_type, date_dir, count(*) AS n_rows
-              |FROM graft.bak.events
-              |GROUP BY event_type, date_dir""".stripMargin)
+      // Catalog instances are CACHED BY NAME for the session's life —
+      // a runtime conf change cannot re-point an initialized catalog.
+      // The name therefore encodes the (query, sf) scratch identity, so
+      // every invocation in any session resolves its own warehouse and
+      // can never read (or mutate!) another query's tables.
+      val cat = ("graft_r23_" + new java.io.File(dir).getName)
+        .replaceAll("[^a-zA-Z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.BackupCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""SELECT event_type, date_dir, count(*) AS n_rows
+               |FROM `$cat`.bak.events
+               |GROUP BY event_type, date_dir""".stripMargin)
         .select(col("event_type").cast("string").as("event_type"),
           col("date_dir").cast("string").as("date_dir"), col("n_rows"))
     },
@@ -468,12 +475,18 @@ object RefQueries {
         from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
         to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
       graft.operators.Backup.run(s, cfg)
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.BackupCatalog")
-      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      s.sql("DELETE FROM graft.bak.events WHERE event_type = 'error'")
-      s.sql("""SELECT event_type, count(*) AS n_rows FROM graft.bak.events
-              |WHERE event_type IS NOT NULL
-              |GROUP BY event_type""".stripMargin)
+      // per-(query, sf) catalog name — see r23's caching note; for a
+      // MUTATING query this is load-bearing: a cached catalog pointed
+      // at another query's warehouse would delete that query's data
+      val cat = ("graft_r24_" + new java.io.File(dir).getName)
+        .replaceAll("[^a-zA-Z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.BackupCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DELETE FROM `$cat`.bak.events WHERE event_type = 'error'")
+      s.sql(s"""SELECT event_type, count(*) AS n_rows
+               |FROM `$cat`.bak.events
+               |WHERE event_type IS NOT NULL
+               |GROUP BY event_type""".stripMargin)
         .select(col("event_type").cast("string").as("event_type"),
           col("n_rows"))
     },

@@ -77,6 +77,17 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.rocksdbStateCounts(s, dir)
     },
 
+    // native streaming write through the connector's StreamingWrite
+    // (epoch-marker exactly-once), read back through the same
+    // connector — no foreachBatch/file-sink detour.
+    "s22_streaming_backup_native" -> QueryDef(
+      """SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+        |  count(*) AS n_rows, sum(user_id)::BIGINT AS sum_uid
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => StreamingJobs.streamingBackupNative(s, dir)
+    },
+
     "s14_stream_update_mode" -> QueryDef(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

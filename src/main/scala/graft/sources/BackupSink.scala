@@ -84,6 +84,47 @@ object BackupSink {
 
   final case class TaskChunks(chunks: Seq[StagedChunk])
       extends WriterCommitMessage
+
+  /** Driver-side publish: O(#chunks) renames of staged files into
+    * their leaf directories, collision `-seq` suffixes (shared by the
+    * batch commit and every streaming epoch commit). */
+  def publish(fs: org.apache.hadoop.fs.FileSystem,
+              rootPath: Path, cfg: Config,
+              messages: Array[WriterCommitMessage]): Unit = {
+    val ext = if (cfg.gzip) ".log.gz" else ".log"
+    messages.foreach {
+      case TaskChunks(chunks) => chunks.foreach { c =>
+        val dir = new Path(rootPath, c.relDir)
+        fs.mkdirs(dir)
+        var dst = new Path(dir, c.baseName + ext)
+        var seq = 0
+        while (!fs.rename(new Path(c.stagedPath), dst)) {
+          if (!fs.exists(dst))
+            throw new java.io.IOException(
+              s"rename ${c.stagedPath} -> $dst failed but destination " +
+                "does not exist")
+          seq += 1
+          if (seq > 1000) throw new java.io.IOException(
+            s"cannot publish chunk ${c.stagedPath}")
+          dst = new Path(dir, s"${c.baseName}-$seq$ext")
+        }
+      }
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+  }
+
+  /** Restore's timezone guard reads this stamp (Backup.MetaFile). */
+  def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+                rootPath: Path, cfg: Config): Unit = {
+    val meta = new Path(rootPath, "_GRAFT_META.json")
+    val json =
+      s"""{"sessionTimeZone":"${jsonEscape(cfg.zone)}",""" +
+        s""""timeColumn":"${jsonEscape(cfg.timeCol)}",""" +
+        s""""partitionColumn":"${jsonEscape(cfg.partCols.mkString(","))}"}"""
+    val out = fs.create(meta, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }
 
 class BackupWriteBuilder(schema: StructType, options: java.util.Map[String, String])
@@ -194,35 +235,8 @@ class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
           fs.delete(st.getPath, true): Unit
       }
     }
-    val ext = if (cfg.gzip) ".log.gz" else ".log"
-    messages.foreach {
-      case TaskChunks(chunks) => chunks.foreach { c =>
-        val dir = new Path(rootPath, c.relDir)
-        fs.mkdirs(dir)
-        var dst = new Path(dir, c.baseName + ext)
-        var seq = 0
-        while (!fs.rename(new Path(c.stagedPath), dst)) {
-          if (!fs.exists(dst))
-            throw new java.io.IOException(
-              s"rename ${c.stagedPath} -> $dst failed but destination " +
-                "does not exist")
-          seq += 1
-          if (seq > 1000) throw new java.io.IOException(
-            s"cannot publish chunk ${c.stagedPath}")
-          dst = new Path(dir, s"${c.baseName}-$seq$ext")
-        }
-      }
-      case other => throw new IllegalStateException(s"unexpected $other")
-    }
-    // Restore's timezone guard reads this stamp (Backup.MetaFile)
-    val meta = new Path(rootPath, "_GRAFT_META.json")
-    val json =
-      s"""{"sessionTimeZone":"${jsonEscape(cfg.zone)}",""" +
-        s""""timeColumn":"${jsonEscape(cfg.timeCol)}",""" +
-        s""""partitionColumn":"${jsonEscape(cfg.partCols.mkString(","))}"}"""
-    val out = fs.create(meta, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    BackupSink.publish(fs, rootPath, cfg, messages)
+    BackupSink.writeMeta(fs, rootPath, cfg)
     fs.delete(new Path(cfg.stagingDir), true): Unit
   }
 
@@ -230,6 +244,78 @@ class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
     val fs = new Path(cfg.root).getFileSystem(new Configuration())
     fs.delete(new Path(cfg.stagingDir), true): Unit
   }
+
+  /** Micro-batch streaming variant of this write (see
+    * [[BackupStreamingWrite]]). */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new BackupStreamingWrite(cfg, schema)
+}
+
+/** STREAMING write into the reference chunk layout —
+  * `df.writeStream.format("graftbackup")` without the foreachBatch
+  * detour (s16's shape): task writers stage per-epoch chunks exactly
+  * like the batch path, and the driver publishes on epoch commit.
+  *
+  * Exactly-once across FAILURES, not just attempts: Structured
+  * Streaming may re-run and re-commit an epoch after recovery, so each
+  * successful epoch leaves a `_streaming_commits/epoch-<n>` marker
+  * under the root; a re-commit of a marked epoch discards its staged
+  * files instead of publishing duplicates. (One streaming writer per
+  * backup root — the marker namespace is the root itself, matching the
+  * sink's append-monotonicity contract which already assumes a single
+  * appender.) Aborted epochs drop exactly their own staged files;
+  * staging is shared across in-flight epochs so nothing else is
+  * touched. */
+class BackupStreamingWrite(cfg: BackupSink.Config, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import BackupSink._
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new BackupStreamingWriterFactory(cfg, schema)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    val rootPath = new Path(cfg.root)
+    val marker = new Path(rootPath,
+      s"_streaming_commits/epoch-$epochId")
+    if (fs.exists(marker)) {
+      // replayed epoch after recovery: its rows are already on disk
+      messages.foreach {
+        case TaskChunks(chunks) => chunks.foreach(c =>
+          fs.delete(new Path(c.stagedPath), false): Unit)
+        case _ => ()
+      }
+    } else {
+      publish(fs, rootPath, cfg, messages)
+      writeMeta(fs, rootPath, cfg)
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      out.close()
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    messages.foreach {
+      case TaskChunks(chunks) => chunks.foreach(c =>
+        fs.delete(new Path(c.stagedPath), false): Unit)
+      case _ => ()
+    }
+  }
+}
+
+class BackupStreamingWriterFactory(cfg: BackupSink.Config,
+                                   schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new BackupDataWriter(cfg, schema, partitionId, taskId)
 }
 
 class BackupWriterFactory(cfg: BackupSink.Config, schema: StructType)

@@ -722,6 +722,46 @@ object StreamingJobs {
     } finally deleteRecursively(scratch)
   }
 
+  /** NATIVE streaming write into the backup layout —
+    * `writeStream.format("graftbackup")`, no foreachBatch or file-sink
+    * detour (s16's shape): the connector's StreamingWrite stages
+    * per-epoch chunks exactly like the batch sink and publishes on
+    * epoch commit, with `_streaming_commits/epoch-<n>` markers making
+    * a replayed epoch a no-op instead of a duplicate (exactly-once
+    * across recovery, not just attempts). Read back through the same
+    * connector and rolled up; equals the batch computation on bounded
+    * input. */
+  def streamingBackupNative(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_natbak")
+    try {
+      val out = scratch.resolve("out").toString
+      val q = eventsStream(spark, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .writeStream
+        .format("graftbackup")
+        .option("partitionColumns", "event_type")
+        .option("timeColumn", "ts")
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .outputMode("append")
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+      val agg = spark.read.format("graftbackup").load(out)
+        .groupBy(col("event_type"), col("date_dir"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("user_id")).cast("bigint").as("sum_uid"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(agg.collect(): _*)),
+        agg.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
+
   /** Streaming CDC APPLY — the canonical "merge a change stream into a
     * serving table" job: every micro-batch collapses to one winner row
     * per key (lexicographic max of (ts, event_id) — the CDC

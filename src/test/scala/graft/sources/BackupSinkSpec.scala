@@ -162,6 +162,34 @@ class BackupSinkSpec extends SparkTestBase {
       s"aborted staging files remain: ${stagedFiles.map(_.getName).toSeq}")
   }
 
+  test("streaming epoch commit is idempotent: a replayed epoch drops " +
+    "its staged chunks instead of publishing duplicates") {
+    val dir = freshDir()
+    val sch = events.schema
+    val cfg = BackupSink.Config(dir, Seq("event_type"), "ts",
+      gzip = true, maxRows = 1000, truncate = false, zone = "UTC",
+      queryId = "epochspec")
+    val sw = new BackupStreamingWrite(cfg, sch)
+    def stageRows(taskId: Long) = {
+      val w = new BackupDataWriter(cfg, sch, 0, taskId)
+      events.limit(25).queryExecution.toRdd.map(_.copy()).collect()
+        .foreach(w.write)
+      w.commit()
+    }
+    sw.commit(5L, Array(stageRows(1L)))
+    def publishedRows() = spark.read.format("graftbackup").load(dir).count()
+    val afterFirst = publishedRows()
+    assert(afterFirst == 25)
+    assert(new java.io.File(s"$dir/_streaming_commits/epoch-5").exists())
+    // recovery replays epoch 5: same rows staged again by a new attempt
+    sw.commit(5L, Array(stageRows(2L)))
+    assert(publishedRows() == afterFirst,
+      "replayed epoch must not duplicate rows")
+    // a NEW epoch still publishes
+    sw.commit(6L, Array(stageRows(3L)))
+    assert(publishedRows() == afterFirst + 25)
+  }
+
   test("save modes: append accumulates, overwrite truncates") {
     val dir = freshDir()
     writeEvents(dir)
