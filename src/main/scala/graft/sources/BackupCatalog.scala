@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * write config (partition/time columns) is recovered from the table's
   * own `_GRAFT_META.json` stamp (see [[BackupTable.newWriteBuilder]]).
   */
-class BackupCatalog extends TableCatalog with SupportsNamespaces {
+class BackupCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -121,6 +122,32 @@ class BackupCatalog extends TableCatalog with SupportsNamespaces {
       throw new java.io.IOException(s"rename $src -> $dst failed")
   }
 
+  // ---- functions ----------------------------------------------------
+
+  /** V2 FUNCTION catalog — the `fns` virtual namespace carries the
+    * reference's scalar vocabulary as catalog-resolved SQL functions
+    * (`SELECT graft.fns.crc32_hex(col)`), the function-side counterpart
+    * of the table tier. Distinct from the SparkSessionExtensions
+    * `graft_*` registrations: these resolve through the catalog
+    * identifier, need no session setup, and travel with the catalog
+    * conf. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("fns")))
+      BackupCatalog.functions.keys
+        .map(Identifier.of(Array("fns"), _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace.toSeq)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().sameElements(Array("fns")))
+      BackupCatalog.functions.getOrElse(ident.name(),
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
   // ---- namespaces ---------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -175,4 +202,72 @@ class BackupCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(p, true)
     }
   }
+}
+
+object BackupCatalog {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DataType, TimestampType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** The reference's per-chunk checksum as a SQL scalar
+    * (`helpers/helpers.go:58-63` / `cmd/backup.go:309`): lowercase
+    * 8-hex CRC32 of the string's UTF-8 bytes. */
+  private object Crc32Hex extends UnboundFunction {
+    override def name(): String = "crc32_hex"
+    override def description(): String =
+      "crc32_hex(s STRING): lowercase 8-hex CRC32 of s's UTF-8 bytes"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == StringType,
+        s"crc32_hex takes one STRING argument, got $inputType")
+      new ScalarFunction[UTF8String] {
+        override def inputTypes(): Array[DataType] = Array(StringType)
+        override def resultType(): DataType = StringType
+        override def name(): String = "crc32_hex"
+        override def canonicalName(): String = "graft.fns.crc32_hex"
+        override def produceResult(input: InternalRow): UTF8String =
+          if (input.isNullAt(0)) null
+          else {
+            val crc = new java.util.zip.CRC32()
+            val b = input.getUTF8String(0).getBytes
+            crc.update(b, 0, b.length)
+            UTF8String.fromString(f"${crc.getValue}%08x")
+          }
+      }
+    }
+  }
+
+  /** The chunk-name timestamp layout (`cmd/backup.go:25-28`): UTC
+    * second-floored `yyyyMMdd'T'HHmmss'Z'`. */
+  private object ChunkStamp extends UnboundFunction {
+    override def name(): String = "chunk_stamp"
+    override def description(): String =
+      "chunk_stamp(ts TIMESTAMP): the chunk-name stamp " +
+        "(UTC, floored to seconds, yyyyMMdd'T'HHmmss'Z')"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == TimestampType,
+        s"chunk_stamp takes one TIMESTAMP argument, got $inputType")
+      new ScalarFunction[UTF8String] {
+        override def inputTypes(): Array[DataType] = Array(TimestampType)
+        override def resultType(): DataType = StringType
+        override def name(): String = "chunk_stamp"
+        override def canonicalName(): String = "graft.fns.chunk_stamp"
+        private lazy val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+          .withZone(java.time.ZoneOffset.UTC)
+        override def produceResult(input: InternalRow): UTF8String =
+          if (input.isNullAt(0)) null
+          else {
+            val micros = input.getLong(0)
+            UTF8String.fromString(fmt.format(
+              java.time.Instant.EPOCH.plusNanos(micros * 1000L)))
+          }
+      }
+    }
+  }
+
+  val functions: Map[String, UnboundFunction] =
+    Map("crc32_hex" -> Crc32Hex, "chunk_stamp" -> ChunkStamp)
 }

@@ -146,6 +146,31 @@ class BackupCatalogSpec extends SparkTestBase {
       "the write contract must survive TRUNCATE")
   }
 
+  test("function catalog: crc32_hex and chunk_stamp resolve through " +
+    "graft.fns and match the engine's own implementations") {
+    warehouse
+    val row = spark.sql(
+      """SELECT graft.fns.crc32_hex('hello') AS c,
+        |  graft.fns.chunk_stamp(TIMESTAMP '2024-01-05 12:34:56.789')
+        |    AS s""".stripMargin).head
+    val crc = new java.util.zip.CRC32()
+    crc.update("hello".getBytes("UTF-8"))
+    assert(row.getString(0) == f"${crc.getValue}%08x")
+    assert(row.getString(1) == "20240105T123456Z")
+    // over a real column, equal to the expression-tier implementation
+    val mismatch = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT graft.fns.crc32_hex(event_type) AS a,
+        |    lower(hex(crc32(CAST(event_type AS BINARY)))) AS b
+        |  FROM graft.prod.events)
+        |WHERE a <> lpad(b, 8, '0')""".stripMargin).head.getLong(0)
+    assert(mismatch == 0L)
+    val fns = spark.sql("SHOW FUNCTIONS IN graft.fns")
+      .collect().map(_.getString(0)).toSet
+    assert(fns.exists(_.endsWith("crc32_hex")) &&
+      fns.exists(_.endsWith("chunk_stamp")), s"listing missing: $fns")
+  }
+
   test("DDL: create/rename/drop table and namespace map to directories") {
     warehouse
     spark.sql("CREATE NAMESPACE graft.staging")
