@@ -435,6 +435,86 @@ object TextQueries {
     // in both engines. Single-token docs have no bigrams: sentinel
     // score −1 (NULL degrades to float64 through the oracle's pandas
     // pull — the q20 trap).
+    // REFERENCE-domain LM scoring — the actual CCNet shape (Wenzek et
+    // al., 2020 score web text with a WIKIPEDIA-trained LM; x48 scores
+    // a corpus with itself): the bigram model trains ONLY on the
+    // reference source (src0) and scores every document, and the
+    // per-source mean ranks sources by domain shift — the
+    // keep/down-weight table a mixture pipeline consumes. Bigrams and
+    // histories UNSEEN in training back off through the same add-one
+    // formula with zero counts (LEFT joins + coalesce), so scoring
+    // stays integer-exact for out-of-domain text. Same 8-byte-key
+    // shuffles as x48; the model tables are now reference-sized, not
+    // corpus-sized — at 100 TB that is what makes a quality-LM pass
+    // affordable (train on the curated GB, score the PB).
+    "x50_reference_lm_score" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS w
+         |           FROM documents),
+         |pos AS (SELECT doc_id,
+         |    unnest([('0x'||substr(md5('$LmSeed|'||w[i]),1,15))::BIGINT
+         |            for i in range(1, len(w))]) AS h1,
+         |    unnest([('0x'||substr(md5('$LmSeed|'||array_to_string(w[i:i+1],' ')),1,15))::BIGINT
+         |            for i in range(1, len(w))]) AS h2
+         |  FROM d),
+         |tr AS (SELECT p.* FROM pos p JOIN d USING (doc_id)
+         |       WHERE d.source = 'src0'),
+         |hist AS (SELECT h1, count(*) AS ch FROM tr GROUP BY h1),
+         |bg AS (SELECT h1, h2, count(*) AS cb FROM tr GROUP BY h1, h2),
+         |vv AS (SELECT count(DISTINCT ('0x'||substr(md5('$LmSeed|'||u),1,15))::BIGINT) AS v
+         |       FROM (SELECT unnest(w) AS u FROM d WHERE source = 'src0')),
+         |sc AS (SELECT p.doc_id,
+         |         (sum((coalesce(bg.cb, 0) + 1) * 1000000000000
+         |              // (coalesce(hist.ch, 0) + vv.v))
+         |            // count(*)) AS score
+         |       FROM pos p LEFT JOIN bg USING (h1, h2)
+         |            LEFT JOIN hist USING (h1) CROSS JOIN vv
+         |       GROUP BY p.doc_id)
+         |SELECT d2.source, count(*)::BIGINT AS n_docs,
+         |       (sum(sc.score) // count(*))::BIGINT AS mean_score
+         |FROM sc JOIN documents d2 USING (doc_id)
+         |GROUP BY d2.source""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("w"))
+      def bigramPos(t: org.apache.spark.sql.DataFrame) = t
+        .select(col("doc_id"),
+          expr(s"""CASE WHEN size(w) >= 2 THEN
+                  |  graft_hash60_array(slice(w, 1, size(w) - 1), $LmSeed)
+                  |ELSE array() END""".stripMargin).as("ha"),
+          expr(s"""CASE WHEN size(w) >= 2 THEN
+                  |  graft_hash60_array(
+                  |    transform(sequence(1, size(w) - 1),
+                  |      i -> concat(element_at(w, i), ' ',
+                  |                  element_at(w, i + 1))),
+                  |    $LmSeed)
+                  |ELSE array() END""".stripMargin).as("hb"))
+        .select(col("doc_id"),
+          explode(arrays_zip(col("ha"), col("hb"))).as("z"))
+        .select(col("doc_id"), col("z.ha").as("h1"), col("z.hb").as("h2"))
+      val pos = bigramPos(toks)
+      val tr = bigramPos(toks.filter(col("source") === "src0"))
+      val hist = tr.groupBy(col("h1")).agg(count(lit(1)).as("ch"))
+      val bg = tr.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cb"))
+      val vv = broadcast(
+        toks.filter(col("source") === "src0")
+          .select(explode(expr(s"graft_hash60_array(w, $LmSeed)")).as("h"))
+          .agg(countDistinct(col("h")).as("v")))
+      val sc = pos
+        .join(bg, Seq("h1", "h2"), "left")
+        .join(hist, Seq("h1"), "left")
+        .crossJoin(vv)
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          """sum(((coalesce(cb, 0L) + 1) * 1000000000000)
+            |    div (coalesce(ch, 0L) + v)) div count(1)""".stripMargin)
+          .as("score"))
+      sc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          expr("sum(score) div count(1)").cast("long").as("mean_score"))
+    },
+
     "x48_bigram_lm" -> QueryDef(
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
          |pos AS (SELECT doc_id,

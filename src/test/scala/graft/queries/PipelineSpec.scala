@@ -100,6 +100,44 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("x50: reference-LM source ranking equals a brute force trained " +
+    "only on src0, with add-one backoff for unseen bigrams") {
+    val got = SparkEntry.queries("x50_reference_lm_score")(spark, sf0001)
+      .select($"source", $"n_docs", $"mean_score").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().map { case (id, src, t) =>
+        (id, src, t.split(" ", -1).toSeq)
+      }
+    val hist = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    docs.filter(_._2 == "src0").foreach { case (_, _, w) =>
+      w.sliding(2).filter(_.size == 2).foreach { p =>
+        hist(p.head) += 1; bg((p.head, p(1))) += 1
+      }
+    }
+    val v = docs.filter(_._2 == "src0").flatMap(_._3).distinct.size.toLong
+    assert(v > 0)
+    val perDoc = docs.flatMap { case (id, src, w) =>
+      val ps = w.sliding(2).filter(_.size == 2).map { p =>
+        ((bg((p.head, p(1))) + 1L) * 1000000000000L) / (hist(p.head) + v)
+      }.toSeq
+      if (ps.isEmpty) None else Some((src, ps.sum / ps.size))
+    }
+    val want = perDoc.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.size.toLong, xs.map(_._2).sum / xs.size)
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // the reference source scores itself at least as high as any other
+    // source's mean — in-domain text is what the model saw
+    val src0 = got("src0")._2
+    assert(got.values.forall(_._2 <= src0),
+      "src0 must rank at the top of its own reference model")
+  }
+
   test("x45: overlap matrix is upper-triangular and conserves the " +
     "x03 pair count") {
     val m = SparkEntry.queries("x45_source_overlap_matrix")(spark, sf0001)
