@@ -220,6 +220,38 @@ object Dedup {
       .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
       .distinct()
 
+  /** The MATERIALIZABLE LSH index over a corpus: its (band, bucket)
+    * posting rows with each bucket's occupancy attached, hot buckets
+    * (occupancy > [[MaxBucketOccupancy]] — stop-shingle noise whose
+    * probe fan-out would go quadratic for no recall) already dropped.
+    * Write this once, probe every increment against it — the index is
+    * (re)built from the corpus exactly once, not per batch. */
+  def lshIndex(corpus: DataFrame, textCol: String = "text"): DataFrame = {
+    val cb = bandBuckets(corpus, textCol)
+    val occ = cb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= MaxBucketOccupancy)
+      .select(col("band"), col("bucket"))
+    cb.join(occ, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("doc_id"))
+  }
+
+  /** INCREMENTAL near-dup candidates — the production dedup shape: a
+    * NEW batch probes the EXISTING corpus index instead of
+    * re-self-joining the corpus (x03's shape). Candidates are
+    * (new_doc, corpus_doc) pairs sharing any surviving LSH bucket; the
+    * join is bucket-keyed batch-postings × index-postings, so at 100 TB
+    * the daily increment's cost is O(batch × bucket-fanout), while the
+    * corpus contributes only its (persisted, pre-capped) posting
+    * lists — never a corpus-side rescan or self-join. */
+  def lshProbePairs(index: DataFrame, batch: DataFrame,
+                    textCol: String = "text"): DataFrame =
+    bandBuckets(batch, textCol).withColumnRenamed("doc_id", "new_doc")
+      .join(index.withColumnRenamed("doc_id", "corpus_doc"),
+        Seq("band", "bucket"))
+      .select(col("new_doc"), col("corpus_doc"))
+      .distinct()
+
   /** SimHash over distinct shingles: bit j of the fingerprint is the
     * sign of sum(+1/-1) of bit j across shingle hashes. Shingles, not
     * words: this corpus's distinct-word sets saturate (small vocab), so

@@ -254,6 +254,42 @@ object DedupQueries {
       Dedup.lshCandidatePairs(Tables.documents(s, dir))
     },
 
+    // INCREMENTAL dedup probe — the production shape x03's corpus
+    // self-join cannot reach: a NEW batch (src7, the "daily
+    // increment") probes the PERSISTED LSH index of the existing
+    // corpus (everything else). The Spark side actually round-trips
+    // the index through parquet — built once from the corpus, saved,
+    // read back, probed — because that is the 100 TB contract: the
+    // index is written by yesterday's job, today's batch only joins
+    // its own postings against it (O(batch), never a corpus rescan).
+    // Hot buckets (> MaxBucketOccupancy corpus postings — stop-shingle
+    // noise with quadratic fan-out and no recall) are dropped at index
+    // build, mirrored exactly in the oracle.
+    "x51_incremental_dedup_probe" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+         |bands AS ($duckBands),
+         |b2 AS (SELECT bands.*, d2.source FROM bands
+         |       JOIN documents d2 USING (doc_id)),
+         |corp AS (SELECT * FROM b2 WHERE source <> 'src7'),
+         |capped AS (SELECT band, bucket FROM corp
+         |           GROUP BY band, bucket
+         |           HAVING count(*) <= $MaxBucketOccupancy),
+         |corpc AS (SELECT corp.* FROM corp JOIN capped USING (band, bucket)),
+         |newb AS (SELECT * FROM b2 WHERE source = 'src7')
+         |SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+         |FROM newb n JOIN corpc c USING (band, bucket)""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val idxPath = QueryDef.scratchDir("x51_idx", dir)
+      Dedup.lshIndex(docs.filter(col("source") =!= "src7"))
+        .write.mode("overwrite").parquet(idxPath)
+      Dedup.lshProbePairs(s.read.parquet(idxPath),
+        docs.filter(col("source") === "src7"))
+    },
+
     // MinHash-as-estimator: estimated jaccard (signature agreement
     // fraction, the unbiased MinHash estimate) for every LSH candidate
     // pair — the sketch-quality view next to x06's exact verify. At

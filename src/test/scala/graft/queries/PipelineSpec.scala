@@ -138,6 +138,29 @@ class PipelineSpec extends SparkTestBase {
       "src0 must rank at the top of its own reference model")
   }
 
+  test("x51: probing the persisted LSH index equals probing the live " +
+    "frame, and every pair crosses batch to corpus") {
+    import graft.dedup.Dedup
+    val docs = graft.Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"source" =!= "src7")
+    val batch = docs.filter($"source" === "src7")
+    val live = Dedup.lshProbePairs(Dedup.lshIndex(corpus), batch)
+      .as[(Long, Long)].collect().toSet
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_idx").toString
+    Dedup.lshIndex(corpus).write.mode("overwrite").parquet(idxDir)
+    val persisted = Dedup.lshProbePairs(
+      spark.read.parquet(idxDir), batch).as[(Long, Long)].collect().toSet
+    assert(persisted == live && live.nonEmpty)
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    val corpusIds = docs.filter($"source" =!= "src7")
+      .select($"doc_id").as[Long].collect().toSet
+    live.foreach { case (n, c) =>
+      assert(batchIds(n) && corpusIds(c),
+        s"pair ($n,$c) does not cross batch->corpus")
+    }
+  }
+
   test("x45: overlap matrix is upper-triangular and conserves the " +
     "x03 pair count") {
     val m = SparkEntry.queries("x45_source_overlap_matrix")(spark, sf0001)
