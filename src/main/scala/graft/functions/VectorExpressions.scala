@@ -237,6 +237,175 @@ object IvfKernels extends Serializable {
   }
 }
 
+/** Product-quantization kernels shared by eval and generated code.
+  *
+  * PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011) splits a Dim vector into M contiguous SubDim
+  * slices and quantizes each against its own Ks-centroid codebook, so a
+  * vector compresses to M small codes (here M bytes' worth of ints —
+  * 64 floats → 8 codes, 32×). Asymmetric distance (ADC) between a raw
+  * query and a coded vector is the sum over subspaces of the exact
+  * distance from the query's slice to the CODED centroid.
+  *
+  * Exactness discipline: each per-subspace squared-L2 runs in doubles
+  * with element-order accumulation (the [[IvfKernels]] parity), is
+  * rounded to integer MICRO-units (`Math.round(d*1e6)` ==
+  * DuckDB `CAST(round(d*1e6, 0) AS BIGINT)` for non-negative d), and
+  * the cross-subspace total is a sum of longs — order-free and
+  * bit-identical in both engines, unlike a double sum whose result
+  * depends on addition order. */
+object PqKernels extends Serializable {
+
+  /** PQ codes: argmin centroid per subspace; ties to the lower index
+    * (mirrors the oracle's ORDER BY dist, c). */
+  def encode(emb: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cents = books(j)
+      val sub = cents(0).length
+      val off = j * sub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < sub && off + i < emb.numElements()) {
+          val d = emb.getFloat(off + i).toDouble - cent(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC distance in micro-units between a raw query vector and a coded
+    * corpus vector: Σ_j round(L2²(q_sub_j, cent_j[code_j])·1e6). A
+    * classic PQ scan precomputes the M×Ks query lookup table once; the
+    * arithmetic here is identical per term, and at one-query scope the
+    * fused form keeps the whole scan in one codegen stage. */
+  def adcMicros(codes: ArrayData, qEmb: ArrayData,
+                books: Array[Array[Array[Double]]]): Long = {
+    var total = 0L
+    var j = 0
+    while (j < books.length) {
+      val cent = books(j)(codes.getInt(j))
+      val sub = cent.length
+      val off = j * sub
+      var acc = 0.0
+      var i = 0
+      while (i < sub && off + i < qEmb.numElements()) {
+        val d = qEmb.getFloat(off + i).toDouble - cent(i)
+        acc += d * d
+        i += 1
+      }
+      total += Math.round(acc * 1e6)
+      j += 1
+    }
+    total
+  }
+
+  /** Per-subspace quantization distortion in micro-units — the error a
+    * vector incurs by being coded (distance to its CHOSEN = nearest
+    * centroid, i.e. the min over the codebook). The quantizer-quality
+    * monitoring view. */
+  def distortMicros(emb: ArrayData,
+                    books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val cents = books(j)
+      val sub = cents(0).length
+      val off = j * sub
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < sub && off + i < emb.numElements()) {
+          val d = emb.getFloat(off + i).toDouble - cent(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) bestD = acc
+        c += 1
+      }
+      out(j) = Math.round(bestD * 1e6)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** pq_encode(emb): M PQ codes (argmin centroid per subspace) over the
+  * codebooks carried as a codegen reference object. */
+case class PqEncodeExpr(child: Expression,
+                        books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.encode(a.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernels", PqKernels,
+      "graft.functions.PqKernels$")
+    val bref = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.encode($c, $bref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_adc(codes, q_emb): asymmetric PQ distance in micro-units. */
+case class PqAdcExpr(left: Expression, right: Expression,
+                     books: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.adcMicros(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernels", PqKernels,
+      "graft.functions.PqKernels$")
+    val bref = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $k.adcMicros($a, $b, $bref);")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** pq_distort(emb): per-subspace quantization distortion (micro-units,
+  * M longs). */
+case class PqDistortExpr(child: Expression,
+                         books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.distortMicros(a.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernels", PqKernels,
+      "graft.functions.PqKernels$")
+    val bref = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.distortMicros($c, $bref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** ivf_cell(emb): nearest-centroid index over the codebook carried as a
   * codegen reference object. */
 case class IvfCellExpr(child: Expression, cents: Array[Array[Double]])
@@ -367,7 +536,13 @@ object VectorFunctions {
     "graft_ivf_cell" ->
       (es => IvfCellExpr(es.head, graft.similarity.Ivf.centroids)),
     "graft_ivf_dists" ->
-      (es => IvfDistsExpr(es.head, graft.similarity.Ivf.centroids)))
+      (es => IvfDistsExpr(es.head, graft.similarity.Ivf.centroids)),
+    "graft_pq_encode" ->
+      (es => PqEncodeExpr(es.head, graft.similarity.Pq.codebooks)),
+    "graft_pq_adc" ->
+      (es => PqAdcExpr(es.head, es(1), graft.similarity.Pq.codebooks)),
+    "graft_pq_distort" ->
+      (es => PqDistortExpr(es.head, graft.similarity.Pq.codebooks)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

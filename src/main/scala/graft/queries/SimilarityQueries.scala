@@ -181,9 +181,95 @@ object SimilarityQueries {
             Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)))
     }
 
+  /** PQ codebooks as a DuckDB VALUES table (subspace, code, centroid).
+    * Same literal-embedding contract as [[duckCents]]. */
+  private def duckPqCents: String = {
+    import graft.similarity.Pq
+    val rows = for {
+      (book, j) <- Pq.codebooks.zipWithIndex
+      (v, c) <- book.zipWithIndex
+    } yield s"($j, $c, [${v.mkString(", ")}]::DOUBLE[])"
+    rows.mkString("(SELECT * FROM (VALUES ", ", ", ") t(j, c, v))")
+  }
+
+  /** Squared-L2 over subspace `jExpr`'s slice of `emb` vs an 8-dim
+    * centroid `v` — same element-order accumulation as
+    * [[graft.functions.PqKernels]]. */
+  private def duckPqL2(emb: String, jExpr: String, v: String): String = {
+    val sub = graft.similarity.Pq.SubDim
+    s"""list_sum([($emb[$jExpr*$sub + i + 1]::DOUBLE - $v[i+1])
+       |  * ($emb[$jExpr*$sub + i + 1]::DOUBLE - $v[i+1])
+       |  for i in range(0, $sub)])""".stripMargin
+  }
+
+  /** PQ entries — the [[ivfDefs]] fallback contract: a training/oracle
+    * failure costs these queries their oracle, not the whole run. */
+  private lazy val pqDefs: Map[String, QueryDef] =
+    try {
+      import graft.similarity.Pq
+      // shared CTEs: per-(vector, subspace, code) distances and the
+      // argmin code pick (ties to the lower code, like the kernel)
+      val duckPqAssign =
+        s"""pqc AS $duckPqCents,
+           |pd AS (SELECT e.vec_id, ct.j, ct.c,
+           |         ${duckPqL2("e.embedding", "ct.j", "ct.v")} AS dist
+           |       FROM embeddings e, pqc ct),
+           |code AS (SELECT vec_id, j, c FROM (
+           |           SELECT vec_id, j, c,
+           |             row_number() OVER (PARTITION BY vec_id, j
+           |               ORDER BY dist, c) AS rn
+           |           FROM pd) WHERE rn = 1)""".stripMargin
+      Map(
+        // ADC top-k: the compressed-domain ANN scan — corpus vectors
+        // are ranked by PQ code distance to the raw query; per-subspace
+        // distances round to exact micro-units before the BIGINT sum,
+        // so both engines total identical integers in any order
+        "x52_pq_adc_topk" -> QueryDef(
+          s"""WITH $duckPqAssign,
+             |qd AS (SELECT ct.j, ct.c,
+             |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
+             |           * 1e6, 0) AS BIGINT) AS dm
+             |       FROM embeddings q, pqc ct WHERE q.vec_id = 0)
+             |SELECT code.vec_id, sum(qd.dm)::BIGINT AS adc_micro
+             |FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+             |WHERE code.vec_id != 0
+             |GROUP BY code.vec_id
+             |ORDER BY adc_micro, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+          Pq.adcTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
+        },
+
+        // quantizer quality: per-subspace corpus distortion (distance
+        // to the chosen = nearest centroid) in exact micro-units
+        "x53_pq_distortion" -> QueryDef(
+          s"""WITH pqc AS $duckPqCents,
+             |pd AS (SELECT e.vec_id, ct.j,
+             |         ${duckPqL2("e.embedding", "ct.j", "ct.v")} AS dist
+             |       FROM embeddings e, pqc ct),
+             |dm AS (SELECT vec_id, j,
+             |         CAST(round(min(dist) * 1e6, 0) AS BIGINT) AS m
+             |       FROM pd GROUP BY vec_id, j)
+             |SELECT j AS subspace, count(*)::BIGINT AS n_vecs,
+             |       sum(m)::BIGINT AS sum_distortion_micro,
+             |       max(m)::BIGINT AS max_distortion_micro
+             |FROM dm GROUP BY j""".stripMargin) { (s, dir) =>
+          Pq.distortionBySubspace(Tables.embeddings(s, dir))
+        })
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"[similarity] PQ codebook/oracle generation failed: ${t.getMessage}")
+        Map(
+          "x52_pq_adc_topk" -> QueryDef.rowsOnly((s, dir) =>
+            graft.similarity.Pq.adcTopK(s, Tables.embeddings(s, dir),
+              queryVecId = 0, k = 10)),
+          "x53_pq_distortion" -> QueryDef.rowsOnly((s, dir) =>
+            graft.similarity.Pq.distortionBySubspace(
+              Tables.embeddings(s, dir))))
+    }
+
   // defs is lazy: building the IVF oracle SQL trains the codebook,
   // which needs an active SparkSession
-  lazy val defs: Map[String, QueryDef] = ivfDefs ++ Map(
+  lazy val defs: Map[String, QueryDef] = ivfDefs ++ pqDefs ++ Map(
 
     // brute-force exact top-k: the correctness baseline every ANN
     // variant is judged against

@@ -1,0 +1,189 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** [EXT] Product-quantization (PQ) ANN — the compressed-domain search
+  * tier next to hyperplane LSH ([[Ann]]) and IVF cells ([[Ivf]])
+  * (SURVEY.md §8). Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search" (TPAMI 2011).
+  *
+  * The Dim=64 vector splits into M=8 contiguous 8-dim subspaces; each
+  * subspace gets its own Ks=16-centroid codebook, so a corpus vector
+  * compresses to 8 codes of 4 bits of information each — the form in
+  * which a 100 TB embedding corpus actually fits in cluster memory
+  * (64 floats = 256 B → 8 codes ≈ 8 B at int width here, 4 B packed;
+  * the float corpus stays on disk and only re-materializes for an
+  * optional exact re-rank of the short-list). Search is ASYMMETRIC
+  * (ADC): the raw query is compared against coded vectors by summing,
+  * per subspace, the exact distance from the query's slice to the
+  * centroid the code names.
+  *
+  * Determinism contract (driver-oracle parity, the [[Ivf]] pattern):
+  * codebooks are trained driver-side with Lloyd's algorithm on the
+  * FIXED sf0.001 sample — deterministic init (subvectors of the first
+  * Ks vectors by vec_id), fixed iteration count, summation in vec_id
+  * order — and the centroid doubles are embedded as literals in both
+  * the Spark codegen kernels ([[graft.functions.PqKernels]]) and the
+  * DuckDB oracle SQL ([[graft.queries.SimilarityQueries]]). Per-
+  * subspace distances round to integer MICRO-units before the
+  * cross-subspace sum, so ADC totals are exact longs — order-free and
+  * bit-identical in both engines.
+  *
+  * Scale shape: encoding is one codegen pass (no shuffle); ADC top-k
+  * over the coded corpus is a scan + `TakeOrderedAndProject` — no
+  * shuffle beyond the top-k merge. In production PQ composes with IVF
+  * (IVF-ADC): cells bound the scan set, codes bound the memory; both
+  * halves exist here and compose on the same `embeddings` frame.
+  */
+object Pq {
+
+  /** Subspace count. The fixture embeddings are near-isotropic (no
+    * low-dimensional structure for a coarse quantizer to exploit), so
+    * recall comes from GRAIN: 16 subspaces of 4 dims at 16 centroids
+    * each (64 bits/vector, 32× compression) halves per-subspace
+    * distortion vs 8×8-dim and lifts exact-L2 top-10 recall measurably
+    * (PqSpec pins the floor). */
+  val M = 16
+  /** Dims per subspace. */
+  val SubDim: Int = Ivf.Dim / M
+  /** Centroids per subspace codebook. */
+  val Ks = 16
+  /** Lloyd iterations per subspace. */
+  val Iters = 5
+
+  /** Deterministic per-subspace codebooks, [[M]]×[[Ks]]×[[SubDim]] —
+    * trained once per JVM on the fixed sample ([[Ivf.trainDir]], same
+    * override surface). Requires an active SparkSession for the same
+    * reason [[Ivf.centroids]] does. */
+  lazy val codebooks: Array[Array[Array[Double]]] = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "graft.similarity.Pq codebook training needs an active " +
+          "SparkSession; create the session before first use of " +
+          "graft_pq_encode/graft_pq_adc/graft_pq_distort or Pq.* operators"))
+    val rows = graft.Tables.embeddings(spark, Ivf.trainDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(rows.length >= Ks, s"training sample smaller than Ks=$Ks")
+    Array.tabulate(M) { j =>
+      val off = j * SubDim
+      val subs = rows.map { case (_, e) =>
+        Array.tabulate(SubDim)(i =>
+          if (off + i < e.length) e(off + i).toDouble else 0.0)
+      }
+      // Deterministic farthest-point seeding (Gonzalez 1985): the first
+      // Ks subvectors by vec_id collapse under Lloyd when consecutive
+      // vectors are similar; greedy max-min-distance seeds spread the
+      // codebook over the subspace's actual extent. Ties break to the
+      // earlier (lower-vec_id) point — no RNG anywhere.
+      val seeds = new Array[Array[Double]](Ks)
+      seeds(0) = subs(0).clone()
+      val minD = Array.fill(subs.length)(Double.MaxValue)
+      var s = 1
+      while (s < Ks) {
+        var p = 0
+        while (p < subs.length) {
+          val last = seeds(s - 1)
+          var acc = 0.0
+          var i = 0
+          while (i < SubDim) {
+            val d = subs(p)(i) - last(i); acc += d * d; i += 1
+          }
+          if (acc < minD(p)) minD(p) = acc
+          p += 1
+        }
+        var best = 0
+        var bestD = -1.0
+        p = 0
+        while (p < subs.length) {
+          if (minD(p) > bestD) { bestD = minD(p); best = p }
+          p += 1
+        }
+        seeds(s) = subs(best).clone()
+        s += 1
+      }
+      var cents = seeds
+      var it = 0
+      while (it < Iters) {
+        val sums = Array.fill(Ks)(new Array[Double](SubDim))
+        val cnts = new Array[Long](Ks)
+        subs.foreach { s =>
+          val c = nearest(cents, s)
+          cnts(c) += 1
+          var i = 0
+          while (i < SubDim) { sums(c)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(Ks) { c =>
+          if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Argmin centroid driver-side (training only); ties to the lower
+    * index, like the codegen kernel and the oracle's ORDER BY dist, c. */
+  private def nearest(cents: Array[Array[Double]], s: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < cent.length) { val d = s(i) - cent(i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Corpus with its PQ codes (one codegen pass, no shuffle). */
+  def withCodes(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    spread(embeddings).withColumn("codes", expr(s"graft_pq_encode($embCol)"))
+  }
+
+  /** ADC top-k: nearest coded vectors to one stored query by
+    * asymmetric PQ distance (micro-units, ascending; ties to the lower
+    * vec_id). The whole corpus is scanned IN CODED FORM — the scan a
+    * 1000-executor cluster runs over codes it can hold in memory —
+    * and only the top-k merge crosses partitions. */
+  def adcTopK(spark: SparkSession, embeddings: DataFrame,
+              queryVecId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    withCodes(embeddings).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        expr("graft_pq_adc(codes, q_emb)").as("adc_micro"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Quantizer-quality view: per-subspace corpus distortion (the error
+    * vectors incur by being coded — squared-L2 to the chosen centroid,
+    * micro-units, exact BIGINT sums). The monitoring signal that says
+    * when a codebook needs retraining as the corpus drifts. */
+  def distortionBySubspace(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    spread(embeddings)
+      .select(posexplode(expr("graft_pq_distort(embedding)"))
+        .as(Seq("subspace", "dm")))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dm")).as("sum_distortion_micro"),
+        max(col("dm")).as("max_distortion_micro"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.similarity
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization contract: deterministic codebooks, kernel ==
+  * driver-side reference arithmetic, exact-integer ADC totals, and a
+  * recall floor against the brute-force oracle (PQ is an approximation
+  * — the spec quantifies how good it has to stay, the RecallSpec
+  * discipline). */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("codebooks are deterministic and well-formed") {
+    spark.version: Unit // force the session so lazy training finds it
+    val b = Pq.codebooks
+    assert(b.length == Pq.M)
+    assert(b.forall(_.length == Pq.Ks))
+    assert(b.forall(_.forall(_.length == Pq.SubDim)))
+    // distinct centroids within every subspace (Lloyd from distinct
+    // seeds on real data)
+    b.foreach(book => assert(book.map(_.toSeq).distinct.length == Pq.Ks))
+  }
+
+  test("encode kernel matches the driver-side argmin per subspace") {
+    val rows = Pq.withCodes(Tables.embeddings(spark, sf0001))
+      .select($"vec_id", $"embedding", $"codes")
+      .as[(Long, Array[Float], Array[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.take(100).foreach { case (id, emb, codes) =>
+      assert(codes.length == Pq.M)
+      for (j <- 0 until Pq.M) {
+        var best = 0
+        var bestD = Double.MaxValue
+        for (c <- 0 until Pq.Ks) {
+          val cent = Pq.codebooks(j)(c)
+          var acc = 0.0
+          for (i <- 0 until Pq.SubDim) {
+            val d = emb(j * Pq.SubDim + i).toDouble - cent(i)
+            acc += d * d
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+        }
+        assert(codes(j) == best,
+          s"vec $id subspace $j: kernel ${codes(j)} != reference $best")
+      }
+    }
+  }
+
+  test("ADC totals are exact micro-unit sums and deterministic") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = Pq.adcTopK(spark, emb, 0, 10).as[(Long, Long)].collect()
+    val b = Pq.adcTopK(spark, emb, 0, 10).as[(Long, Long)].collect()
+    assert(a.sameElements(b), "ADC top-k must be bitwise deterministic")
+    assert(a.length == 10)
+    // ascending distance, ties to the lower id
+    assert(a.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    // reference recomputation: code picks + per-subspace micro rounding
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head()
+    val coded = Pq.withCodes(emb).select($"vec_id", $"codes")
+      .as[(Long, Array[Int])].collect().toMap
+    a.foreach { case (id, micro) =>
+      var total = 0L
+      for (j <- 0 until Pq.M) {
+        val cent = Pq.codebooks(j)(coded(id)(j))
+        var acc = 0.0
+        for (i <- 0 until Pq.SubDim) {
+          val d = q(j * Pq.SubDim + i).toDouble - cent(i)
+          acc += d * d
+        }
+        total += Math.round(acc * 1e6)
+      }
+      assert(total == micro, s"vec $id: ADC $micro != reference $total")
+    }
+  }
+
+  test("ADC top-10 recalls a real fraction of the exact L2 top-10") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val adc = Pq.adcTopK(spark, emb, 0, 10).as[(Long, Long)].collect()
+      .map(_._1).toSet
+    // exact squared-L2 ranking — the metric ADC approximates
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2
+    val exact = all.filter(_._1 != 0L).map { case (id, e) =>
+      var acc = 0.0
+      for (i <- 0 until math.min(q.length, e.length)) {
+        val d = q(i).toDouble - e(i).toDouble; acc += d * d
+      }
+      (id, acc)
+    }.sortBy(r => (r._2, r._1)).take(10).map(_._1).toSet
+    // 16 centroids per 8-dim subspace is a coarse quantizer, so demand
+    // overlap, not identity — 4/10 is far above chance (10/499) and
+    // fails if the quantizer degrades to noise.
+    val recall = (adc & exact).size
+    assert(recall >= 4, s"ADC∩exactL2 = $recall of 10, quantizer degraded")
+  }
+
+  test("distortion view is exact, complete, and nonzero") {
+    val d = Pq.distortionBySubspace(Tables.embeddings(spark, sf0001))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(d.map(_._1).toSeq == (0 until Pq.M))
+    assert(d.forall(_._2 == 500))
+    // real data never sits exactly on centroids
+    assert(d.forall(r => r._3 > 0 && r._4 >= r._3 / 500))
+    // max is a member of the sum's population
+    assert(d.forall(r => r._4 <= r._3))
+  }
+}
