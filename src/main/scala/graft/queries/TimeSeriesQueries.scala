@@ -653,6 +653,70 @@ object TimeSeriesQueries {
           .when(dev * dev > lit(9L) * (col("n") * col("sxx") -
             col("sx") * col("sx")), lit(1))
           .otherwise(lit(-1)).as("anomaly"))
+    },
+
+    // ---- q99: exponentially weighted moving average -------------------
+    // The smoothing primitive next to q96's anomaly flags: a truncated
+    // EWMA (α = 1/2, window 16) over the hourly metric series, in EXACT
+    // integers — lag i carries weight 2^(15-i), so the weighted sum and
+    // the weight mass are BIGINTs (x ≤ 10⁸ cents × Σ2^i < 2^53) and the
+    // only float op is ONE exactly-rounded IEEE division at the end,
+    // identical in both engines. Warm-up rows (fewer than 16 trailing
+    // hours) renormalize over the weights actually present — the
+    // standard adjusted-EWMA convention — which the per-lag den terms
+    // encode without a special case. Plan: one map-side-combined hourly
+    // aggregate, then 16 lag() reads inside ONE window sort per
+    // event_type — per-key sequential, parallel across keys, no
+    // self-join and no second shuffle.
+    "q99_ewma" -> {
+      val terms = (0 until 16).map { i =>
+        val wt = 1L << (15 - i)
+        if (i == 0) (s"x * $wt", s"$wt")
+        else (s"coalesce(lag(x, $i) OVER w * $wt, 0)",
+          s"(CASE WHEN lag(x, $i) OVER w IS NOT NULL THEN $wt ELSE 0 END)")
+      }
+      QueryDef(
+        s"""WITH hourly AS (
+           |  SELECT event_type,
+           |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hr,
+           |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+           |      AS BIGINT) AS x
+           |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+           |r AS (
+           |  SELECT event_type, hr, x,
+           |    ${terms.map(_._1).mkString("(", " + ", ")")} AS num,
+           |    ${terms.map(_._2).mkString("(", " + ", ")")} AS den
+           |  FROM hourly
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+           |SELECT event_type, hr, x, num, den,
+           |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+           |FROM r""".stripMargin) { (s, dir) =>
+        val hourly = Tables.events(s, dir)
+          .filter(col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
+              .as("hr"))
+          .agg(sum((dec(col("value")) * 100).cast("bigint")).cast("bigint")
+            .as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        val cols = (0 until 16).map { i =>
+          val wt = 1L << (15 - i)
+          if (i == 0) (col("x") * wt, lit(wt))
+          else {
+            val lv = lag(col("x"), i).over(w)
+            (coalesce(lv * wt, lit(0L)),
+              when(lv.isNotNull, lit(wt)).otherwise(lit(0L)))
+          }
+        }
+        hourly
+          .select(col("event_type"), col("hr"), col("x"),
+            cols.map(_._1).reduce(_ + _).as("num"),
+            cols.map(_._2).reduce(_ + _).as("den"))
+          .select(col("event_type"), col("hr"), col("x"), col("num"),
+            col("den"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("ewma"))
+      }
     }
   )
 }

@@ -107,4 +107,32 @@ class TimeSeriesSpec extends SparkTestBase {
     // the fixture actually exercises all three verdicts
     assert(rows.map(_._5).toSet == Set(-1, 0, 1))
   }
+
+  test("q99: EWMA equals the brute-force weighted trailing sum, " +
+    "renormalized over warm-up, one exact IEEE division") {
+    val rows = TimeSeriesQueries.defs("q99_ewma").fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val ordered = series.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, _, x, num, den, ewma), i) =>
+        val trail = ordered.slice(math.max(0, i - 15), i + 1).map(_._3).reverse
+        val wantNum = trail.zipWithIndex.map { case (v, lagI) =>
+          v * (1L << (15 - lagI))
+        }.sum
+        val wantDen = trail.indices.map(lagI => 1L << (15 - lagI)).sum
+        assert(num == wantNum, s"row $i: num $num != brute $wantNum")
+        assert(den == wantDen, s"row $i: den $den != brute $wantDen")
+        assert(ewma == wantNum.toDouble / wantDen.toDouble)
+        // first row of every series is its own average
+        if (i == 0) assert(ewma == x.toDouble)
+      }
+      // the fixture has series long enough to leave warm-up
+      assert(ordered.length > 16)
+      assert(ordered.drop(16).forall(_._5 == 65535L),
+        "steady-state weight mass must be 2^16 - 1")
+    }
+  }
 }
