@@ -238,6 +238,28 @@ object SimilarityQueries {
           Pq.adcTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
         },
 
+        // IVF-ADC: FAISS's IVFPQ shape — IVF cells bound which vectors
+        // are scanned, PQ codes bound what is scanned; exact-integer
+        // ADC ranking inside the probed cells only
+        "x54_ivf_adc_topk" -> QueryDef(
+          s"""WITH $duckIvfAssign,
+             |$duckPqAssign,
+             |probe AS (SELECT c FROM d WHERE vec_id = 0
+             |          ORDER BY dist, c LIMIT ${Ivf.NProbe}),
+             |qd AS (SELECT ct.j, ct.c,
+             |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
+             |           * 1e6, 0) AS BIGINT) AS dm
+             |       FROM embeddings q, pqc ct WHERE q.vec_id = 0)
+             |SELECT code.vec_id, a.cell, sum(qd.dm)::BIGINT AS adc_micro
+             |FROM code
+             |JOIN qd ON qd.j = code.j AND qd.c = code.c
+             |JOIN a ON a.vec_id = code.vec_id
+             |WHERE a.cell IN (SELECT c FROM probe) AND code.vec_id != 0
+             |GROUP BY code.vec_id, a.cell
+             |ORDER BY adc_micro, code.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+          Pq.ivfAdcTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
+        },
+
         // quantizer quality: per-subspace corpus distortion (distance
         // to the chosen = nearest centroid) in exact micro-units
         "x53_pq_distortion" -> QueryDef(
@@ -264,7 +286,10 @@ object SimilarityQueries {
               queryVecId = 0, k = 10)),
           "x53_pq_distortion" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.distortionBySubspace(
-              Tables.embeddings(s, dir))))
+              Tables.embeddings(s, dir))),
+          "x54_ivf_adc_topk" -> QueryDef.rowsOnly((s, dir) =>
+            graft.similarity.Pq.ivfAdcTopK(s, Tables.embeddings(s, dir),
+              queryVecId = 0, k = 10)))
     }
 
   // defs is lazy: building the IVF oracle SQL trains the codebook,

@@ -172,6 +172,34 @@ object Pq {
       .limit(k)
   }
 
+  /** IVF-ADC — the composition production ANN stacks actually run
+    * (FAISS's IVFPQ): the IVF codebook bounds WHICH vectors are
+    * scanned (the query's NProbe nearest cells, ~NProbe/K of the
+    * corpus) and the PQ codes bound WHAT is scanned (8 B of codes per
+    * vector instead of 256 B of floats). One codegen pass assigns both
+    * cell and codes; the probe set broadcasts; ranking is exact-integer
+    * ADC inside the probed cells only. At 100 TB: cell = partition key,
+    * codes = the in-memory scan representation, floats stay on disk for
+    * an optional re-rank. */
+  def ivfAdcTopK(spark: SparkSession, embeddings: DataFrame,
+                 queryVecId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigned = Ivf.withCell(embeddings)
+      .withColumn("codes", expr("graft_pq_encode(embedding)"))
+    val probes = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"),
+        posexplode(expr("graft_ivf_dists(embedding)")).as(Seq("cell", "dist")))
+      .orderBy(col("dist"), col("cell"))
+      .limit(Ivf.NProbe)
+      .select(col("cell"), col("q_emb"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell"),
+        expr("graft_pq_adc(codes, q_emb)").as("adc_micro"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Quantizer-quality view: per-subspace corpus distortion (the error
     * vectors incur by being coded — squared-L2 to the chosen centroid,
     * micro-units, exact BIGINT sums). The monitoring signal that says

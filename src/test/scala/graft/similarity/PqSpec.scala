@@ -97,6 +97,34 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 4, s"ADC∩exactL2 = $recall of 10, quantizer degraded")
   }
 
+  test("IVF-ADC equals the full ADC ranking restricted to probed cells") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Pq.ivfAdcTopK(spark, emb, 0, 10)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 10)
+    // probe set from the driver-side codebook (what the plan explodes)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head()
+    val probed = Ivf.centroids.zipWithIndex.map { case (cent, c) =>
+      var acc = 0.0
+      for (i <- 0 until math.min(cent.length, q.length)) {
+        val d = q(i).toDouble - cent(i); acc += d * d
+      }
+      (acc, c)
+    }.sorted.take(Ivf.NProbe).map(_._2).toSet
+    assert(rows.forall(r => probed.contains(r._2)),
+      "every hit must come from a probed cell")
+    // reference: full-corpus ADC (x52 semantics) filtered to the
+    // probed cells must give the same ids and distances
+    val cells = Ivf.withCell(emb).select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    val fullAdc = Pq.adcTopK(spark, emb, 0, 499)
+      .as[(Long, Long)].collect()
+    val want = fullAdc.filter { case (id, _) => probed.contains(cells(id)) }
+      .take(10)
+    assert(rows.map(r => (r._1, r._3)).sameElements(want))
+  }
+
   test("distortion view is exact, complete, and nonzero") {
     val d = Pq.distortionBySubspace(Tables.embeddings(spark, sf0001))
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
