@@ -585,6 +585,57 @@ object TpchQueries {
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
     },
 
+    // ---- q100: cohort retention -------------------------------------
+    // The BI primitive behind every "month-N retention" dashboard:
+    // customers cohort by FIRST order month; retention at offset k =
+    // fraction of the cohort active k months later. All counts are
+    // exact BIGINTs; the only float op is one exactly-rounded IEEE
+    // division (both operands < 2^53). Plan: two keyed aggregations
+    // (min-date per customer, distinct activity months — both
+    // map-side combined), an equi-join on o_custkey (co-partitioned
+    // after the shuffles, AQE picks the strategy), a (cohort, offset)
+    // roll-up, and a BROADCAST join of the tiny cohort-size side —
+    // #cohorts rows, constant at any corpus scale. No window, no
+    // cross join; every shuffle is on a real key.
+    "q100_cohort_retention" -> QueryDef(
+      """WITH firsts AS (
+        |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_ts
+        |  FROM orders GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+        |  FROM orders),
+        |ret AS (
+        |  SELECT f.cohort_ts,
+        |         date_diff('month', f.cohort_ts, a.m) AS month_offset,
+        |         count(*) AS n_active
+        |  FROM activity a JOIN firsts f USING (o_custkey)
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_ts, count(*) AS n_cohort FROM firsts GROUP BY 1)
+        |SELECT strftime(r.cohort_ts, '%Y-%m') AS cohort, r.month_offset,
+        |  r.n_active, s.n_cohort,
+        |  CAST(r.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+        |FROM ret r JOIN sizes s USING (cohort_ts)""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val firsts = orders.groupBy(col("o_custkey"))
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort_ts"))
+      val activity = orders
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .distinct()
+      val ret = activity.join(firsts, "o_custkey")
+        .groupBy(col("cohort_ts"),
+          months_between(col("m"), col("cohort_ts")).cast("long")
+            .as("month_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = firsts.groupBy(col("cohort_ts"))
+        .agg(count(lit(1)).as("n_cohort"))
+      ret.join(broadcast(sizes), "cohort_ts")
+        .select(date_format(col("cohort_ts"), "yyyy-MM").as("cohort"),
+          col("month_offset"), col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+    },
+
     // exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition; both
     // rounded to 6 decimals to absorb last-bit interpolation order

@@ -84,4 +84,27 @@ class SqlFeatureSpec extends SparkTestBase {
         sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
     assert(all.collect().toSet == explicitForm.collect().toSet)
   }
+
+  test("q100 cohort retention: offset 0 is the full cohort, offsets are " +
+    "well-founded, and the size side broadcasts") {
+    val df = TpchQueries.defs("q100_cohort_retention").fn(spark, sf0001)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // every cohort's month-0 row exists and retains 100%
+    val cohorts = rows.map(_._1).distinct
+    val zero = rows.filter(_._2 == 0L)
+    assert(zero.map(_._1).toSet == cohorts.toSet)
+    zero.foreach { r => assert(r._3 == r._4 && r._5 == 1.0) }
+    // offsets are non-negative and activity never exceeds the cohort
+    assert(rows.forall(r => r._2 >= 0L && r._3 <= r._4 && r._5 <= 1.0))
+    // cohort sizes are consistent across a cohort's rows
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).distinct.length == 1)
+    }
+    // the tiny size side must broadcast, not shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected a broadcast join for the cohort-size side:\n$plan")
+  }
 }
