@@ -223,6 +223,72 @@ object DedupQueries {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     },
 
+    // keep-BEST dedup survivorship: a training pipeline keeps each
+    // duplicate cluster's HIGHEST-QUALITY member (x12's composite
+    // score), not the first-seen one — x27's keep-first is the
+    // id-stable policy, this is the quality-stable one. One row per
+    // REMOVED doc with the survivor it lost to. Ties after the
+    // 6-decimal quality rounding break to the lower doc_id, so the
+    // survivor set is deterministic in both engines. Plan: the x22
+    // cluster labels (bounded label propagation) join the per-doc
+    // quality scores, then ONE window ranks members per cluster and
+    // the #clusters-row survivor side joins back on cluster_id —
+    // both sides already hash-partitioned by cluster_id from the
+    // window's shuffle.
+    "x55_keep_best_dedup" -> QueryDef(
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, $duckShingles gs FROM d),
+         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+         |bands AS ($duckBands),
+         |bx AS (SELECT *,
+         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
+         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
+         |  FROM bands),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bx a JOIN bx b
+         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |          WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, ${TextQueries.duckQuality} AS quality
+         |      FROM documents),
+         |m AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |          ORDER BY q.quality DESC, cl.doc_id) AS rk
+         |      FROM cl JOIN q USING (doc_id)),
+         |k AS (SELECT cluster_id, doc_id AS kept_doc_id,
+         |             quality AS kept_quality
+         |      FROM m WHERE rk = 1)
+         |SELECT m.doc_id, m.cluster_id, m.quality,
+         |       k.kept_doc_id, k.kept_quality
+         |FROM m JOIN k USING (cluster_id) WHERE m.rk > 1""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(docs))
+        val q = docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text"))
+            .as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        val ranked = clusters.join(q, "doc_id")
+          .withColumn("rk", row_number().over(w))
+        val kept = ranked.filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+            col("quality").as("kept_quality"))
+        ranked.filter(col("rk") > 1)
+          .join(kept, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("quality"),
+            col("kept_doc_id"), col("kept_quality"))
+    },
+
     // exact dedup accounting: hash-groupBy per source
     "x01_dedup_exact_stats" -> QueryDef(
       """SELECT source, count(*) AS n_docs,

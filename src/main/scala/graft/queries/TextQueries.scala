@@ -40,6 +40,15 @@ object TextQueries {
   private val duckDigitRatio: String =
     "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)"
 
+  /** The x12 composite quality score as one reusable fragment
+    * (`private[queries]`: DedupQueries' keep-best survivorship ranks
+    * duplicate-cluster members by it). Mirrors
+    * [[graft.functions.TextAnalysis.qualityScore]] term order. */
+  private[queries] val duckQuality: String =
+    s"""round(0.4 * ($duckStopRatio) +
+       |      0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
+       |      0.3 * (1.0 - ($duckDigitRatio)), 6)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // capstone curation funnel: exact dedup (keep-first) → language

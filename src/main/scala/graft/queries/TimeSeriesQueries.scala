@@ -717,6 +717,44 @@ object TimeSeriesQueries {
             (col("num").cast("double") / col("den").cast("double"))
               .as("ewma"))
       }
+    },
+
+    // ---- q101: event-sequence pattern matching ------------------------
+    // The MATCH_RECOGNIZE-style primitive Spark has no operator for
+    // (q38's funnel counts stage REACHES; this matches ORDERED REGEX
+    // patterns): each user's history becomes a character string — one
+    // char per event, in (ts, event_id) order — and the pattern
+    // `view click* purchase` is the regex 'vc*p' counted
+    // non-overlapping. Leftmost-earliest regex semantics agree across
+    // engines for this alternation-free pattern class. Per-user
+    // sequence building is exactly what a MATCH_RECOGNIZE engine
+    // buffers per partition: ONE groupBy shuffle, state bounded by a
+    // user's own event count, parallel across users — the partition
+    // axis the cluster has. array_sort on (ts, event_id) makes the
+    // encoding deterministic under any shuffle order.
+    "q101_event_seq_match" -> QueryDef(
+      """WITH seqs AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  length(seq)::BIGINT AS seq_len,
+        |  len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_funnel
+        |FROM seqs""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws("",
+            expr("transform(array_sort(collect_list(" +
+              "struct(ts, event_id, substring(event_type, 1, 1) AS ch)" +
+              ")), x -> x.ch)")).as("seq"))
+        .select(col("user_id"), col("n_events"),
+          length(col("seq")).cast("long").as("seq_len"),
+          expr("regexp_count(seq, 'vc*p')").cast("long").as("n_funnel"))
     }
   )
 }

@@ -135,4 +135,33 @@ class TimeSeriesSpec extends SparkTestBase {
         "steady-state weight mass must be 2^16 - 1")
     }
   }
+
+  test("q101: sequence encode + regex count equal a driver-side " +
+    "recompute over (ts, event_id)-ordered events") {
+    val rows = TimeSeriesQueries.defs("q101_event_seq_match")
+      .fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val byUser = evs.groupBy(_._1)
+    assert(rows.keySet == byUser.keySet)
+    byUser.foreach { case (u, es) =>
+      val seq = es.sortBy(e => (e._2.getTime, e._3))
+        .map(_._4.substring(0, 1)).mkString
+      val m = java.util.regex.Pattern.compile("vc*p").matcher(seq)
+      var n = 0
+      while (m.find()) n += 1
+      val (nEvents, seqLen, nFunnel) = rows(u)
+      assert(nEvents == es.length && seqLen == seq.length)
+      assert(nFunnel == n, s"user $u: got $nFunnel, reference $n ($seq)")
+    }
+    // the fixture actually exercises the pattern
+    assert(rows.values.map(_._3).sum > 0)
+  }
 }

@@ -174,4 +174,32 @@ class PipelineSpec extends SparkTestBase {
     assert(m.map(_._3).sum == pairTotal,
       "matrix cells partition the x03 candidate-pair set")
   }
+
+  test("x55: keep-best removes exactly cluster-size-minus-one per " +
+    "cluster and every survivor dominates its losers") {
+    val removed = SparkEntry.queries("x55_keep_best_dedup")(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"quality",
+        $"kept_doc_id", $"kept_quality")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(removed.nonEmpty)
+    val clusters = SparkEntry.queries("x22_dup_clusters")(spark, sf0001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2)
+    // exactly one survivor per cluster
+    removed.groupBy(_._2).foreach { case (c, losers) =>
+      assert(losers.length == byCluster(c).length - 1,
+        s"cluster $c: ${losers.length} removed of ${byCluster(c).length}")
+    }
+    removed.foreach { case (doc, c, q, kept, kq) =>
+      // survivor is a member of the same cluster, never self
+      assert(byCluster(c).exists(_._1 == kept) && kept != doc)
+      // quality dominance with the doc_id tie-break
+      assert(kq > q || (kq == q && kept < doc),
+        s"cluster $c: kept $kept($kq) does not dominate $doc($q)")
+    }
+    // the quality-stable policy genuinely differs from keep-first
+    // somewhere on the fixture (otherwise x55 re-tests x27)
+    assert(removed.exists { case (_, c, _, kept, _) => kept != c },
+      "every survivor equals the min-id canonical; policy untested")
+  }
 }
