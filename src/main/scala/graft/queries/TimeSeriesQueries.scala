@@ -755,6 +755,64 @@ object TimeSeriesQueries {
         .select(col("user_id"), col("n_events"),
           length(col("seq")).cast("long").as("seq_len"),
           expr("regexp_count(seq, 'vc*p')").cast("long").as("n_funnel"))
+    },
+
+    // ---- q102: conversion-lag distribution ----------------------------
+    // Time-to-convert — the companion to q100's "did they convert":
+    // per user, the lag from FIRST signup to the first purchase AT OR
+    // AFTER it, summarized as interpolated percentiles (the q29
+    // engine-parity discipline: quantile_cont ≡ percentile, rounded to
+    // 6 after one shared /1e6). Lags are exact BIGINT microseconds
+    // until that division. Plan: two filtered keyed aggregations, an
+    // equi-join on user_id with the time predicate as a residual
+    // filter, then ONE single-row global aggregate crossed with the
+    // single-row signup count — both sides broadcast, nothing big
+    // moves. At 100 TB the join is the only real shuffle, on the key
+    // the data already clusters by.
+    "q102_conversion_lag" -> QueryDef(
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |conv AS (
+        |  SELECT s.user_id,
+        |    epoch_us(date_trunc('microsecond', min(p.ts)))
+        |      - epoch_us(date_trunc('microsecond', s.signup_ts)) AS lat_us
+        |  FROM su s JOIN events p
+        |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= s.signup_ts
+        |  GROUP BY s.user_id, s.signup_ts)
+        |SELECT (SELECT count(*) FROM su)::BIGINT AS n_signups,
+        |  count(*)::BIGINT AS n_converted,
+        |  round(quantile_cont(lat_us, 0.5) / 1e6, 6) AS median_latency_s,
+        |  round(quantile_cont(lat_us, 0.9) / 1e6, 6) AS p90_latency_s,
+        |  CAST(count(*) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM su) AS DOUBLE) AS conversion_rate
+        |FROM conv""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val conv = su.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")),
+          Seq("user_id"))
+        .filter(col("p_ts") >= col("signup_ts"))
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(col("p_ts")).as("first_purchase_ts"))
+        .select((unix_micros(col("first_purchase_ts"))
+          - unix_micros(col("signup_ts"))).as("lat_us"))
+      val summary = conv.agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)") / 1e6, 6)
+          .as("median_latency_s"),
+        round(expr("percentile(lat_us, 0.9)") / 1e6, 6)
+          .as("p90_latency_s"))
+      val nSignups = su.agg(count(lit(1)).as("n_signups"))
+      summary.crossJoin(broadcast(nSignups))
+        .select(col("n_signups"), col("n_converted"),
+          col("median_latency_s"), col("p90_latency_s"),
+          (col("n_converted").cast("double")
+            / col("n_signups").cast("double")).as("conversion_rate"))
     }
   )
 }

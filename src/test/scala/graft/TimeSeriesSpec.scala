@@ -164,4 +164,42 @@ class TimeSeriesSpec extends SparkTestBase {
     // the fixture actually exercises the pattern
     assert(rows.values.map(_._3).sum > 0)
   }
+
+  test("q102: conversion lags equal a driver-side first-signup → " +
+    "first-purchase-after recompute, percentiles interpolated") {
+    val Array(row) = TimeSeriesQueries.defs("q102_conversion_lag")
+      .fn(spark, sf0001).collect()
+    val (nSignups, nConverted, median, p90, rate) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3),
+        row.getDouble(4))
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val signup = evs.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(e => usOf(e._2)).min }
+    val lags = signup.toSeq.flatMap { case (u, s) =>
+      val ps = evs.filter(e => e._1 == u && e._3 == "purchase")
+        .map(e => usOf(e._2)).filter(_ >= s)
+      if (ps.isEmpty) None else Some(ps.min - s)
+    }.sorted
+    assert(nSignups == signup.size && nConverted == lags.length)
+    assert(nConverted > 0 && nConverted <= nSignups)
+    def pct(q: Double): Double = {
+      val rank = (lags.length - 1) * q
+      val lo = rank.toInt
+      val frac = rank - lo
+      val interp =
+        if (lo + 1 < lags.length) lags(lo) + frac * (lags(lo + 1) - lags(lo))
+        else lags(lo).toDouble
+      BigDecimal(interp / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(median == pct(0.5), s"median $median != ${pct(0.5)}")
+    assert(p90 == pct(0.9), s"p90 $p90 != ${pct(0.9)}")
+    assert(rate == nConverted.toDouble / nSignups.toDouble)
+  }
 }
