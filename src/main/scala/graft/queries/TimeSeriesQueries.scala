@@ -813,6 +813,55 @@ object TimeSeriesQueries {
           col("median_latency_s"), col("p90_latency_s"),
           (col("n_converted").cast("double")
             / col("n_signups").cast("double")).as("conversion_rate"))
+    },
+
+    // ---- q103: sliding DAU / WAU / stickiness -------------------------
+    // EXACT sliding-window distinct counts — the engagement dashboard
+    // primitive. A naive per-window COUNT(DISTINCT) over a RANGE frame
+    // can't be exact-distributed; the scalable shape is the day-explode:
+    // each (user, active-day) row fans out to the ≤7 trailing windows
+    // it participates in (a CONSTANT ×7, independent of corpus size),
+    // then one distinct-count per window end. DAU joins back on the
+    // window day with missing days as 0; stickiness = DAU/WAU is the
+    // single IEEE division. The span row broadcasts; every shuffle is
+    // keyed.
+    "q103_sliding_dau" -> QueryDef(
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |span AS (SELECT min(d) AS lo, max(d) AS hi FROM act),
+        |win AS (
+        |  SELECT a.user_id, (a.d + x.i * INTERVAL 1 DAY)::DATE AS w
+        |  FROM act a
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) x
+        |  CROSS JOIN span
+        |  WHERE (a.d + x.i * INTERVAL 1 DAY)::DATE BETWEEN lo AND hi),
+        |wau AS (SELECT w, count(DISTINCT user_id) AS wau FROM win GROUP BY w),
+        |dau AS (SELECT d, count(*) AS dau FROM act GROUP BY d)
+        |SELECT strftime(wau.w, '%Y-%m-%d') AS day,
+        |  coalesce(dau.dau, 0)::BIGINT AS dau, wau.wau::BIGINT AS wau,
+        |  CAST(coalesce(dau.dau, 0) AS DOUBLE)
+        |    / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM wau LEFT JOIN dau ON dau.d = wau.w""".stripMargin) { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val span = act.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val win = act.crossJoin(broadcast(span))
+        .select(col("user_id"), col("d"), col("lo"), col("hi"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .withColumn("w", date_add(col("d"), col("i")))
+        .filter(col("w").between(col("lo"), col("hi")))
+      val wau = win.groupBy(col("w"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val dau = act.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, wau("w") === dau("d"), "left")
+        .select(date_format(col("w"), "yyyy-MM-dd").as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+          (coalesce(col("dau"), lit(0L)).cast("double")
+            / col("wau").cast("double")).as("stickiness"))
     }
   )
 }

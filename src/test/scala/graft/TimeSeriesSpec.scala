@@ -202,4 +202,35 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(p90 == pct(0.9), s"p90 $p90 != ${pct(0.9)}")
     assert(rate == nConverted.toDouble / nSignups.toDouble)
   }
+
+  test("q103: sliding DAU/WAU equal the brute-force per-window distinct " +
+    "sets; WAU >= DAU >= 0; every in-span day present") {
+    val rows = TimeSeriesQueries.defs("q103_sliding_dau")
+      .fn(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    val act = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = act.map(_._2)
+    val (lo, hi) = (days.min, days.max)
+    val span = Iterator.iterate(lo)(_.plusDays(1))
+      .takeWhile(!_.isAfter(hi)).toSeq
+    assert(rows.keySet == span.map(_.toString).toSet,
+      "one output row per day in the activity span")
+    span.foreach { w =>
+      val wau = act.filter { case (_, d) =>
+        !d.isAfter(w) && !d.isBefore(w.minusDays(6))
+      }.map(_._1).distinct.length
+      val dau = act.filter(_._2 == w).map(_._1).distinct.length
+      val (gotDau, gotWau, stick) = rows(w.toString)
+      assert(gotDau == dau && gotWau == wau, s"$w: ($gotDau,$gotWau) " +
+        s"!= brute ($dau,$wau)")
+      assert(gotWau >= gotDau && stick == dau.toDouble / wau.toDouble)
+    }
+  }
 }
