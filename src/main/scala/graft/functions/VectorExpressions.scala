@@ -242,8 +242,8 @@ object IvfKernels extends Serializable {
   * PQ (Jégou et al., "Product Quantization for Nearest Neighbor
   * Search", TPAMI 2011) splits a Dim vector into M contiguous SubDim
   * slices and quantizes each against its own Ks-centroid codebook, so a
-  * vector compresses to M small codes (here M bytes' worth of ints —
-  * 64 floats → 8 codes, 32×). Asymmetric distance (ADC) between a raw
+  * vector compresses to M small codes (here 64 floats → 16 4-bit
+  * codes = 8 B packed, 32×). Asymmetric distance (ADC) between a raw
   * query and a coded vector is the sum over subspaces of the exact
   * distance from the query's slice to the CODED centroid.
   *
@@ -253,8 +253,17 @@ object IvfKernels extends Serializable {
   * DuckDB `CAST(round(d*1e6, 0) AS BIGINT)` for non-negative d), and
   * the cross-subspace total is a sum of longs — order-free and
   * bit-identical in both engines, unlike a double sum whose result
-  * depends on addition order. */
+  * depends on addition order.
+  *
+  * Ragged vectors (shorter than Dim) read missing elements as 0.0 —
+  * the SAME zero-pad convention [[graft.similarity.Pq.codebooks]]
+  * training uses, so encode-time assignments measure the metric the
+  * training objective optimized (PqKernelPropertySpec pins this). */
 object PqKernels extends Serializable {
+
+  /** `emb(i)`, zero-padded past the end (training parity). */
+  private def at(emb: ArrayData, i: Int): Double =
+    if (i < emb.numElements()) emb.getFloat(i).toDouble else 0.0
 
   /** PQ codes: argmin centroid per subspace; ties to the lower index
     * (mirrors the oracle's ORDER BY dist, c). */
@@ -273,8 +282,8 @@ object PqKernels extends Serializable {
         val cent = cents(c)
         var acc = 0.0
         var i = 0
-        while (i < sub && off + i < emb.numElements()) {
-          val d = emb.getFloat(off + i).toDouble - cent(i)
+        while (i < sub) {
+          val d = at(emb, off + i) - cent(i)
           acc += d * d
           i += 1
         }
@@ -302,8 +311,8 @@ object PqKernels extends Serializable {
       val off = j * sub
       var acc = 0.0
       var i = 0
-      while (i < sub && off + i < qEmb.numElements()) {
-        val d = qEmb.getFloat(off + i).toDouble - cent(i)
+      while (i < sub) {
+        val d = at(qEmb, off + i) - cent(i)
         acc += d * d
         i += 1
       }
@@ -332,8 +341,8 @@ object PqKernels extends Serializable {
         val cent = cents(c)
         var acc = 0.0
         var i = 0
-        while (i < sub && off + i < emb.numElements()) {
-          val d = emb.getFloat(off + i).toDouble - cent(i)
+        while (i < sub) {
+          val d = at(emb, off + i) - cent(i)
           acc += d * d
           i += 1
         }

@@ -192,8 +192,8 @@ object SimilarityQueries {
     rows.mkString("(SELECT * FROM (VALUES ", ", ", ") t(j, c, v))")
   }
 
-  /** Squared-L2 over subspace `jExpr`'s slice of `emb` vs an 8-dim
-    * centroid `v` — same element-order accumulation as
+  /** Squared-L2 over subspace `jExpr`'s slice of `emb` vs a
+    * SubDim-dim centroid `v` — same element-order accumulation as
     * [[graft.functions.PqKernels]]. */
   private def duckPqL2(emb: String, jExpr: String, v: String): String = {
     val sub = graft.similarity.Pq.SubDim

@@ -60,9 +60,7 @@ object TextQueries {
          |              FROM documents GROUP BY md5(text)),
          |f AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)
          |      WHERE ($duckLangPred) = 'en'
-         |        AND round(0.4 * ($duckStopRatio) +
-         |              0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
-         |              0.3 * (1.0 - ($duckDigitRatio)), 6) >= 0.5)
+         |        AND ($duckQuality) >= 0.5)
          |SELECT source, count(*) AS n_docs,
          |  sum(len(string_split(text,' ')))::BIGINT AS total_tokens
          |FROM f GROUP BY source""".stripMargin) { (s, dir) =>
@@ -152,9 +150,7 @@ object TextQueries {
       s"""SELECT doc_id,
          |  len(string_split(text,' ')) AS n_words,
          |  round($duckStopRatio, 6) AS stop_ratio,
-         |  round(0.4 * ($duckStopRatio) +
-         |        0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
-         |        0.3 * (1.0 - ($duckDigitRatio)), 6) AS quality
+         |  ($duckQuality) AS quality
          |FROM documents""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -364,9 +360,7 @@ object TextQueries {
       s"""WITH c AS (SELECT source,
          |  CASE WHEN len(string_split(text,' ')) < 30 THEN 'too_short'
          |       WHEN ($duckLangPred) = 'und' THEN 'lang_und'
-         |       WHEN round(0.4 * ($duckStopRatio) +
-         |              0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
-         |              0.3 * (1.0 - ($duckDigitRatio)), 6) < 0.5
+         |       WHEN ($duckQuality) < 0.5
          |         THEN 'low_quality'
          |       ELSE 'pass' END AS reason
          |  FROM documents)

@@ -67,8 +67,10 @@ object Ann {
     bandedCache.computeIfAbsent(n, k => planeRows(k).map(_.toArray).toArray)
 
   /** One small parquet file → one input partition; spread before the
-    * CPU-heavy signature/cosine stages so all cores participate. */
-  private def spread(df: DataFrame): DataFrame =
+    * CPU-heavy signature/cosine stages so all cores participate.
+    * `private[similarity]`: [[Ivf]] and [[Pq]] share the same policy —
+    * one definition, one place to change it. */
+  private[similarity] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** LSH bucket (0..2^NPlanes-1): sign bits of the plane dot products,

@@ -111,8 +111,7 @@ object Ivf {
     best
   }
 
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = Ann.spread(df)
 
   /** Corpus with its IVF cell assignment (codegen'd argmin). */
   def withCell(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {

@@ -10,13 +10,13 @@ import graft.functions.VectorFunctions
   * (SURVEY.md §8). Jégou et al., "Product Quantization for Nearest
   * Neighbor Search" (TPAMI 2011).
   *
-  * The Dim=64 vector splits into M=8 contiguous 8-dim subspaces; each
+  * The Dim=64 vector splits into M=16 contiguous 4-dim subspaces; each
   * subspace gets its own Ks=16-centroid codebook, so a corpus vector
-  * compresses to 8 codes of 4 bits of information each — the form in
+  * compresses to 16 codes of 4 bits of information each — the form in
   * which a 100 TB embedding corpus actually fits in cluster memory
-  * (64 floats = 256 B → 8 codes ≈ 8 B at int width here, 4 B packed;
-  * the float corpus stays on disk and only re-materializes for an
-  * optional exact re-rank of the short-list). Search is ASYMMETRIC
+  * (64 floats = 256 B → 16 codes = 8 B packed; the float corpus stays
+  * on disk and only re-materializes for an optional exact re-rank of
+  * the short-list). Search is ASYMMETRIC
   * (ADC): the raw query is compared against coded vectors by summing,
   * per subspace, the exact distance from the query's slice to the
   * centroid the code names.
@@ -145,8 +145,7 @@ object Pq {
     best
   }
 
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = Ann.spread(df)
 
   /** Corpus with its PQ codes (one codegen pass, no shuffle). */
   def withCodes(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {

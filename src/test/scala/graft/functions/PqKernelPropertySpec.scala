@@ -41,12 +41,15 @@ class PqKernelPropertySpec extends AnyFunSuite {
   private def arr(f: Array[Float]): GenericArrayData =
     new GenericArrayData(f.map(x => x: Any))
 
+  // zero-pad past the end — the training-parity convention the
+  // kernels implement
   private def naiveSubL2(e: Array[Float], cent: Array[Double],
                          off: Int): Double = {
     var acc = 0.0
     var i = 0
-    while (i < cent.length && off + i < e.length) {
-      val d = e(off + i).toDouble - cent(i); acc += d * d; i += 1
+    while (i < cent.length) {
+      val x = if (off + i < e.length) e(off + i).toDouble else 0.0
+      val d = x - cent(i); acc += d * d; i += 1
     }
     acc
   }
@@ -95,19 +98,26 @@ class PqKernelPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("ragged vectors (shorter than Dim) code in-range, zero-padded " +
-    "semantics stable (100 seeds)") {
+  test("ragged vectors (shorter than Dim) follow the zero-pad training " +
+    "parity: encode == naive over the padded vector (100 seeds)") {
     for (seed <- 0L until 100L) {
       val books = genBooks(seed)
       val n = (seed % Dim).toInt // 0..Dim-1 elements
       val e = genFloats(n, seed + 5000)
       val codes = PqKernels.encode(arr(e), books).toIntArray()
       assert(codes.length == M && codes.forall(c => c >= 0 && c < Ks))
-      // a fully-missing subspace accumulates distance 0 to every
-      // centroid, so the tie-break must pick code 0
-      if (n <= (M - 1) * Sub) assert(codes(M - 1) == 0)
+      // the kernel must see exactly what the trainer saw: the vector
+      // zero-padded to Dim — so encoding the padded vector explicitly
+      // gives the identical codes
+      val padded = e ++ Array.fill(Dim - n)(0.0f)
+      assert(codes.sameElements(
+        PqKernels.encode(arr(padded), books).toIntArray()),
+        s"seed $seed: ragged and zero-padded encodings diverge")
+      assert(codes.sameElements(naiveEncode(e, books)), s"seed $seed")
       val d = PqKernels.distortMicros(arr(e), books).toLongArray()
       assert(d.forall(_ >= 0L))
+      assert(d.sameElements(
+        PqKernels.distortMicros(arr(padded), books).toLongArray()))
     }
   }
 }

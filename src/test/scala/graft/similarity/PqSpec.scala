@@ -90,7 +90,7 @@ class PqSpec extends SparkTestBase {
       }
       (id, acc)
     }.sortBy(r => (r._2, r._1)).take(10).map(_._1).toSet
-    // 16 centroids per 8-dim subspace is a coarse quantizer, so demand
+    // 16 centroids per 4-dim subspace is a coarse quantizer, so demand
     // overlap, not identity — 4/10 is far above chance (10/499) and
     // fails if the quantizer degrades to noise.
     val recall = (adc & exact).size
