@@ -260,6 +260,29 @@ object SimilarityQueries {
           Pq.ivfAdcTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
         },
 
+        // persisted-index probe: the x51 pattern for PQ — the corpus
+        // encodes ONCE into a (vec_id, codes) parquet index (~3 TB for
+        // 100 TB of floats) and the query probes the round-tripped
+        // index without re-encoding or reading the float corpus. The
+        // oracle is x52's: persistence must not change the ranking.
+        "x56_pq_index_probe" -> QueryDef(
+          s"""WITH $duckPqAssign,
+             |qd AS (SELECT ct.j, ct.c,
+             |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
+             |           * 1e6, 0) AS BIGINT) AS dm
+             |       FROM embeddings q, pqc ct WHERE q.vec_id = 0)
+             |SELECT code.vec_id, sum(qd.dm)::BIGINT AS adc_micro
+             |FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+             |WHERE code.vec_id != 0
+             |GROUP BY code.vec_id
+             |ORDER BY adc_micro, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+          val emb = Tables.embeddings(s, dir)
+          val idxPath = QueryDef.scratchDir("x56_pq_idx", dir)
+          Pq.writeIndex(emb, idxPath)
+          Pq.probeIndex(s, s.read.parquet(idxPath), emb,
+            queryVecId = 0, k = 10)
+        },
+
         // quantizer quality: per-subspace corpus distortion (distance
         // to the chosen = nearest centroid) in exact micro-units
         "x53_pq_distortion" -> QueryDef(
@@ -289,7 +312,14 @@ object SimilarityQueries {
               Tables.embeddings(s, dir))),
           "x54_ivf_adc_topk" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.ivfAdcTopK(s, Tables.embeddings(s, dir),
-              queryVecId = 0, k = 10)))
+              queryVecId = 0, k = 10)),
+          "x56_pq_index_probe" -> QueryDef.rowsOnly { (s, dir) =>
+            val emb = Tables.embeddings(s, dir)
+            val idxPath = QueryDef.scratchDir("x56_pq_idx", dir)
+            graft.similarity.Pq.writeIndex(emb, idxPath)
+            graft.similarity.Pq.probeIndex(s, s.read.parquet(idxPath),
+              emb, queryVecId = 0, k = 10)
+          })
     }
 
   // defs is lazy: building the IVF oracle SQL trains the codebook,

@@ -171,6 +171,33 @@ object Pq {
       .limit(k)
   }
 
+  /** The persisted code index: (vec_id, codes) — the "encode is a
+    * once-per-corpus batch pass" half of the PQ economics. ~8 B of
+    * payload per vector instead of 256 B of floats; at 100 TB of
+    * embeddings the index is ~3 TB and serves every subsequent query
+    * without touching the float corpus. */
+  def writeIndex(embeddings: DataFrame, path: String): Unit =
+    withCodes(embeddings).select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** ADC top-k against a PERSISTED code index: the corpus is never
+    * re-encoded and the floats are never read — only the query row
+    * comes from the embedding table. Must rank identically to
+    * [[adcTopK]] (PqSpec pins index-probe ≡ live). */
+  def probeIndex(spark: SparkSession, index: DataFrame,
+                 embeddings: DataFrame, queryVecId: Long,
+                 k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    index.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        expr("graft_pq_adc(codes, q_emb)").as("adc_micro"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-ADC — the composition production ANN stacks actually run
     * (FAISS's IVFPQ): the IVF codebook bounds WHICH vectors are
     * scanned (the query's NProbe nearest cells, ~NProbe/K of the

@@ -125,6 +125,28 @@ class PqSpec extends SparkTestBase {
     assert(rows.map(r => (r._1, r._3)).sameElements(want))
   }
 
+  test("persisted code index probes identically to the live ADC scan") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_idx_spec").toString
+    try {
+      Pq.writeIndex(emb, dir)
+      val idx = spark.read.parquet(dir)
+      // index carries ONLY ids + codes — floats never persisted
+      assert(idx.columns.toSet == Set("vec_id", "codes"))
+      assert(idx.count() == emb.count())
+      val probed = Pq.probeIndex(spark, idx, emb, 0, 10)
+        .as[(Long, Long)].collect()
+      val live = Pq.adcTopK(spark, emb, 0, 10)
+        .as[(Long, Long)].collect()
+      assert(probed.sameElements(live),
+        "index round-trip changed the ADC ranking")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("distortion view is exact, complete, and nonzero") {
     val d = Pq.distortionBySubspace(Tables.embeddings(spark, sf0001))
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
