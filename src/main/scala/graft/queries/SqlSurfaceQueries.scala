@@ -247,20 +247,44 @@ object SqlSurfaceQueries {
     // multiset per group (memory ∝ group size); the GK summary is
     // bounded by 1/ε regardless of group size and merges
     // associatively, so partial aggregation works map-side like any
-    // sum. Sketch internals are engine-specific → rows-only here;
-    // ApproxPercentileSpec pins the formal guarantee (rank error
-    // ≤ ε·n vs the exact sort) instead of bytes. All output columns
-    // are SCALAR on purpose: the driver's rows-only harness sorts the
-    // result frame by every column, and an ARRAY column is unhashable
-    // there — the multi-percentile form (array(0.25,0.75)) is covered
-    // as scalar p25/p75 projections of the same sketch instead.
-    "q59_approx_percentile" -> QueryDef.rowsOnly { (s, dir) =>
+    // sum. Oracle-EXACT via the exact-when-small regime (q82/q87's
+    // discipline): with accuracy ≥ n the summary's rank-error budget
+    // ε·n = n/accuracy < 1, so no compression merge can move a sample
+    // across a queried rank and query(q) returns exactly the element
+    // at 1-indexed rank ceil(q·n) (pinned empirically on a distinct
+    // 1..10 set: q=.75→rank 8, q=.95→rank 10). The oracle spells that
+    // rank convention as a row_number window. ApproxPercentileSpec
+    // still pins the formal ≤ ε·n guarantee for the genuinely
+    // approximate (accuracy < n) regime. All output columns are SCALAR
+    // on purpose: the driver's harness sorts the result frame by every
+    // column, and an ARRAY column is unhashable there — the
+    // multi-percentile form (array(0.25,0.75)) is covered as scalar
+    // p25/p75 projections of the same sketch instead.
+    "q59_approx_percentile" -> QueryDef(
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+        |      THEN l_quantity END) AS p50_approx,
+        |  max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT)
+        |      THEN l_quantity END) AS p95_approx,
+        |  max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT)
+        |      THEN l_quantity END) AS p25_approx,
+        |  max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT)
+        |      THEN l_quantity END) AS p75_approx
+        |FROM r GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_quantity, 0.5, 100)").as("p50_approx"),
-          expr("approx_percentile(l_quantity, 0.95, 100)").as("p95_approx"),
-          expr("approx_percentile(l_quantity, array(0.25, 0.75), 100)")
+          expr("approx_percentile(l_quantity, 0.5, 1000000)")
+            .as("p50_approx"),
+          expr("approx_percentile(l_quantity, 0.95, 1000000)")
+            .as("p95_approx"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.75), 1000000)")
             .as("iqr_approx"))
         .select(
           col("l_returnflag"),
