@@ -18,21 +18,22 @@ import graft.functions.Stringify
   * in memory and uploading to
   * `db/tbl/<part>/<YYYYMMDD>/<fromTS>_<toTS>_<crc32>.log.gz` (`311-313`).
   *
-  * Spark-first re-expression: a single scan → filter → shuffle-by-
-  * partition-column → sort-within-partitions → partitioned gzip-JSON
-  * write. Discovery, fan-out, paging, counters and the error fold all
-  * disappear into the plan: task parallelism replaces goroutines,
-  * `maxRecordsPerFile` replaces paging, metrics replace mutex counters.
-  * At cluster scale this is shuffle-partitioned by the partition column,
-  * so each output partition is written by tasks that own its rows —
-  * no per-partition re-scan of the source (the reference re-queries the
-  * table once per partition value).
+  * Spark-first re-expression: a single scan → filter → per-task sort →
+  * partitioned gzip-NDJSON write through the graftbackup DataSource V2
+  * sink ([[graft.sources.BackupSink]]). Discovery, fan-out, paging,
+  * counters and the error fold all disappear into the plan: task
+  * parallelism replaces goroutines, the sink's `maxRecordsPerChunk`
+  * rotation replaces paging, metrics replace mutex counters. ZERO
+  * shuffles — the sink deliberately requires only a per-task sort
+  * (partition columns, then time desc), never a cluster-by, so a hot
+  * partition value can't funnel into one task.
   *
-  * The per-file `<fromTS>_<toTS>_<crc32>.log.gz` naming contract cannot
-  * be expressed at write time (Spark names files task-side before
-  * content is known); it is restored by [[finalizeChunkNames]] — one
-  * metadata-only Spark pass over the written files plus driver-side
-  * renames, O(#files) not O(#rows) driver work.
+  * The per-file `<fromTS>_<toTS>_<crc32>.log.gz` naming contract is
+  * computed TASK-SIDE as the bytes stream (CRC32 wraps the compressed
+  * output stream, min/max event time tracked per chunk) — no repair
+  * pass, no re-read of written bytes; the driver's commit does
+  * O(#chunks) renames and hands the chunk list back through
+  * [[graft.sources.BackupSink.takePublished]].
   */
 object Backup {
 
@@ -68,18 +69,21 @@ object Backup {
     val windowed = src.filter(timeWindow(cfg))
       .where(col(cfg.partitionColumn).isNotNull)
 
-    val dated = windowed.withColumn("date_dir",
-      date_format(col(cfg.timeColumn), "yyyyMMdd"))
-
+    // Faithful mode stringifies every leaf EXCEPT the partition column
+    // (directory metadata) and the time column — the sink derives
+    // date_dir and the chunk-name envelope from it, so it must stay a
+    // timestamp; its JSON rendering is still a string leaf (the sink's
+    // fixed-width line format), preserving the reference's everything-
+    // stringifies contract (`helpers/helpers.go:9`).
     val projected =
       if (faithfulStrings) {
-        val keep = Set(cfg.partitionColumn, "date_dir")
-        val cols = dated.schema.fields.toSeq.map { f =>
+        val keep = Set(cfg.partitionColumn, cfg.timeColumn)
+        val cols = windowed.schema.fields.toSeq.map { f =>
           if (keep(f.name)) col(f.name)
           else Stringify.expr(col(f.name), f.dataType).as(f.name)
         }
-        dated.select(cols: _*)
-      } else dated
+        windowed.select(cols: _*)
+      } else windowed
 
     // Metadata-sized by the reference's own model, but guarded: a
     // high-cardinality partition column must not collect unbounded
@@ -96,18 +100,31 @@ object Backup {
     if (cfg.dryRun) return Result(counts, Nil)
 
     projected
-      .repartition(col(cfg.partitionColumn))
-      .sortWithinPartitions(col(cfg.timeColumn).desc)
-      .write
-      .partitionBy(cfg.partitionColumn, "date_dir")
-      .option("compression", if (cfg.gzip) "gzip" else "none")
-      .option("maxRecordsPerFile", cfg.clampedRows.toLong)
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .write.format("graftbackup")
       .mode("overwrite")
-      .json(cfg.outputPath)
+      .option("partitionColumns", cfg.partitionColumn)
+      .option("timeColumn", cfg.timeColumn)
+      .option("gzip", cfg.gzip.toString)
+      .option("maxRecordsPerChunk", cfg.clampedRows.toString)
+      .save(cfg.outputPath)
 
+    // the sink's commit stamped _GRAFT_META.json without coveredTo;
+    // re-stamp with the window end so incremental() can resume
     writeMeta(spark, cfg)
-    val chunks = finalizeChunkNames(spark, cfg)
+    val chunks = graft.sources.BackupSink.takePublished(cfg.outputPath)
+      .map { p =>
+        val dirs = p.relDir.split("/").map { seg =>
+          val eq = seg.indexOf('=')
+          seg.take(eq) -> org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(seg.drop(eq + 1))
+        }.toMap
+        val (from, to, crc) = p.baseName.split("_") match {
+          case Array(f, t, c) => (f, t, c)
+          case _ => ("", "", "")
+        }
+        ChunkInfo(p.path, dirs.getOrElse(cfg.partitionColumn, null),
+          dirs.getOrElse("date_dir", null), from, to, crc, p.rows)
+      }
     Result(counts, chunks)
   }
 
@@ -234,81 +251,6 @@ object Backup {
     finally out.close()
   }
 
-  /** Restore the reference's `<fromTS>_<toTS>_<crc32>.log.gz` naming
-    * (`cmd/backup.go:309-313`): one Spark pass derives per-file min/max
-    * event time via `input_file_name()` (metadata-sized result), the
-    * driver then CRC32s each file's bytes and renames. The CRC covers
-    * the compressed bytes, as in the reference.
-    */
-  def finalizeChunkNames(spark: SparkSession, cfg: BackupConfig): Seq[ChunkInfo] = {
-    // Explicit one-field schema: no schema-inference pass (inference
-    // re-reads and full-parses every gzipped file) and no parsing of
-    // the non-time fields. The time column is read as its JSON string
-    // and normalized with to_timestamp, which accepts both the sink's
-    // fixed-width format and faithful-mode's cast output (variable-
-    // width fraction); partition columns come from the directory names.
-    val written = spark.read
-      .schema(new org.apache.spark.sql.types.StructType()
-        .add(cfg.timeColumn, org.apache.spark.sql.types.StringType))
-      .json(cfg.outputPath)
-    val perFile = written
-      .withColumn("file", input_file_name())
-      .groupBy(col("file"),
-        col(cfg.partitionColumn).cast("string").as("part"),
-        col("date_dir").cast("string").as("date_dir"))
-      .agg(
-        date_format(min(to_timestamp(col(cfg.timeColumn))), FileFmt).as("from_ts"),
-        date_format(max(to_timestamp(col(cfg.timeColumn))), FileFmt).as("to_ts"),
-        count(lit(1)).as("n"))
-      .collect()
-
-    val fs = FileSystem.get(new java.net.URI(cfg.outputPath),
-      spark.sparkContext.hadoopConfiguration)
-
-    // Parallel per-file CRC+rename: the loop is metadata-sized but
-    // IO-latency-bound (one open/read/rename per chunk file, easily
-    // hundreds of files); FileSystem is thread-safe and the rename
-    // retry arbitrates name collisions atomically either way.
-    import scala.collection.parallel.CollectionConverters._
-    perFile.toSeq.par.map { r =>
-      val uri = new java.net.URI(r.getAs[String]("file"))
-      val src = new Path(uri.getPath)
-      val crc = new CRC32()
-      val in = fs.open(src)
-      try {
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n > 0) { crc.update(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
-      val hex = f"${crc.getValue}%08x"
-      val from = r.getAs[String]("from_ts")
-      val to = r.getAs[String]("to_ts")
-      val ext = if (cfg.gzip) ".log.gz" else ".log"
-      // Two chunks in the same partition/date dir can share identical
-      // from/to/CRC (e.g. duplicate rows split across files); rename
-      // would silently no-op on the existing destination. Check the
-      // result and disambiguate with a sequence suffix.
-      val base = s"${from}_${to}_$hex"
-      var dst = new Path(src.getParent, base + ext)
-      var seq = 0
-      while (!fs.rename(src, dst)) {
-        // Only a name collision justifies retrying with a suffix; any
-        // other rename failure (src vanished, permissions, cross-FS)
-        // must surface immediately instead of spinning through 1000
-        // suffixed destinations and masking the real cause.
-        if (!fs.exists(dst))
-          throw new java.io.IOException(
-            s"rename $src -> $dst failed but destination does not exist")
-        seq += 1
-        if (seq > 1000)
-          throw new java.io.IOException(s"cannot rename $src to $dst")
-        dst = new Path(src.getParent, s"$base-$seq$ext")
-      }
-      ChunkInfo(dst.toString, r.getAs[String]("part"),
-        r.getAs[String]("date_dir"), from, to, hex, r.getAs[Long]("n"))
-    }.seq
-  }
-
   /** One chunk file's integrity verdict (see [[fsck]]). `rows` is −1
     * when the gzip stream would not decode. */
   final case class FsckRow(file: String, part: String, rows: Long,
@@ -349,11 +291,17 @@ object Backup {
       .getOrElse("ts")
     val files: Seq[(String, String)] = leaves.flatMap(l =>
       l.files.map(f => (f, l.values.getOrElse(partitionColumn, null))))
+    // Serialize the SESSION's hadoop conf into the tasks: a fresh
+    // Configuration() would drop non-default filesystem settings
+    // (object-store credentials, endpoints) and misreport remote
+    // chunks as unreadable (round-8 advisor item).
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { case (path, partVal) =>
         val p = new Path(path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(serConf.value)
         // pass 1: CRC32 of the file bytes (what the name claims). A
         // transport-level checksum failure (Hadoop's own sidecar CRCs
         // on a corrupted local file) is itself a corruption VERDICT,

@@ -47,7 +47,7 @@ class BackupCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  private def fs = new Path(warehouse).getFileSystem(new Configuration())
+  private def fs = new Path(warehouse).getFileSystem(HadoopConfs.active())
 
   private def pathOf(parts: Seq[String]): Path =
     parts.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
@@ -75,17 +75,35 @@ class BackupCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident.namespace().toSeq :+ ident.name())
     val path = dir.toString
-    val (partCols, leaves) = BackupSource.layout(path)
-    val schema = StructType(
-      BackupSource.sampleDataFields(leaves) ++
-        partCols.map(StructField(_, StringType)))
-    new BackupTable(path, schema, partCols)
+    val (diskPartCols, leaves) = BackupSource.layout(path)
+    val dataFields = BackupSource.sampleDataFields(leaves)
+    if (dataFields.nonEmpty) {
+      val schema = StructType(
+        dataFields ++ diskPartCols.map(StructField(_, StringType)))
+      new BackupTable(path, schema, diskPartCols)
+    } else {
+      // Empty root (just created, or truncated): disk can't speak yet,
+      // so the CREATE-time stamp is the schema authority — without it a
+      // positional INSERT INTO has no column names to resolve against.
+      val declared = BackupSource.metaCreateSchema(path)
+      val partCols = BackupSource.metaPartitionColumns(path)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(diskPartCols)
+      new BackupTable(path,
+        declared.getOrElse(StructType(
+          partCols.map(StructField(_, StringType)))), partCols)
+    }
   }
 
-  /** A fresh (empty) backup root: just the directory — the write path
-    * validates and stamps the real contract on first commit. The
-    * declared schema is advisory (ACCEPT_ANY_SCHEMA, as the path-based
-    * writer): inference over what lands on disk is the truth. */
+  /** A fresh (empty) backup root. The declared schema is advisory
+    * (ACCEPT_ANY_SCHEMA, as the path-based writer): inference over
+    * what lands on disk is the truth. PARTITIONED BY identity
+    * transforms and a `timeColumn` table property ARE honored (round-8
+    * advisor item): they stamp `_GRAFT_META.json` at create time, so a
+    * later `INSERT INTO` recovers the declared write contract instead
+    * of silently producing an unpartitioned table. Non-identity
+    * transforms (bucket/days/…) have no meaning in the reference chunk
+    * layout and are refused loudly. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -93,8 +111,32 @@ class BackupCatalog extends TableCatalog with SupportsNamespaces
     if (fs.exists(dir))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 ||
+          refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft catalog supports only identity partition transforms " +
+            s"(directory layout), got $t")
+      refs(0).fieldNames()(0)
+    }.filterNot(_ == "date_dir") // derived by the sink, never declared
+    val timeCol = Option(properties.get("timeColumn"))
     fs.mkdirs(dir): Unit
-    new BackupTable(dir.toString, schema, Seq.empty)
+    val zone = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.sql.session.timeZone")
+      .getOrElse(java.util.TimeZone.getDefault.getID)
+    // Stamp the declared contract (and full schema — the authority for
+    // the empty table until data lands) so INSERT INTO recovers it.
+    val e = BackupSink.jsonEscape _
+    val json =
+      s"""{"sessionTimeZone":"${e(zone)}",""" +
+        s""""timeColumn":"${e(timeCol.getOrElse("ts"))}",""" +
+        s""""partitionColumn":"${e(partCols.mkString(","))}",""" +
+        s""""createSchema":"${e(schema.json)}"}"""
+    val out = fs.create(new Path(dir, "_GRAFT_META.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new BackupTable(dir.toString, schema, partCols)
   }
 
   override def alterTable(ident: Identifier,

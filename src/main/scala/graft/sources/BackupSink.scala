@@ -26,8 +26,9 @@ import org.apache.spark.sql.types._
   *    COMPRESSED bytes (the reference checksums the uploaded gzip
   *    body) and the min/max event time accumulate as the bytes are
   *    written, so the final `<from>_<to>_<crc>` name is known the
-  *    moment a chunk closes — no re-read, unlike the batch sink's
-  *    [[graft.operators.Backup.finalizeChunkNames]] repair pass.
+  *    moment a chunk closes — no repair pass, no re-read of written
+  *    bytes ever. [[graft.operators.Backup.run]] routes through this
+  *    same path and reads the chunk list via [[BackupSink.takePublished]].
   *    Speculative/failed task attempts leave only staging garbage;
   *    `commit(messages)` publishes exactly the chunks of the winning
   *    attempts (Spark's commit coordinator arbitrates), then deletes
@@ -57,7 +58,12 @@ object BackupSink {
 
   final case class Config(root: String, partCols: Seq[String],
                           timeCol: String, gzip: Boolean, maxRows: Int,
-                          truncate: Boolean, zone: String, queryId: String)
+                          truncate: Boolean, zone: String, queryId: String,
+                          /** The SESSION's hadoop conf, serialized into
+                            * every task writer — a fresh Configuration
+                            * on an executor would drop object-store
+                            * credentials/endpoints (advisor item). */
+                          hadoop: org.apache.spark.util.SerializableConfiguration)
       extends Serializable {
     def stagingDir: String = s"$root/_staging_$queryId"
   }
@@ -85,32 +91,103 @@ object BackupSink {
   final case class TaskChunks(chunks: Seq[StagedChunk])
       extends WriterCommitMessage
 
+  /** A chunk after publish: its final path plus what the task already
+    * knew (leaf dir, `<from>_<to>_<crc>` base name, row count). This is
+    * how the batch operator ([[graft.operators.Backup.run]]) learns its
+    * [[graft.operators.Backup.ChunkInfo]] result WITHOUT re-reading a
+    * single written byte — the DSv2 write API has no result channel, so
+    * the batch commit parks the list in [[takePublished]]'s registry. */
+  final case class PublishedChunk(path: String, relDir: String,
+                                  baseName: String, rows: Long)
+
+  private val publishedByRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[PublishedChunk]]()
+
+  /** One-shot retrieval of the chunks the last BATCH commit on `root`
+    * published (single-writer-per-root contract, same as append
+    * monotonicity). */
+  def takePublished(root: String): Seq[PublishedChunk] =
+    Option(publishedByRoot.remove(root)).getOrElse(Nil)
+
+  private[sources] def recordPublished(root: String,
+                                       chunks: Seq[PublishedChunk]): Unit =
+    publishedByRoot.put(root, chunks): Unit
+
   /** Driver-side publish: O(#chunks) renames of staged files into
     * their leaf directories, collision `-seq` suffixes (shared by the
-    * batch commit and every streaming epoch commit). */
+    * batch commit and every streaming epoch commit). Returns the final
+    * location of every chunk. When `planned` destinations are supplied
+    * (the streaming intent-marker path) they are used verbatim — the
+    * marker must list exactly what publish will create. */
   def publish(fs: org.apache.hadoop.fs.FileSystem,
               rootPath: Path, cfg: Config,
-              messages: Array[WriterCommitMessage]): Unit = {
-    val ext = if (cfg.gzip) ".log.gz" else ".log"
-    messages.foreach {
-      case TaskChunks(chunks) => chunks.foreach { c =>
-        val dir = new Path(rootPath, c.relDir)
-        fs.mkdirs(dir)
-        var dst = new Path(dir, c.baseName + ext)
-        var seq = 0
-        while (!fs.rename(new Path(c.stagedPath), dst)) {
-          if (!fs.exists(dst))
-            throw new java.io.IOException(
-              s"rename ${c.stagedPath} -> $dst failed but destination " +
-                "does not exist")
-          seq += 1
-          if (seq > 1000) throw new java.io.IOException(
-            s"cannot publish chunk ${c.stagedPath}")
-          dst = new Path(dir, s"${c.baseName}-$seq$ext")
-        }
-      }
+              messages: Array[WriterCommitMessage],
+              planned: Option[Seq[Path]] = None): Seq[PublishedChunk] = {
+    val all = messages.toSeq.flatMap {
+      case TaskChunks(chunks) => chunks
       case other => throw new IllegalStateException(s"unexpected $other")
     }
+    val dests = planned.getOrElse(planDestinations(fs, rootPath, cfg, all))
+    require(dests.size == all.size,
+      s"planned ${dests.size} destinations for ${all.size} chunks")
+    all.zip(dests).map { case (c, dst) =>
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(c.stagedPath), dst))
+        throw new java.io.IOException(
+          s"cannot publish chunk ${c.stagedPath} -> $dst" +
+            (if (fs.exists(dst)) " (destination already exists)" else ""))
+      PublishedChunk(dst.toString, c.relDir, c.baseName, c.rows)
+    }
+  }
+
+  /** Choose collision-free destination names for every staged chunk
+    * BEFORE any rename happens: the usual `<base>.log.gz` name, with a
+    * `-seq` suffix where an identical name already exists on disk (a
+    * previous append of duplicate content) or is taken by another chunk
+    * of this same commit. Driver-side, O(#chunks) existence probes —
+    * and because the full list exists before the first rename, the
+    * streaming commit can persist it as an intent marker and make the
+    * publish replayable (see [[BackupStreamingWrite.commit]]). */
+  def planDestinations(fs: org.apache.hadoop.fs.FileSystem,
+                       rootPath: Path, cfg: Config,
+                       chunks: Seq[StagedChunk]): Seq[Path] = {
+    val ext = if (cfg.gzip) ".log.gz" else ".log"
+    val taken = mutable.HashSet.empty[String]
+    chunks.map { c =>
+      val dir = new Path(rootPath, c.relDir)
+      var dst = new Path(dir, c.baseName + ext)
+      var seq = 0
+      while (taken.contains(dst.toString) || fs.exists(dst)) {
+        seq += 1
+        if (seq > 1000) throw new java.io.IOException(
+          s"cannot find a free name for chunk ${c.stagedPath}")
+        dst = new Path(dir, s"${c.baseName}-$seq$ext")
+      }
+      taken += dst.toString
+      dst
+    }
+  }
+
+  /** The §1.2 type lattice the NDJSON line encoder covers: every JSON-
+    * representable scalar leaf plus arbitrary-depth struct/array/map
+    * nesting (the reference's recursive Datum lattice,
+    * `helpers/helpers.go:16-60` — arrays of rows, rows of timeseries
+    * maps, …). Map keys must render as JSON field names. */
+  def encodable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | TimestampType |
+         TimestampNTZType | DateType => true
+    case _: DecimalType => true
+    case StructType(fields) => fields.forall(f => encodable(f.dataType))
+    case ArrayType(et, _) => encodable(et)
+    case MapType(kt, vt, _) => keyEncodable(kt) && encodable(vt)
+    case _ => false
+  }
+
+  private def keyEncodable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType |
+         StringType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
   }
 
   /** Restore's timezone guard reads this stamp (Backup.MetaFile). */
@@ -162,13 +239,8 @@ class BackupWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
       s"time column $timeCol must be TIMESTAMP, is ${schema(timeCol).dataType}")
     // fail fast on types the NDJSON line encoder does not cover
     schema.fields.foreach { f =>
-      f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType | DoubleType |
-             FloatType | BooleanType | StringType | TimestampType |
-             DateType => ()
-        case other => throw new IllegalArgumentException(
-          s"graftbackup cannot encode column ${f.name} of type $other")
-      }
+      require(BackupSink.encodable(f.dataType),
+        s"graftbackup cannot encode column ${f.name} of type ${f.dataType}")
     }
     val zone = SparkSession.active.conf
       .getOption("spark.sql.session.timeZone")
@@ -178,7 +250,9 @@ class BackupWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
       maxRows = opt("maxRecordsPerChunk").map(_.toInt)
         .getOrElse(DefaultMaxRecords),
       truncate = doTruncate, zone = zone,
-      queryId = java.util.UUID.randomUUID().toString.take(8))
+      queryId = java.util.UUID.randomUUID().toString.take(8),
+      hadoop = new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
     new BackupBatchWrite(cfg, schema)
   }
 }
@@ -223,7 +297,7 @@ class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
     new BackupWriterFactory(cfg, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    val fs = new Path(cfg.root).getFileSystem(cfg.hadoop.value)
     val rootPath = new Path(cfg.root)
     if (cfg.truncate) {
       // overwrite: clear existing partition directories (and stale
@@ -235,13 +309,14 @@ class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
           fs.delete(st.getPath, true): Unit
       }
     }
-    BackupSink.publish(fs, rootPath, cfg, messages)
+    val published = BackupSink.publish(fs, rootPath, cfg, messages)
+    BackupSink.recordPublished(cfg.root, published)
     BackupSink.writeMeta(fs, rootPath, cfg)
     fs.delete(new Path(cfg.stagingDir), true): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    val fs = new Path(cfg.root).getFileSystem(cfg.hadoop.value)
     fs.delete(new Path(cfg.stagingDir), true): Unit
   }
 
@@ -261,9 +336,18 @@ class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
   * Streaming may re-run and re-commit an epoch after recovery, so each
   * successful epoch leaves a `_streaming_commits/epoch-<n>` marker
   * under the root; a re-commit of a marked epoch discards its staged
-  * files instead of publishing duplicates. (One streaming writer per
-  * backup root — the marker namespace is the root itself, matching the
-  * sink's append-monotonicity contract which already assumes a single
+  * files instead of publishing duplicates. The publish itself is made
+  * crash-replayable with a two-phase marker: the commit first writes
+  * `epoch-<n>.intent` listing the exact destination paths it is about
+  * to create (names are planned driver-side before the first rename —
+  * [[BackupSink.planDestinations]]), then renames, then promotes the
+  * intent to the final marker. A driver crash anywhere inside that
+  * window leaves the intent behind, and the replayed commit deletes
+  * every path the intent lists (published or not) before publishing
+  * the re-staged chunks fresh — so a half-published epoch can never
+  * land duplicate rows. (One streaming writer per backup root — the
+  * marker namespace is the root itself, matching the sink's
+  * append-monotonicity contract which already assumes a single
   * appender.) Aborted epochs drop exactly their own staged files;
   * staging is shared across in-flight epochs so nothing else is
   * touched. */
@@ -278,10 +362,11 @@ class BackupStreamingWrite(cfg: BackupSink.Config, schema: StructType)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    val fs = new Path(cfg.root).getFileSystem(cfg.hadoop.value)
     val rootPath = new Path(cfg.root)
-    val marker = new Path(rootPath,
-      s"_streaming_commits/epoch-$epochId")
+    val marker = new Path(rootPath, s"_streaming_commits/epoch-$epochId")
+    val intent = new Path(rootPath,
+      s"_streaming_commits/epoch-$epochId.intent")
     if (fs.exists(marker)) {
       // replayed epoch after recovery: its rows are already on disk
       messages.foreach {
@@ -290,17 +375,44 @@ class BackupStreamingWrite(cfg: BackupSink.Config, schema: StructType)
         case _ => ()
       }
     } else {
-      publish(fs, rootPath, cfg, messages)
+      if (fs.exists(intent)) {
+        // a previous attempt crashed mid-publish: roll back exactly the
+        // chunks it planned (those renamed before the crash exist; the
+        // rest are no-op deletes), then publish this attempt's staging
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(intent), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) fs.delete(new Path(line), false): Unit
+            line = in.readLine()
+          }
+        } finally in.close()
+        fs.delete(intent, false): Unit
+      }
+      val chunks = messages.toSeq.flatMap {
+        case TaskChunks(cs) => cs
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
+      val dests = planDestinations(fs, rootPath, cfg, chunks)
+      fs.mkdirs(intent.getParent)
+      val out = fs.create(intent, true)
+      try out.write(dests.map(_.toString).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      publish(fs, rootPath, cfg, messages, planned = Some(dests)): Unit
       writeMeta(fs, rootPath, cfg)
-      fs.mkdirs(marker.getParent)
-      val out = fs.create(marker, true)
-      out.close()
+      // promote: the rename is the commit point — marker present means
+      // fully published, intent present means roll back and redo
+      if (!fs.rename(intent, marker))
+        throw new java.io.IOException(
+          s"cannot promote $intent to $marker")
     }
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(cfg.root).getFileSystem(new Configuration())
+    val fs = new Path(cfg.root).getFileSystem(cfg.hadoop.value)
     messages.foreach {
       case TaskChunks(chunks) => chunks.foreach(c =>
         fs.delete(new Path(c.stagedPath), false): Unit)
@@ -335,7 +447,7 @@ class BackupDataWriter(cfg: BackupSink.Config, schema: StructType,
     extends DataWriter[InternalRow] {
   import BackupSink._
 
-  private val fs: FileSystem = new Path(cfg.root).getFileSystem(new Configuration())
+  private val fs: FileSystem = new Path(cfg.root).getFileSystem(cfg.hadoop.value)
   private val partIdx: Seq[(String, Int)] =
     cfg.partCols.map(c => c -> schema.fieldIndex(c))
   private val timeIdx: Int = schema.fieldIndex(cfg.timeCol)
@@ -401,6 +513,109 @@ class BackupDataWriter(cfg: BackupSink.Config, schema: StructType,
         s"unsupported partition column type $other for ${f.name}")
     }
 
+  /** Recursive NDJSON value encoder over the §1.2 lattice (the
+    * reference's `helpers.go` recursion, Spark-side): scalars as JSON
+    * scalars, structs as objects with null fields OMITTED (Spark's
+    * `ignoreNullFields` convention, which the read side and [[
+    * graft.operators.Restore]] already expect), arrays with null
+    * elements KEPT (position is meaning), maps as objects with null
+    * values kept. `g` is whatever container holds the value —
+    * InternalRow and ArrayData share SpecializedGetters. */
+  private def appendValue(
+      sb: java.lang.StringBuilder, dt: DataType,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case LongType => sb.append(g.getLong(i)): Unit
+    case IntegerType => sb.append(g.getInt(i)): Unit
+    case ShortType => sb.append(g.getShort(i).toInt): Unit
+    case ByteType => sb.append(g.getByte(i).toInt): Unit
+    case DoubleType => sb.append(g.getDouble(i)): Unit
+    case FloatType => sb.append(g.getFloat(i).toDouble): Unit
+    case BooleanType => sb.append(g.getBoolean(i)): Unit
+    case d: DecimalType =>
+      sb.append(g.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.toPlainString): Unit
+    case StringType => sb.append('"')
+      .append(jsonEscape(g.getUTF8String(i).toString)).append('"'): Unit
+    case TimestampType => sb.append('"')
+      .append(lineFmt.format(
+        java.time.Instant.EPOCH.plusNanos(g.getLong(i) * 1000L)))
+      .append('"'): Unit
+    case TimestampNTZType => sb.append('"')
+      .append(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.EPOCH.plusNanos(g.getLong(i) * 1000L),
+        java.time.ZoneOffset.UTC).format(ntzFmt))
+      .append('"'): Unit
+    case DateType => sb.append('"')
+      .append(java.time.LocalDate.ofEpochDay(g.getInt(i)).toString)
+      .append('"'): Unit
+    case st: StructType =>
+      val row = g.getStruct(i, st.size)
+      sb.append('{')
+      var first = true
+      var j = 0
+      while (j < st.size) {
+        if (!row.isNullAt(j)) {
+          if (!first) sb.append(',')
+          first = false
+          sb.append('"').append(jsonEscape(st.fields(j).name)).append("\":")
+          appendValue(sb, st.fields(j).dataType, row, j)
+        }
+        j += 1
+      }
+      sb.append('}'): Unit
+    case ArrayType(et, _) =>
+      val arr = g.getArray(i)
+      sb.append('[')
+      var j = 0
+      while (j < arr.numElements()) {
+        if (j > 0) sb.append(',')
+        if (arr.isNullAt(j)) sb.append("null")
+        else appendValue(sb, et, arr, j)
+        j += 1
+      }
+      sb.append(']'): Unit
+    case MapType(kt, vt, _) =>
+      val m = g.getMap(i)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      sb.append('{')
+      var j = 0
+      while (j < m.numElements()) {
+        if (j > 0) sb.append(',')
+        sb.append('"').append(jsonEscape(keyString(kt, keys, j)))
+          .append("\":")
+        if (vals.isNullAt(j)) sb.append("null")
+        else appendValue(sb, vt, vals, j)
+        j += 1
+      }
+      sb.append('}'): Unit
+    case other => throw new IllegalArgumentException(
+      s"graftbackup cannot encode value of type $other")
+  }
+
+  private def keyString(
+      dt: DataType,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): String = dt match {
+    case StringType => g.getUTF8String(i).toString
+    case LongType => g.getLong(i).toString
+    case IntegerType => g.getInt(i).toString
+    case ShortType => g.getShort(i).toString
+    case ByteType => g.getByte(i).toString
+    case BooleanType => g.getBoolean(i).toString
+    case TimestampType => lineFmt.format(
+      java.time.Instant.EPOCH.plusNanos(g.getLong(i) * 1000L))
+    case TimestampNTZType => java.time.LocalDateTime.ofInstant(
+      java.time.Instant.EPOCH.plusNanos(g.getLong(i) * 1000L),
+      java.time.ZoneOffset.UTC).format(ntzFmt)
+    case DateType => java.time.LocalDate.ofEpochDay(g.getInt(i)).toString
+    case other => throw new IllegalArgumentException(
+      s"graftbackup cannot encode map key of type $other")
+  }
+
+  private val ntzFmt =
+    java.time.format.DateTimeFormatter.ofPattern(LineTsFmt)
+
   private def jsonLine(row: InternalRow): String = {
     val sb = new java.lang.StringBuilder(128)
     sb.append('{')
@@ -410,26 +625,7 @@ class BackupDataWriter(cfg: BackupSink.Config, schema: StructType,
         if (!first) sb.append(',')
         first = false
         sb.append('"').append(jsonEscape(f.name)).append("\":")
-        f.dataType match {
-          case LongType => sb.append(row.getLong(i))
-          case IntegerType => sb.append(row.getInt(i))
-          case ShortType => sb.append(row.getShort(i).toInt)
-          case ByteType => sb.append(row.getByte(i).toInt)
-          case DoubleType => sb.append(row.getDouble(i))
-          case FloatType => sb.append(row.getFloat(i).toDouble)
-          case BooleanType => sb.append(row.getBoolean(i))
-          case StringType => sb.append('"')
-            .append(jsonEscape(row.getUTF8String(i).toString)).append('"')
-          case TimestampType => sb.append('"')
-            .append(lineFmt.format(
-              java.time.Instant.EPOCH.plusNanos(row.getLong(i) * 1000L)))
-            .append('"')
-          case DateType => sb.append('"')
-            .append(java.time.LocalDate.ofEpochDay(row.getInt(i)).toString)
-            .append('"')
-          case other => throw new IllegalArgumentException(
-            s"graftbackup cannot encode ${f.name}: $other")
-        }
+        appendValue(sb, f.dataType, row, i)
       }
     }
     sb.append('}').toString

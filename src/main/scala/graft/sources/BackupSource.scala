@@ -122,7 +122,7 @@ object BackupSource {
     * partition values. Driver-side metadata work, O(#dirs). */
   def layout(root: String): (Seq[String], Seq[Leaf]) = {
     val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(new Configuration())
+    val fs = rootPath.getFileSystem(HadoopConfs.active())
     // A write target may not exist yet — empty layout, not an error
     // (reads of a missing path surface as an empty schema/scan).
     if (!fs.exists(rootPath)) return (Seq.empty, Seq.empty)
@@ -152,7 +152,7 @@ object BackupSource {
   /** Open a chunk file (gzip by extension). */
   def open(file: String): java.io.BufferedReader = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(HadoopConfs.active())
     val raw = fs.open(p)
     val in = if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
     new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -225,10 +225,20 @@ object BackupSource {
   def metaPartitionColumns(root: String): Option[String] =
     metaField(root, "partitionColumn")
 
+  /** CREATE-time declared schema from the meta stamp (written by the
+    * catalog's createTable) — the schema authority while the root has
+    * no data to infer from. */
+  def metaCreateSchema(root: String): Option[org.apache.spark.sql.types.StructType] =
+    metaField(root, "createSchema").flatMap { j =>
+      try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None }
+    }
+
   private def metaField(root: String, field: String): Option[String] =
     try {
       val p = new Path(root, "_GRAFT_META.json")
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(HadoopConfs.active())
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
@@ -242,8 +252,8 @@ object BackupSource {
   // min/max of the chunk's time column, rendered in the writing
   // session's zone, so every row's naive-local micros lie in
   // [from*1e6, (to+1)*1e6).
-  // suffix: finalizeChunkNames disambiguates collisions with `_N`, the
-  // DSv2 sink with `-N` — accept both
+  // suffix: the sink's publish disambiguates duplicate-content name
+  // collisions with `-N` (a legacy finalize pass used `_N`) — accept both
   private val ChunkNameRe =
     """(\d{8}T\d{6})Z_(\d{8}T\d{6})Z_[0-9a-fA-F]{8}(?:[-_]\d+)?\.log(?:\.gz)?""".r
   private val chunkFmt =
@@ -459,7 +469,7 @@ class BackupTable(path: String, tableSchema: StructType,
       case other => Seq(other)
     }
     val flat = filters.flatMap(flatten)
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(HadoopConfs.active())
     val (_, leaves) = layout(path)
     leaves.foreach { leaf =>
       val matches = flat.forall {
@@ -755,7 +765,7 @@ class BackupScan(val path: String, required: StructType,
     * broadcast. */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val bytes: Long = {
-      val conf = new Configuration()
+      val conf = HadoopConfs.active()
       plannedFiles().map { p =>
         val hp = new Path(p.file)
         try hp.getFileSystem(conf).getFileStatus(hp).getLen

@@ -187,4 +187,41 @@ class BackupCatalogSpec extends SparkTestBase {
     spark.sql("DROP NAMESPACE graft.staging")
     assert(!new java.io.File(s"$warehouse/staging").exists())
   }
+
+  test("CREATE TABLE PARTITIONED BY stamps the write contract: a later " +
+    "INSERT INTO partitions by the declared column (advisor item)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+    spark.sql(
+      """CREATE TABLE graft.ddl.parted (event_id BIGINT, ts TIMESTAMP,
+        |  event_type STRING) USING graftbackup PARTITIONED BY (event_type)
+        |TBLPROPERTIES ('timeColumn' = 'ts')""".stripMargin)
+    // the declared partitioning must survive to disk BEFORE any insert
+    val meta = new java.io.File(s"$warehouse/ddl/parted/_GRAFT_META.json")
+    assert(meta.isFile, "create must stamp _GRAFT_META.json")
+    val stamp = new String(java.nio.file.Files.readAllBytes(meta.toPath))
+    assert(stamp.contains("\"partitionColumn\":\"event_type\"") &&
+      stamp.contains("\"timeColumn\":\"ts\""), stamp)
+    // the table is ACCEPT_ANY_SCHEMA (advisory-schema design), so the
+    // insert names its columns; the stamped contract routes event_type
+    // into the directory layout
+    spark.sql(
+      """INSERT INTO graft.ddl.parted
+        |SELECT 1L AS event_id, TIMESTAMP '2024-03-01 10:00:00' AS ts,
+        |       'click' AS event_type""".stripMargin)
+    assert(new java.io.File(
+      s"$warehouse/ddl/parted/event_type=click").isDirectory,
+      "insert must land in the declared partition directory")
+    val back = spark.sql(
+      "SELECT event_id, event_type FROM graft.ddl.parted").collect()
+    assert(back.length == 1 && back.head.getString(1) == "click")
+    // non-identity transforms have no chunk-layout meaning: refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.ddl.bucketed (event_id BIGINT, ts TIMESTAMP)
+          |USING graftbackup PARTITIONED BY (bucket(4, event_id))""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("identity") ||
+      Option(e.getCause).exists(_.getMessage.contains("identity")), e.getMessage)
+  }
 }

@@ -144,7 +144,9 @@ class BackupSinkSpec extends SparkTestBase {
     val sch = events.schema
     val cfg = BackupSink.Config(dir, Seq("event_type"), "ts",
       gzip = true, maxRows = 1000, truncate = false, zone = "UTC",
-      queryId = "abortspec")
+      queryId = "abortspec",
+      hadoop = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val writer = new BackupDataWriter(cfg, sch, partitionId = 0, taskId = 7L)
     val rows = events.limit(20).queryExecution.toRdd
       .map(_.copy()).collect()
@@ -168,7 +170,9 @@ class BackupSinkSpec extends SparkTestBase {
     val sch = events.schema
     val cfg = BackupSink.Config(dir, Seq("event_type"), "ts",
       gzip = true, maxRows = 1000, truncate = false, zone = "UTC",
-      queryId = "epochspec")
+      queryId = "epochspec",
+      hadoop = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val sw = new BackupStreamingWrite(cfg, sch)
     def stageRows(taskId: Long) = {
       val w = new BackupDataWriter(cfg, sch, 0, taskId)
@@ -188,6 +192,60 @@ class BackupSinkSpec extends SparkTestBase {
     // a NEW epoch still publishes
     sw.commit(6L, Array(stageRows(3L)))
     assert(publishedRows() == afterFirst + 25)
+  }
+
+  test("crash between publish and marker: the replayed epoch rolls back " +
+    "the intent-listed chunks and republishes exactly once") {
+    val dir = freshDir()
+    val sch = events.schema
+    val cfg = BackupSink.Config(dir, Seq("event_type"), "ts",
+      gzip = true, maxRows = 10, truncate = false, zone = "UTC",
+      queryId = "crashspec",
+      hadoop = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val sw = new BackupStreamingWrite(cfg, sch)
+    def stageRows(taskId: Long) = {
+      val w = new BackupDataWriter(cfg, sch, 0, taskId)
+      events.limit(25).queryExecution.toRdd.map(_.copy()).collect()
+        .foreach(w.write)
+      w.commit()
+    }
+    // ATTEMPT A: stage, plan, write the intent, publish only PART of the
+    // plan, then "crash" (no final marker). This is exactly the window
+    // the round-8 advisor flagged: publish() done or half-done, marker
+    // absent.
+    val msgA = stageRows(1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val planned = BackupSink.planDestinations(fs, rootPath, cfg,
+      msgA.asInstanceOf[BackupSink.TaskChunks].chunks)
+    assert(planned.size > 1, "need >1 chunk to model a partial publish")
+    val commits = new org.apache.hadoop.fs.Path(rootPath,
+      "_streaming_commits")
+    fs.mkdirs(commits)
+    val intent = new org.apache.hadoop.fs.Path(commits, "epoch-9.intent")
+    val out = fs.create(intent, true)
+    out.write(planned.map(_.toString).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // partial publish: first chunk reaches its destination, rest don't
+    val first = msgA.asInstanceOf[BackupSink.TaskChunks].chunks.head
+    fs.mkdirs(planned.head.getParent)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(first.stagedPath),
+      planned.head))
+    assert(spark.read.format("graftbackup").load(dir).count() > 0,
+      "the half-published chunk is visible before recovery")
+    // ATTEMPT B (recovery): Spark re-runs the epoch's tasks and
+    // re-commits the same epochId
+    sw.commit(9L, Array(stageRows(2L)))
+    assert(spark.read.format("graftbackup").load(dir).count() == 25,
+      "recovery must yield the epoch's rows exactly once")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(commits, "epoch-9")))
+    assert(!fs.exists(intent), "intent must be promoted away")
+    // and a replay AFTER successful recovery is still idempotent
+    sw.commit(9L, Array(stageRows(3L)))
+    assert(spark.read.format("graftbackup").load(dir).count() == 25)
   }
 
   test("save modes: append accumulates, overwrite truncates") {
