@@ -27,11 +27,22 @@ final case class BackupConfig(
       * would collect unbounded rows to the driver. Runs whose distinct
       * count exceeds this fail fast with a clear message instead of
       * OOMing the driver; raise it deliberately for wide layouts. */
-    maxCollectedPartitions: Int = 100000
+    maxCollectedPartitions: Int = 100000,
+    /** Multi-column layout generalization of the reference's single
+      * `--column` (`cmd/backup.go:59-64`): when non-empty this list
+      * REPLACES `partitionColumn` and the backup nests one directory
+      * level per column (outermost first), `date_dir` innermost — the
+      * natural 100 TB layout when one dimension alone is too coarse to
+      * prune on (e.g. tenant/event_type). Empty ⇒ the classic
+      * single-column behavior. */
+    partitionColumns: Seq[String] = Nil
 ) {
   require(from.isBefore(to), s"from=$from must be before to=$to")
   /** Reference clamps page size to 1000 (`cmd/backup.go:213-217`). */
   def clampedRows: Int = math.min(math.max(maxRowsPerChunk, 1), 1000)
+  /** Effective partition column list (outermost directory first). */
+  def partCols: Seq[String] =
+    if (partitionColumns.nonEmpty) partitionColumns else Seq(partitionColumn)
 }
 
 object BackupConfig {

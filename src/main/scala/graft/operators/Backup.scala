@@ -52,8 +52,8 @@ object Backup {
     */
   def discoverPartitions(df: DataFrame, cfg: BackupConfig): DataFrame =
     df.filter(timeWindow(cfg))
-      .select(col(cfg.partitionColumn))
-      .where(col(cfg.partitionColumn).isNotNull)
+      .select(cfg.partCols.map(col): _*)
+      .where(cfg.partCols.map(col(_).isNotNull).reduce(_ && _))
       .distinct()
 
   private def timeWindow(cfg: BackupConfig) =
@@ -67,9 +67,9 @@ object Backup {
           faithfulStrings: Boolean = false): Result = {
     val src = Tables.loadPath(spark, cfg.inputPath)
     val windowed = src.filter(timeWindow(cfg))
-      .where(col(cfg.partitionColumn).isNotNull)
+      .where(cfg.partCols.map(col(_).isNotNull).reduce(_ && _))
 
-    // Faithful mode stringifies every leaf EXCEPT the partition column
+    // Faithful mode stringifies every leaf EXCEPT the partition columns
     // (directory metadata) and the time column — the sink derives
     // date_dir and the chunk-name envelope from it, so it must stay a
     // timestamp; its JSON rendering is still a string leaf (the sink's
@@ -77,7 +77,7 @@ object Backup {
     // stringifies contract (`helpers/helpers.go:9`).
     val projected =
       if (faithfulStrings) {
-        val keep = Set(cfg.partitionColumn, cfg.timeColumn)
+        val keep = cfg.partCols.toSet + cfg.timeColumn
         val cols = windowed.schema.fields.toSeq.map { f =>
           if (keep(f.name)) col(f.name)
           else Stringify.expr(col(f.name), f.dataType).as(f.name)
@@ -87,22 +87,26 @@ object Backup {
 
     // Metadata-sized by the reference's own model, but guarded: a
     // high-cardinality partition column must not collect unbounded
-    // rows to the driver (cfg.maxCollectedPartitions).
-    val countRows = windowed.groupBy(col(cfg.partitionColumn)).count()
+    // rows to the driver (cfg.maxCollectedPartitions). Multi-column
+    // layouts key the map by the values joined with '/', mirroring the
+    // directory nesting.
+    val countRows = windowed.groupBy(cfg.partCols.map(col): _*).count()
       .take(cfg.maxCollectedPartitions + 1)
     if (countRows.length > cfg.maxCollectedPartitions)
       throw new IllegalStateException(
-        s"partition column ${cfg.partitionColumn} has more than " +
-          s"${cfg.maxCollectedPartitions} distinct values; raise " +
+        s"partition columns ${cfg.partCols.mkString(",")} have more than " +
+          s"${cfg.maxCollectedPartitions} distinct value tuples; raise " +
           "BackupConfig.maxCollectedPartitions if this is intended")
-    val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = countRows.map(r =>
+      (0 until cfg.partCols.size).map(i => String.valueOf(r.get(i)))
+        .mkString("/") -> r.getLong(cfg.partCols.size)).toMap
 
     if (cfg.dryRun) return Result(counts, Nil)
 
     projected
       .write.format("graftbackup")
       .mode("overwrite")
-      .option("partitionColumns", cfg.partitionColumn)
+      .option("partitionColumns", cfg.partCols.mkString(","))
       .option("timeColumn", cfg.timeColumn)
       .option("gzip", cfg.gzip.toString)
       .option("maxRecordsPerChunk", cfg.clampedRows.toString)
@@ -122,7 +126,10 @@ object Backup {
           case Array(f, t, c) => (f, t, c)
           case _ => ("", "", "")
         }
-        ChunkInfo(p.path, dirs.getOrElse(cfg.partitionColumn, null),
+        // `partition` mirrors the counts key: per-column values joined
+        // with '/' (a single-column layout keeps the bare value)
+        ChunkInfo(p.path,
+          cfg.partCols.map(c => dirs.getOrElse(c, null)).mkString("/"),
           dirs.getOrElse("date_dir", null), from, to, crc, p.rows)
       }
     Result(counts, chunks)
@@ -130,8 +137,8 @@ object Backup {
 
   /** Driver-side backup metadata stamp, written at the output root. The
     * leading underscore keeps it invisible to every Spark reader (hidden
-    * file convention), so neither [[finalizeChunkNames]]'s metadata scan
-    * nor [[Restore.run]]'s data read picks it up as a row.
+    * file convention), so [[Restore.run]]'s data read never picks it up
+    * as a row.
     *
     * `sessionTimeZone` is the load-bearing field: faithful-mode backups
     * render timestamps as tz-less LOCAL strings, so a restore session in
@@ -162,7 +169,7 @@ object Backup {
     val json =
       s"""{"sessionTimeZone":"${jsonEscape(sessionTz(spark))}",""" +
         s""""timeColumn":"${jsonEscape(cfg.timeColumn)}",""" +
-        s""""partitionColumn":"${jsonEscape(cfg.partitionColumn)}",""" +
+        s""""partitionColumn":"${jsonEscape(cfg.partCols.mkString(","))}",""" +
         s""""coveredTo":"${cfg.to}"}"""
     val out = fs.create(new Path(new Path(cfg.outputPath), MetaFile), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -205,7 +212,10 @@ object Backup {
       v.asText()
     }
     val timeCol = field("timeColumn")
-    val partCol = field("partitionColumn")
+    // comma-joined on write: single- and multi-column layouts alike
+    val partColSpec = field("partitionColumn")
+    val partCols = partColSpec.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
     val coveredTo = java.time.Instant.parse(field("coveredTo"))
     require(coveredTo.isBefore(newTo),
       s"backup already covers $coveredTo >= $newTo — nothing to do")
@@ -233,9 +243,9 @@ object Backup {
     val src = Tables.loadPath(spark, inputPath)
     src.filter(col(timeCol) > lit(java.sql.Timestamp.from(coveredTo)) &&
         col(timeCol) <= lit(java.sql.Timestamp.from(newTo)) &&
-        col(partCol).isNotNull)
+        partCols.map(col(_).isNotNull).reduce(_ && _))
       .write.format("graftbackup").mode("append")
-      .option("partitionColumns", partCol)
+      .option("partitionColumns", partColSpec)
       .option("timeColumn", timeCol)
       .save(outputRoot)
 
@@ -244,7 +254,7 @@ object Backup {
     val json =
       s"""{"sessionTimeZone":"${jsonEscape(tz)}",""" +
         s""""timeColumn":"${jsonEscape(timeCol)}",""" +
-        s""""partitionColumn":"${jsonEscape(partCol)}",""" +
+        s""""partitionColumn":"${jsonEscape(partColSpec)}",""" +
         s""""coveredTo":"$newTo"}"""
     val out = fs.create(metaPath, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -522,6 +522,45 @@ object RefQueries {
           count(lit(1)).as("n_rows"))
     },
 
+    // Multi-column partition layout (round-8 mandate #6): the
+    // reference's single `--column` (cmd/backup.go:59-64) generalized
+    // to nested directory levels — here (event_type, uid_bucket) with
+    // date_dir innermost. The read back filters ONLY the inner level
+    // (uid_bucket='2'), the harder pruning case: every event_type dir
+    // is listed but only its uid_bucket=2 subtree is planned
+    // (plan-asserted in BackupSourceSpec). The oracle recomputes the
+    // same slice straight off the source table, so layout, pruning and
+    // the per-leaf chunk envelope all have to be lossless.
+    "r26_backup_multicol" -> QueryDef(
+      s"""SELECT event_type, strftime(ts, '%Y%m%d') AS date_dir,
+         |       count(*) AS n_rows, sum(user_id)::BIGINT AS sum_uid
+         |FROM events
+         |WHERE $oracleWindow AND event_type IS NOT NULL
+         |  AND user_id % 4 = 2
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      // the operator reads a path, so the derived second dimension
+      // lands in a scratch parquet first
+      val srcOut = QueryDef.scratchDir("r26_src", dir)
+      val out = QueryDef.scratchDir("r26", dir)
+      Tables.events(s, dir)
+        .withColumn("uid_bucket",
+          pmod(col("user_id"), lit(4)).cast("string"))
+        .write.mode("overwrite").parquet(srcOut)
+      val cfg = graft.config.BackupConfig(
+        inputPath = srcOut, outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        partitionColumns = Seq("event_type", "uid_bucket"),
+        from = java.time.Instant.parse(From.replace(" ", "T") + "Z"),
+        to = java.time.Instant.parse(To.replace(" ", "T") + "Z"))
+      graft.operators.Backup.run(s, cfg)
+      s.read.format("graftbackup").load(out)
+        .filter(col("uid_bucket") === "2")
+        .groupBy(col("event_type").cast("string").as("event_type"),
+          col("date_dir").cast("string").as("date_dir"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("user_id")).cast("bigint").as("sum_uid"))
+    },
+
     // [ABSENT in reference, advertised by it] — restore: the README
     // promises "backup and restore" (README.md:3) but main.go:30-32
     // registers only backup. Full inverse roundtrip: faithful-strings

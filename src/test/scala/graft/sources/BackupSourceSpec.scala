@@ -67,6 +67,54 @@ class BackupSourceSpec extends SparkTestBase {
     assert(scans.head.description().contains("event_type"))
   }
 
+  test("multi-column layout: an inner-level equality filter prunes the " +
+    "subtree under every outer value (round-8 mandate #6)") {
+    val srcOut = java.nio.file.Files
+      .createTempDirectory("graft_backup_mc_src").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_backup_mc").toString
+    graft.Tables.events(spark, sf0001)
+      .withColumn("uid_bucket", pmod(col("user_id"), lit(4)).cast("string"))
+      .write.mode("overwrite").parquet(srcOut)
+    val cfg = BackupConfig(
+      inputPath = srcOut, outputPath = out,
+      timeColumn = "ts", partitionColumn = "event_type",
+      partitionColumns = Seq("event_type", "uid_bucket"),
+      from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
+    val res = graft.operators.Backup.run(spark, cfg)
+    // the layout nests both levels (outermost first) + date_dir
+    assert(res.chunks.nonEmpty)
+    assert(res.chunks.forall(c =>
+      c.path.contains("event_type=") && c.path.contains("/uid_bucket=")))
+    assert(res.rowsPerPartition.keys.forall(_.contains("/")),
+      "multi-column counts key by joined values")
+    // inner-level-only filter: every event_type listed, only its
+    // uid_bucket=2 subtree planned
+    val df = spark.read.format("graftbackup").load(out)
+      .filter(col("uid_bucket") === "2").select(col("date_dir"))
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[BackupScan]
+    }
+    assert(scans.size == 1)
+    val planned = scans.head.planInputPartitions()
+      .map(_.asInstanceOf[BackupFilePartition])
+    assert(planned.nonEmpty)
+    assert(planned.forall(_.partValues("uid_bucket") == "2"))
+    assert(planned.map(_.partValues("event_type")).distinct.length == 5,
+      "all outer values must still be covered")
+    // and the rows are exact vs the source
+    val got = spark.read.format("graftbackup").load(out)
+      .filter(col("uid_bucket") === "2").count()
+    val want = graft.Tables.events(spark, sf0001)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-25 00:00:00").cast("timestamp") &&
+        col("event_type").isNotNull && pmod(col("user_id"), lit(4)) === 2)
+      .count()
+    assert(got == want && got > 0)
+  }
+
   test("column pruning reaches the decoder on projection queries") {
     val df = spark.read.format("graftbackup").load(outDir)
       .select(col("event_type"), col("user_id"))
