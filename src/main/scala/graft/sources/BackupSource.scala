@@ -533,7 +533,7 @@ class BackupTable(path: String, tableSchema: StructType,
 }
 
 class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
-    extends ScanBuilder with SupportsPushDownFilters
+    extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -543,6 +543,10 @@ class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var timeFilters: Array[Filter] = Array.empty
+  private var pushedPreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+  private var timePreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
   private var limit: Option[Int] = None
   private var topN: Option[TopNSpec] = None
@@ -579,15 +583,68 @@ class BackupScanBuilder(path: String, full: StructType, partCols: Seq[String])
     }
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (take, rest) = filters.partition(absorbable)
-    pushed = take
-    timeFilters = rest.filter(timePrunable)
-    rest
+  /** V2 Predicate → the v1 Filter shapes the pruning logic evaluates.
+    * The typed Predicate API (round-8 mandate #7) is what Spark hands
+    * a modern connector: richer than v1 `sources.Filter` (function
+    * predicates, collation-aware comparisons arrive instead of being
+    * dropped before pushdown). Shapes beyond this translation —
+    * `STARTS_WITH`, arithmetic, collated equality — are returned as
+    * residuals for exact post-scan evaluation, never mis-absorbed:
+    * translation failure means "Spark evaluates it", not "lost". */
+  private def predToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Filter] = {
+    val ch = p.children()
+    def ref(i: Int): Option[String] =
+      if (i < ch.length) refName(ch(i)) else None
+    def lit(i: Int): Option[Any] =
+      if (i < ch.length) ch(i) match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(l.value match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case v => v
+          })
+        case _ => None
+      } else None
+    p.name() match {
+      case "=" => for (a <- ref(0); v <- lit(1)) yield EqualTo(a, v)
+      case "<=>" => ref(0).map(a => EqualNullSafe(a, lit(1).orNull))
+      case ">" => for (a <- ref(0); v <- lit(1)) yield GreaterThan(a, v)
+      case ">=" =>
+        for (a <- ref(0); v <- lit(1)) yield GreaterThanOrEqual(a, v)
+      case "<" => for (a <- ref(0); v <- lit(1)) yield LessThan(a, v)
+      case "<=" =>
+        for (a <- ref(0); v <- lit(1)) yield LessThanOrEqual(a, v)
+      case "IN" =>
+        val vals = (1 until ch.length).map(lit)
+        ref(0).filter(_ => vals.nonEmpty && vals.forall(_.isDefined))
+          .map(a => In(a, vals.flatten.toArray))
+      case "IS_NULL" => ref(0).map(IsNull)
+      case "IS_NOT_NULL" => ref(0).map(IsNotNull)
+      case _ => None
+    }
+  }
+
+  override def pushPredicates(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val translated = predicates.map(p => p -> predToV1(p))
+    val (abs, rest) = translated.partition {
+      case (_, f) => f.exists(absorbable)
+    }
+    pushed = abs.flatMap(_._2)
+    pushedPreds = abs.map(_._1)
+    val timeRest = rest.filter { case (_, f) => f.exists(timePrunable) }
+    timeFilters = timeRest.flatMap(_._2)
+    timePreds = timeRest.map(_._1)
+    rest.map(_._1)
   }
   // Advertised = absorbed + best-effort time ranges (parquet-style:
   // listed as pushed, still re-evaluated above the scan).
-  override def pushedFilters(): Array[Filter] = pushed ++ timeFilters
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushedPreds ++ timePreds
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

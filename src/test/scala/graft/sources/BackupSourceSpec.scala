@@ -115,6 +115,42 @@ class BackupSourceSpec extends SparkTestBase {
     assert(got == want && got > 0)
   }
 
+  test("V2 Predicate pushdown: equality/IN absorb, a function predicate " +
+    "comes back as residual instead of being dropped (mandate #7)") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def colRef(n: String) = Expressions.column(n)
+    def strLit(s: String) = Expressions.literal(s)
+    val sb = new BackupScanBuilder(outDir,
+      spark.read.format("graftbackup").load(outDir).schema,
+      Seq("event_type", "date_dir"))
+    val eq = new Predicate("=",
+      Array(colRef("event_type"), strLit("click")))
+    val in = new Predicate("IN",
+      Array(colRef("date_dir"), strLit("20240105"), strLit("20240106")))
+    // a predicate shape the chunk layout cannot evaluate exactly
+    val startsWith = new Predicate("STARTS_WITH",
+      Array(colRef("event_type"), strLit("cl")))
+    val residual = sb.pushPredicates(Array(eq, in, startsWith))
+    assert(residual.toSeq == Seq(startsWith),
+      "absorbable predicates must be consumed; the function predicate " +
+        "must come back for post-scan evaluation")
+    assert(sb.pushedPredicates().toSeq == Seq(eq, in))
+    val planned = sb.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[BackupFilePartition])
+    assert(planned.nonEmpty)
+    assert(planned.forall(p => p.partValues("event_type") == "click" &&
+      Set("20240105", "20240106")(p.partValues("date_dir"))))
+    // end-to-end through the SQL path: absorbed + exact
+    val got = spark.read.format("graftbackup").load(outDir)
+      .filter(col("event_type").isin("click", "view") &&
+        col("event_type").startsWith("cl"))
+      .count()
+    val want = spark.read.format("graftbackup").load(outDir)
+      .collect().count(_.getAs[String]("event_type") == "click")
+    assert(got == want && got > 0)
+  }
+
   test("column pruning reaches the decoder on projection queries") {
     val df = spark.read.format("graftbackup").load(outDir)
       .select(col("event_type"), col("user_id"))
