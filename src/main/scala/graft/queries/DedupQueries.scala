@@ -83,6 +83,36 @@ object DedupQueries {
        |WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)""".stripMargin
   }
 
+  /** The full DuckDB WITH RECURSIVE CTE chain shared by the x22/x27/x55
+    * oracles: shingle → MinHash signature → banded LSH pairs (occupancy
+    * capped) → undirected edges → transitive closure → `cl(doc_id,
+    * cluster_id)`. ONE source of truth — three hand-maintained copies of
+    * this block were the likeliest future oracle drift. Callers prepend
+    * `WITH RECURSIVE ` and append their own final SELECT (plus any extra
+    * CTEs after a comma). */
+  private val duckClusterClosureCtes: String =
+    s"""d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       |s AS (SELECT doc_id, $duckShingles gs FROM d),
+       |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+       |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+       |bands AS ($duckBands),
+       |bx AS (SELECT *,
+       |  count(*) OVER (PARTITION BY band, bucket) AS bn,
+       |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
+       |  FROM bands),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bx a JOIN bx b
+       |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |          WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |       FROM reach GROUP BY a)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // reproducible train/val/test split: the portable 60-bit hash of the
@@ -160,27 +190,8 @@ object DedupQueries {
     // duplicate groups; the oracle computes the true transitive closure
     // with a recursive CTE over the same pairs
     "x22_dup_clusters" -> QueryDef(
-      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
-         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
-         |bands AS ($duckBands),
-         |bx AS (SELECT *,
-         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
-         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
-         |  FROM bands),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bx a JOIN bx b
-         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |          WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+      s"""WITH RECURSIVE $duckClusterClosureCtes
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin) { (s, dir) =>
       Dedup.dupClusters(Dedup.lshCandidatePairs(Tables.documents(s, dir)))
     },
 
@@ -191,27 +202,7 @@ object DedupQueries {
     // checkable output small while covering every row's keep/drop
     // decision.
     "x27_neardup_dedup_apply" -> QueryDef(
-      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
-         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
-         |bands AS ($duckBands),
-         |bx AS (SELECT *,
-         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
-         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
-         |  FROM bands),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bx a JOIN bx b
-         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |          WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |       FROM reach GROUP BY a)
+      s"""WITH RECURSIVE $duckClusterClosureCtes
          |SELECT source, count(*) AS n_kept FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
          |GROUP BY source""".stripMargin) { (s, dir) =>
@@ -236,27 +227,7 @@ object DedupQueries {
     // both sides already hash-partitioned by cluster_id from the
     // window's shuffle.
     "x55_keep_best_dedup" -> QueryDef(
-      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
-         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
-         |bands AS ($duckBands),
-         |bx AS (SELECT *,
-         |  count(*) OVER (PARTITION BY band, bucket) AS bn,
-         |  min(doc_id) OVER (PARTITION BY band, bucket) AS bm
-         |  FROM bands),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bx a JOIN bx b
-         |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |          WHERE (a.bn <= $MaxBucketOccupancy OR a.doc_id = a.bm)),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |       FROM reach GROUP BY a),
+      s"""WITH RECURSIVE $duckClusterClosureCtes,
          |q AS (SELECT doc_id, ${TextQueries.duckQuality} AS quality
          |      FROM documents),
          |m AS (SELECT cl.doc_id, cl.cluster_id, q.quality,

@@ -194,11 +194,15 @@ object SimilarityQueries {
 
   /** Squared-L2 over subspace `jExpr`'s slice of `emb` vs a
     * SubDim-dim centroid `v` — same element-order accumulation as
-    * [[graft.functions.PqKernels]]. */
+    * [[graft.functions.PqKernels]], including its zero-pad of vectors
+    * shorter than Dim: out-of-range list elements are NULL in DuckDB
+    * (which list_sum would silently skip, dropping the cent² terms the
+    * kernel adds), so coalesce them to 0.0 to keep ragged-vector parity. */
   private def duckPqL2(emb: String, jExpr: String, v: String): String = {
     val sub = graft.similarity.Pq.SubDim
-    s"""list_sum([($emb[$jExpr*$sub + i + 1]::DOUBLE - $v[i+1])
-       |  * ($emb[$jExpr*$sub + i + 1]::DOUBLE - $v[i+1])
+    val e = s"coalesce($emb[$jExpr*$sub + i + 1], 0.0)"
+    s"""list_sum([($e::DOUBLE - $v[i+1])
+       |  * ($e::DOUBLE - $v[i+1])
        |  for i in range(0, $sub)])""".stripMargin
   }
 

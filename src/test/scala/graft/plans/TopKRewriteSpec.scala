@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{SparkTestBase, Tables}
@@ -31,18 +32,36 @@ class TopKRewriteSpec extends SparkTestBase {
       !physical.contains(" Window "), s"Window survived:\n$physical")
   }
 
+  /** Ground truths below keep the rank column so the rewrite declines —
+    * but CollapseProject merges a select(..., "rn").drop("rn") back into
+    * the eligible shape before extraOptimizations runs, so the plan must
+    * be CHECKED, not assumed: a ground truth that was itself rewritten
+    * would compare GroupTopK against GroupTopK and prove nothing. */
+  private def assertUntouched(df: org.apache.spark.sql.DataFrame): Unit = {
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("GroupTopK "),
+      s"ground truth was rewritten too — the equality check is vacuous:\n$physical")
+    assert(physical.contains("Window") || physical.contains("WindowGroupLimit"),
+      s"ground truth lost its Window plan:\n$physical")
+  }
+
   test("rewritten plan returns exactly the window idiom's rows") {
     val viaRewrite = rankIdiom(3).collect().toSet
-    // same idiom with the rank column KEPT (rewrite declines) = the
-    // untouched Window plan, our ground truth
+    // same idiom with the rank column KEPT in the result (rewrite
+    // declines) = the untouched Window plan, our ground truth; the rank
+    // is sliced off AFTER collect, driver-side, so no Project exists for
+    // CollapseProject to merge away
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
-    val ground = lineitem
+    val groundDf = lineitem
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("l_returnflag", "l_orderkey", "l_extendedprice", "rn")
-      .drop("rn").collect().toSet
-    assert(viaRewrite == ground)
+    assertUntouched(groundDf)
+    val ground = groundDf.collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val got = viaRewrite.map(r => (r.get(0), r.get(1), r.get(2)))
+    assert(got == ground)
   }
 
   test("declines when the rank column is still referenced downstream") {
@@ -68,14 +87,16 @@ class TopKRewriteSpec extends SparkTestBase {
         .filter(col("rn") <= 3)
       if (keepRank)
         base.select("l_returnflag", "l_orderkey", "l_quantity", "rn")
-          .drop("rn")
       else base.select("l_returnflag", "l_orderkey", "l_quantity")
     }
     val physical = idiom(keepRank = false).queryExecution.executedPlan.toString
     assert(physical.contains("GroupTopK "), s"no GroupTopK:\n$physical")
     assert(!physical.contains(" Window "), s"Window survived:\n$physical")
+    val groundDf = idiom(keepRank = true)
+    assertUntouched(groundDf)
     val viaRewrite = idiom(keepRank = false).collect().toSet
-    val ground = idiom(keepRank = true).collect().toSet
+    val ground = groundDf.collect()
+      .map(r => Row(r.get(0), r.get(1), r.get(2))).toSet
     assert(viaRewrite == ground)
     // ties actually exercised: more than 3·groups rows came back
     val groups = viaRewrite.map(_.getString(0)).size
@@ -93,13 +114,15 @@ class TopKRewriteSpec extends SparkTestBase {
         .filter(col("rn") <= 2)
       if (keepRank)
         base.select("l_returnflag", "l_orderkey", "l_quantity", "rn")
-          .drop("rn")
       else base.select("l_returnflag", "l_orderkey", "l_quantity")
     }
     val physical = idiom(keepRank = false).queryExecution.executedPlan.toString
     assert(physical.contains("GroupTopK "), s"no GroupTopK:\n$physical")
+    val groundDf = idiom(keepRank = true)
+    assertUntouched(groundDf)
     val viaRewrite = idiom(keepRank = false).collect().toSet
-    assert(viaRewrite == idiom(keepRank = true).collect().toSet)
+    assert(viaRewrite == groundDf.collect()
+      .map(r => Row(r.get(0), r.get(1), r.get(2))).toSet)
     // exactly 2 distinct quantities per group survive
     viaRewrite.groupBy(_.getString(0)).foreach { case (g, rows) =>
       assert(rows.map(_.get(2)).size == 2,
