@@ -19,6 +19,11 @@ object SimilarityQueries {
     * tops out near 0.49 with p99 ≈ 0.30, so 0.3 selects a real tail. */
   private val DupMinCosine = 0.3
 
+  /** x57's shortlist size k': 5× the final k — the standard refine
+    * ratio; large enough that the true top-10 survives PQ distortion
+    * into the shortlist at every fixture sf. */
+  private val PqRerankShortlist = 50
+
   /** Within-cell cosine threshold for x39 SemDeDup. The IVF cells
     * gather the most-similar vectors, so the within-cell pair tail is
     * denser than x24's corpus-wide one; 0.3 keeps a real, non-trivial
@@ -287,6 +292,32 @@ object SimilarityQueries {
             queryVecId = 0, k = 10)
         },
 
+        // ADC shortlist + exact re-rank: phase 1 ranks the corpus in
+        // compressed domain and keeps k'=50; phase 2 reads floats for
+        // those 50 rows only and re-ranks by exact cosine. Both phases
+        // are deterministic (exact-integer ADC ties to vec_id; cosine
+        // rounds to 6dp with a vec_id tie-break), so the oracle
+        // reproduces shortlist AND re-rank bit-identically.
+        "x57_pq_adc_rerank" -> QueryDef(
+          s"""WITH $duckPqAssign,
+             |qd AS (SELECT ct.j, ct.c,
+             |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
+             |           * 1e6, 0) AS BIGINT) AS dm
+             |       FROM embeddings q, pqc ct WHERE q.vec_id = 0),
+             |short AS (SELECT code.vec_id, sum(qd.dm)::BIGINT AS adc_micro
+             |          FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+             |          WHERE code.vec_id != 0
+             |          GROUP BY code.vec_id
+             |          ORDER BY adc_micro, vec_id LIMIT $PqRerankShortlist),
+             |q2 AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id, s.adc_micro,
+             |       round(${duckCos("e.embedding", "q_emb")}, 6) AS cos_sim
+             |FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, q2
+             |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+          Pq.adcRerankTopK(s, Tables.embeddings(s, dir), queryVecId = 0,
+            kShort = PqRerankShortlist, k = 10)
+        },
+
         // quantizer quality: per-subspace corpus distortion (distance
         // to the chosen = nearest centroid) in exact micro-units
         "x53_pq_distortion" -> QueryDef(
@@ -317,6 +348,9 @@ object SimilarityQueries {
           "x54_ivf_adc_topk" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.ivfAdcTopK(s, Tables.embeddings(s, dir),
               queryVecId = 0, k = 10)),
+          "x57_pq_adc_rerank" -> QueryDef.rowsOnly((s, dir) =>
+            graft.similarity.Pq.adcRerankTopK(s, Tables.embeddings(s, dir),
+              queryVecId = 0, kShort = PqRerankShortlist, k = 10)),
           "x56_pq_index_probe" -> QueryDef.rowsOnly { (s, dir) =>
             val emb = Tables.embeddings(s, dir)
             val idxPath = QueryDef.scratchDir("x56_pq_idx", dir)

@@ -198,6 +198,32 @@ object Pq {
       .limit(k)
   }
 
+  /** ADC shortlist + EXACT re-rank — the production two-phase shape
+    * (FAISS's refine step): phase 1 ranks the whole corpus in
+    * compressed domain and keeps a k' ≫ k shortlist; phase 2 reads the
+    * float corpus ONLY for those k' rows and re-ranks them by exact
+    * fused cosine, recovering the accuracy the 32× compression gave up.
+    * Structurally the reference's discover-then-fetch two-phase query
+    * (`cmd/backup.go:170-178` discovery pass, then `240-248` extraction
+    * of only the discovered rows). At 100 TB of embeddings: ~3 TB of
+    * codes are scanned; floats are fetched for k' rows via a broadcast
+    * join (the k'-row shortlist broadcasts, the float scan prunes to
+    * vec_id + embedding — never a second full-corpus ranking). */
+  def adcRerankTopK(spark: SparkSession, embeddings: DataFrame,
+                    queryVecId: Long, kShort: Int, k: Int): DataFrame = {
+    require(kShort >= k, s"shortlist k'=$kShort must be >= k=$k")
+    VectorFunctions.register(spark)
+    val shortlist = adcTopK(spark, embeddings, queryVecId, kShort)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc_micro"),
+        round(expr("graft_cosine(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-ADC — the composition production ANN stacks actually run
     * (FAISS's IVFPQ): the IVF codebook bounds WHICH vectors are
     * scanned (the query's NProbe nearest cells, ~NProbe/K of the

@@ -97,6 +97,53 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 4, s"ADC∩exactL2 = $recall of 10, quantizer degraded")
   }
 
+  test("ADC+re-rank equals exact cosine over the shortlist, and its " +
+    "recall of the true cosine top-10 beats ADC-only") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val kShort = 50
+    val rerank = Pq.adcRerankTopK(spark, emb, 0, kShort, 10)
+      .as[(Long, Long, Double)].collect()
+
+    // ground truth A: exact cosine over exactly the ADC shortlist,
+    // computed driver-side — the re-rank phase must reproduce it
+    val shortIds = Pq.adcTopK(spark, emb, 0, kShort)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2
+    def cos(e: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until math.min(q.length, e.length)) {
+        dot += q(i).toDouble * e(i).toDouble
+        na += q(i).toDouble * q(i).toDouble
+        nb += e(i).toDouble * e(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCos = all.filter(r => shortIds.contains(r._1))
+      .map { case (id, e) =>
+        (id, BigDecimal(cos(e)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      .sortBy(r => (-r._2, r._1)).take(10)
+    assert(rerank.map(r => (r._1, r._3)).toSeq == byCos.toSeq,
+      "re-rank phase is not exact cosine over the ADC shortlist")
+
+    // ground truth B: recall uplift — the whole point of the refine
+    // tier. Exact cosine top-10 over the full corpus vs the two tiers.
+    val exactTop = all.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(e)) }
+      .sortBy(r => (-r._2, r._1)).take(10).map(_._1).toSet
+    val adcOnly = Pq.adcTopK(spark, emb, 0, 10)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    val rAdc = (adcOnly & exactTop).size
+    val rRerank = (rerank.map(_._1).toSet & exactTop).size
+    assert(rRerank >= rAdc,
+      s"re-rank recall $rRerank fell below ADC-only $rAdc")
+    assert(rRerank >= 7,
+      s"re-rank recalled only $rRerank of the exact cosine top-10")
+  }
+
   test("IVF-ADC equals the full ADC ranking restricted to probed cells") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Pq.ivfAdcTopK(spark, emb, 0, 10)
