@@ -226,13 +226,23 @@ object Dedup {
     * probe fan-out would go quadratic for no recall) already dropped.
     * Write this once, probe every increment against it — the index is
     * (re)built from the corpus exactly once, not per batch. */
-  def lshIndex(corpus: DataFrame, textCol: String = "text"): DataFrame = {
-    val cb = bandBuckets(corpus, textCol)
-    val occ = cb.groupBy(col("band"), col("bucket"))
+  def lshIndex(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    capPostings(bandBuckets(corpus, textCol))
+
+  /** The bucket-occupancy cap over raw (band, bucket, doc_id) posting
+    * rows — the corpus-GLOBAL half of [[lshIndex]], split out so the
+    * streaming maintenance path ([[graft.streaming.StreamingJobs]]
+    * s23) can append raw postings per micro-batch and apply the cap at
+    * probe time: postings are per-doc and the cap is a per-bucket
+    * count, so the capped view is invariant to how the corpus was
+    * batched — increments in any order converge to the batch-rebuilt
+    * index. */
+  def capPostings(postings: DataFrame): DataFrame = {
+    val occ = postings.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") <= MaxBucketOccupancy)
       .select(col("band"), col("bucket"))
-    cb.join(occ, Seq("band", "bucket"))
+    postings.join(occ, Seq("band", "bucket"))
       .select(col("band"), col("bucket"), col("doc_id"))
   }
 

@@ -113,6 +113,28 @@ object DedupQueries {
        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |       FROM reach GROUP BY a)""".stripMargin
 
+  /** Shared oracle for the incremental-probe result shape: corpus
+    * (non-src7) index postings, occupancy-capped, probed by the src7
+    * increment. x51 (batch-built index) and s23 (stream-maintained
+    * index) both converge to exactly this — one SQL string IS the
+    * convergence claim. */
+  private[queries] val duckIncrementalProbeSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       |s AS (SELECT doc_id, $duckShingles gs FROM d),
+       |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+       |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+       |bands AS ($duckBands),
+       |b2 AS (SELECT bands.*, d2.source FROM bands
+       |       JOIN documents d2 USING (doc_id)),
+       |corp AS (SELECT * FROM b2 WHERE source <> 'src7'),
+       |capped AS (SELECT band, bucket FROM corp
+       |           GROUP BY band, bucket
+       |           HAVING count(*) <= $MaxBucketOccupancy),
+       |corpc AS (SELECT corp.* FROM corp JOIN capped USING (band, bucket)),
+       |newb AS (SELECT * FROM b2 WHERE source = 'src7')
+       |SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+       |FROM newb n JOIN corpc c USING (band, bucket)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // reproducible train/val/test split: the portable 60-bit hash of the
@@ -302,22 +324,7 @@ object DedupQueries {
     // Hot buckets (> MaxBucketOccupancy corpus postings — stop-shingle
     // noise with quadratic fan-out and no recall) are dropped at index
     // build, mirrored exactly in the oracle.
-    "x51_incremental_dedup_probe" -> QueryDef(
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
-         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
-         |bands AS ($duckBands),
-         |b2 AS (SELECT bands.*, d2.source FROM bands
-         |       JOIN documents d2 USING (doc_id)),
-         |corp AS (SELECT * FROM b2 WHERE source <> 'src7'),
-         |capped AS (SELECT band, bucket FROM corp
-         |           GROUP BY band, bucket
-         |           HAVING count(*) <= $MaxBucketOccupancy),
-         |corpc AS (SELECT corp.* FROM corp JOIN capped USING (band, bucket)),
-         |newb AS (SELECT * FROM b2 WHERE source = 'src7')
-         |SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
-         |FROM newb n JOIN corpc c USING (band, bucket)""".stripMargin) {
+    "x51_incremental_dedup_probe" -> QueryDef(duckIncrementalProbeSql) {
       (s, dir) =>
       val docs = Tables.documents(s, dir)
       val idxPath = QueryDef.scratchDir("x51_idx", dir)

@@ -213,37 +213,47 @@ object SimilarityQueries {
 
   /** PQ entries — the [[ivfDefs]] fallback contract: a training/oracle
     * failure costs these queries their oracle, not the whole run. */
+  /** Shared ADC CTEs: per-(vector, subspace, code) distances and the
+    * argmin code pick (ties to the lower code, like the kernel).
+    * Lazy — building it trains the PQ codebooks (needs a session). */
+  private lazy val duckPqAssign: String =
+    s"""pqc AS $duckPqCents,
+       |pd AS (SELECT e.vec_id, ct.j, ct.c,
+       |         ${duckPqL2("e.embedding", "ct.j", "ct.v")} AS dist
+       |       FROM embeddings e, pqc ct),
+       |code AS (SELECT vec_id, j, c FROM (
+       |           SELECT vec_id, j, c,
+       |             row_number() OVER (PARTITION BY vec_id, j
+       |               ORDER BY dist, c) AS rn
+       |           FROM pd) WHERE rn = 1)""".stripMargin
+
+  /** The full ADC top-10 oracle, shared by x52 (live scan), x56
+    * (persisted-index probe) and s24 (stream-maintained index probe):
+    * one SQL string IS the claim that persistence and incremental
+    * maintenance change nothing about the ranking. Lazy, and throws if
+    * codebook training fails — callers outside pqDefs must fall back
+    * to rows-only. */
+  private[queries] lazy val duckAdcTopkSql: String =
+    s"""WITH $duckPqAssign,
+       |qd AS (SELECT ct.j, ct.c,
+       |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
+       |           * 1e6, 0) AS BIGINT) AS dm
+       |       FROM embeddings q, pqc ct WHERE q.vec_id = 0)
+       |SELECT code.vec_id, sum(qd.dm)::BIGINT AS adc_micro
+       |FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+       |WHERE code.vec_id != 0
+       |GROUP BY code.vec_id
+       |ORDER BY adc_micro, vec_id LIMIT 10""".stripMargin
+
   private lazy val pqDefs: Map[String, QueryDef] =
     try {
       import graft.similarity.Pq
-      // shared CTEs: per-(vector, subspace, code) distances and the
-      // argmin code pick (ties to the lower code, like the kernel)
-      val duckPqAssign =
-        s"""pqc AS $duckPqCents,
-           |pd AS (SELECT e.vec_id, ct.j, ct.c,
-           |         ${duckPqL2("e.embedding", "ct.j", "ct.v")} AS dist
-           |       FROM embeddings e, pqc ct),
-           |code AS (SELECT vec_id, j, c FROM (
-           |           SELECT vec_id, j, c,
-           |             row_number() OVER (PARTITION BY vec_id, j
-           |               ORDER BY dist, c) AS rn
-           |           FROM pd) WHERE rn = 1)""".stripMargin
       Map(
         // ADC top-k: the compressed-domain ANN scan — corpus vectors
         // are ranked by PQ code distance to the raw query; per-subspace
         // distances round to exact micro-units before the BIGINT sum,
         // so both engines total identical integers in any order
-        "x52_pq_adc_topk" -> QueryDef(
-          s"""WITH $duckPqAssign,
-             |qd AS (SELECT ct.j, ct.c,
-             |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
-             |           * 1e6, 0) AS BIGINT) AS dm
-             |       FROM embeddings q, pqc ct WHERE q.vec_id = 0)
-             |SELECT code.vec_id, sum(qd.dm)::BIGINT AS adc_micro
-             |FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
-             |WHERE code.vec_id != 0
-             |GROUP BY code.vec_id
-             |ORDER BY adc_micro, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+        "x52_pq_adc_topk" -> QueryDef(duckAdcTopkSql) { (s, dir) =>
           Pq.adcTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
         },
 
@@ -274,17 +284,7 @@ object SimilarityQueries {
         // 100 TB of floats) and the query probes the round-tripped
         // index without re-encoding or reading the float corpus. The
         // oracle is x52's: persistence must not change the ranking.
-        "x56_pq_index_probe" -> QueryDef(
-          s"""WITH $duckPqAssign,
-             |qd AS (SELECT ct.j, ct.c,
-             |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
-             |           * 1e6, 0) AS BIGINT) AS dm
-             |       FROM embeddings q, pqc ct WHERE q.vec_id = 0)
-             |SELECT code.vec_id, sum(qd.dm)::BIGINT AS adc_micro
-             |FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
-             |WHERE code.vec_id != 0
-             |GROUP BY code.vec_id
-             |ORDER BY adc_micro, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+        "x56_pq_index_probe" -> QueryDef(duckAdcTopkSql) { (s, dir) =>
           val emb = Tables.embeddings(s, dir)
           val idxPath = QueryDef.scratchDir("x56_pq_idx", dir)
           Pq.writeIndex(emb, idxPath)

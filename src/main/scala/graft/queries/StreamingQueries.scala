@@ -293,6 +293,32 @@ object StreamingQueries {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id""".stripMargin) {
       (s, dir) => StreamingJobs.foreachBatchSink(s, dir)
-    }
+    },
+
+    // streaming LSH-index maintenance: the corpus streams in, each
+    // micro-batch appends its postings (idempotent batch=<id> dirs),
+    // the src7 increment probes the capped view — must converge to
+    // x51's batch-rebuilt index probe, so it shares x51's oracle SQL
+    // verbatim
+    "s23_stream_lsh_index_maintain" ->
+      QueryDef(DedupQueries.duckIncrementalProbeSql) {
+        (s, dir) => StreamingJobs.streamingLshIndexMaintain(s, dir)
+      },
+
+    // streaming PQ code-index maintenance: embeddings stream in, each
+    // batch appends its codes, the post-stream ADC probe must rank
+    // identically to x52's live scan — shares x52's oracle SQL
+    // verbatim (falls back to rows-only if codebook training fails,
+    // the pqDefs contract)
+    "s24_stream_pq_index_maintain" -> (
+      try QueryDef(SimilarityQueries.duckAdcTopkSql) {
+        (s, dir) => StreamingJobs.streamingPqIndexMaintain(s, dir)
+      } catch {
+        case t: Throwable =>
+          System.err.println(
+            s"[streaming] PQ oracle generation failed: ${t.getMessage}")
+          QueryDef.rowsOnly((s, dir) =>
+            StreamingJobs.streamingPqIndexMaintain(s, dir))
+      })
   )
 }

@@ -1200,4 +1200,121 @@ object StreamingJobs {
       deleteRecursively(scratch)
     }
   }
+
+  // ---- streaming index maintenance (s23/s24) -------------------------
+
+  /** One micro-batch's LSH-index increment: the batch's raw (band,
+    * bucket, doc_id) postings land in their own `batch=<id>` directory
+    * with mode=overwrite — idempotent on replay, the s13 recipe. The
+    * occupancy cap is a corpus-GLOBAL property, so the maintained index
+    * stores RAW postings and [[graft.dedup.Dedup.capPostings]] applies
+    * the cap at probe time; that split is what makes increments
+    * order-independent and convergent to the batch-rebuilt index.
+    * Public (not inlined in the foreachBatch closure) so the chaos/
+    * idempotence specs can replay a batch directly. */
+  def appendLshPostings(batch: DataFrame, batchId: Long,
+                        destDir: String): Unit =
+    graft.dedup.Dedup.bandBuckets(batch)
+      .write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+
+  /** One micro-batch's PQ code-index increment: encode the batch's
+    * vectors (one codegen pass, no shuffle) and land (vec_id, codes)
+    * in an idempotent `batch=<id>` directory. Encoding is per-row
+    * against the FIXED trained codebooks, so increments trivially
+    * converge to [[graft.similarity.Pq.writeIndex]]'s batch rebuild —
+    * the streaming value is that a 100 TB corpus's ~3 TB code index
+    * absorbs the daily feed without ever re-encoding the corpus. */
+  def appendPqCodes(batch: DataFrame, batchId: Long,
+                    destDir: String): Unit =
+    graft.similarity.Pq.withCodes(batch)
+      .select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+
+  /** Stage `df` into `streamDir` as `nSplits` parquet files split
+    * round-robin on `idCol` — a deterministic multi-batch feed for
+    * file-source jobs whose semantics must be batch-order-invariant. */
+  private def stageSplits(df: DataFrame, idCol: String, nSplits: Int,
+                          scratch: java.nio.file.Path,
+                          streamDir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(streamDir): Unit
+    (0 until nSplits).foreach { i =>
+      stageParquet(df.filter(pmod(col(idCol), lit(nSplits)) === lit(i)),
+        scratch, streamDir, f"split_$i%03d"): Unit
+    }
+  }
+
+  /** Streaming LSH-index maintenance (s23) — the streaming half of
+    * x51's "index built once, probed by increments" story: the corpus
+    * (every non-src7 document) arrives as a file STREAM and each
+    * micro-batch appends its postings via [[appendLshPostings]]; after
+    * the stream drains, the src7 increment probes the capped view of
+    * the maintained index. Result ≡ x51 (probe of the batch-rebuilt
+    * index) — same oracle SQL, which is exactly the convergence claim. */
+  def streamingLshIndexMaintain(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sidx")
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+      val corpus = docs.filter(col("source") =!= "src7")
+      val streamDir = scratch.resolve("in")
+      stageSplits(corpus, "doc_id", 4, scratch, streamDir)
+      val postings = scratch.resolve("lsh").toString
+      val q = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          appendLshPostings(batch, batchId, postings)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val idx = graft.dedup.Dedup.capPostings(spark.read.parquet(postings))
+      val probe = graft.dedup.Dedup.lshProbePairs(idx,
+        docs.filter(col("source") === "src7"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(probe.collect(): _*)),
+        probe.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
+
+  /** Streaming PQ code-index maintenance (s24) — x56's persisted index
+    * built by INCREMENTS: the embedding corpus streams in, each batch
+    * appends its codes via [[appendPqCodes]], and the post-stream ADC
+    * probe of the maintained index must rank identically to x52's live
+    * scan (same oracle SQL). */
+  def streamingPqIndexMaintain(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_spq")
+    try {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val streamDir = scratch.resolve("in")
+      stageSplits(emb, "vec_id", 4, scratch, streamDir)
+      val codes = scratch.resolve("pq").toString
+      val q = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          appendPqCodes(batch, batchId, codes)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val idx = spark.read.parquet(codes).select(col("vec_id"), col("codes"))
+      val probe = graft.similarity.Pq.probeIndex(spark, idx, emb,
+        queryVecId = 0, k = 10)
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(probe.collect(): _*)),
+        probe.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
 }

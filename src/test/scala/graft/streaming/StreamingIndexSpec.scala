@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.dedup.Dedup
+import graft.similarity.Pq
+
+/** Streaming index maintenance (s23/s24) contract: per-batch
+  * increments are idempotent on replay (the failure-between-write-and-
+  * checkpoint case foreachBatch exposes), and the maintained index
+  * converges to the batch rebuild regardless of batching. */
+class StreamingIndexSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sf0001)
+  private def emb = Tables.embeddings(spark, sf0001)
+
+  private def withScratch[A](f: java.nio.file.Path => A): A = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sidx_spec")
+    try f(d)
+    finally {
+      val s = java.nio.file.Files.walk(d)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+      finally s.close()
+    }
+  }
+
+  test("a replayed LSH-postings batch is idempotent: double-append " +
+    "changes nothing about the probed index") {
+    withScratch { scratch =>
+      val corpus = docs.filter(col("source") =!= "src7")
+      val b0 = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b1 = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val dest = scratch.resolve("lsh").toString
+      StreamingJobs.appendLshPostings(b0, 0, dest)
+      StreamingJobs.appendLshPostings(b1, 1, dest)
+      // the failure-replay: batch 1 runs AGAIN (checkpoint commit was
+      // lost); mode=overwrite on batch=<id> must absorb it
+      StreamingJobs.appendLshPostings(b1, 1, dest)
+      val maintained = Dedup.capPostings(
+        spark.read.parquet(dest).select("band", "bucket", "doc_id"))
+      val rebuilt = Dedup.lshIndex(corpus)
+      assert(maintained.collect().toSet == rebuilt.collect().toSet,
+        "replayed batch perturbed the maintained index")
+    }
+  }
+
+  test("stream-maintained LSH index converges to the batch rebuild " +
+    "under a different batching") {
+    withScratch { scratch =>
+      val corpus = docs.filter(col("source") =!= "src7")
+      val dest = scratch.resolve("lsh").toString
+      // 3 uneven batches, different from the job's 4-way round-robin
+      StreamingJobs.appendLshPostings(
+        corpus.filter(col("doc_id") % 7 === 0), 0, dest)
+      StreamingJobs.appendLshPostings(
+        corpus.filter(col("doc_id") % 7 === 1), 1, dest)
+      StreamingJobs.appendLshPostings(
+        corpus.filter(col("doc_id") % 7 >= 2), 2, dest)
+      val maintained = Dedup.capPostings(
+        spark.read.parquet(dest).select("band", "bucket", "doc_id"))
+      assert(maintained.collect().toSet ==
+        Dedup.lshIndex(corpus).collect().toSet,
+        "batching changed the maintained index")
+    }
+  }
+
+  test("a replayed PQ-codes batch is idempotent and the maintained " +
+    "code index probes identically to the batch-built one") {
+    withScratch { scratch =>
+      val dest = scratch.resolve("pq").toString
+      val b0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      StreamingJobs.appendPqCodes(b0, 0, dest)
+      StreamingJobs.appendPqCodes(b1, 1, dest)
+      StreamingJobs.appendPqCodes(b1, 1, dest) // replay
+      val maintained = spark.read.parquet(dest)
+        .select(col("vec_id"), col("codes"))
+      val viaStream = Pq.probeIndex(spark, maintained, emb, 0, 10).collect()
+
+      val batchIdx = scratch.resolve("pq_batch").toString
+      Pq.writeIndex(emb, batchIdx)
+      val viaBatch = Pq.probeIndex(spark, spark.read.parquet(batchIdx),
+        emb, 0, 10).collect()
+      assert(viaStream.toSeq == viaBatch.toSeq,
+        "maintained code index ranks differently from the batch rebuild")
+    }
+  }
+}
