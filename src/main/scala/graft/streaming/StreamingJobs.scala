@@ -784,7 +784,8 @@ object StreamingJobs {
     * which is the apply-if-newer guarantee (a naive blind upsert gives
     * the order-dependent answer). */
   def cdcMergeStream(spark0: SparkSession, dir: String,
-                     reverseChunkOrder: Boolean = false): DataFrame = {
+                     reverseChunkOrder: Boolean = false,
+                     crashAfterApplyInBatch: Option[Long] = None): DataFrame = {
     val spark = streamSession(spark0)
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_merge")
     try {
@@ -823,12 +824,21 @@ object StreamingJobs {
       new java.io.File(basePath).mkdirs()
       val sch = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
-      val q = eventsStreamFrom(spark, dir, s"$streamDir/events*.parquet",
-          nDataFiles = chunks.size)
+      // one-shot chaos: crash AFTER the serving-table overwrite of the
+      // chosen batch but BEFORE its checkpoint commit — the worst crash
+      // window for a foreachBatch side effect. Recovery replays that
+      // batch; apply-if-newer makes the replay a no-op (an already-
+      // applied winner is never STRICTLY newer than the served row), so
+      // the recovered table must equal the clean run's exactly — which
+      // is what StreamingChaosSpec pins.
+      val chaosArmed = new java.util.concurrent.atomic.AtomicBoolean(
+        crashAfterApplyInBatch.isDefined)
+      def startQuery() = eventsStreamFrom(spark, dir,
+          s"$streamDir/events*.parquet", nDataFiles = chunks.size)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .writeStream
         .option("checkpointLocation", scratch.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val cur = spark.read.schema(sch).parquet(basePath)
           // batch-local last-writer-wins collapse
           val winners = batch
@@ -850,9 +860,32 @@ object StreamingJobs {
             .write.mode("overwrite").parquet(stagePath)
           spark.read.schema(sch).parquet(stagePath)
             .write.mode("overwrite").parquet(basePath)
+          if (crashAfterApplyInBatch.contains(batchId) &&
+              chaosArmed.compareAndSet(true, false))
+            throw new IllegalStateException(
+              s"chaos: killed after apply of batch $batchId, " +
+                "before checkpoint commit")
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      val q = startQuery()
+      try q.processAllAvailable()
+      catch {
+        case e: Throwable if crashAfterApplyInBatch.isDefined &&
+            !chaosArmed.get() =>
+          // the injected kill surfaced LOUDLY (never a silent partial
+          // result); recovery below replays the uncommitted batch
+          val injected = Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .exists(t => String.valueOf(t.getMessage).contains("chaos"))
+          if (!injected) throw e
+      }
+      finally q.stop()
+      if (crashAfterApplyInBatch.isDefined) {
+        require(!chaosArmed.get(),
+          "chaos batch never ran — the kill case was not exercised")
+        val q2 = startQuery()
+        try q2.processAllAvailable() finally q2.stop()
+      }
       val served = spark.read.schema(sch).parquet(basePath)
         .select(col("user_id"), col("event_id").as("latest_event"),
           col("event_type").as("latest_type"),
