@@ -736,10 +736,26 @@ object StreamingJobs {
     val scratch = java.nio.file.Files.createTempDirectory("graft_natbak")
     try {
       val out = scratch.resolve("out").toString
+      // Spread each epoch across the executors BEFORE the sink, keyed
+      // by LEAF (partition value × day): writer parallelism otherwise
+      // equals the micro-batch's source-file count (3-4 tasks here),
+      // serializing the gzip encode — measured at the sf10 probe as
+      // 17× wall for 10× data at LINEAR cpu. The key choice matters:
+      // round-robin spread explodes files (every task writes every
+      // leaf — 32×93 ≈ 3 000 tiny chunks, measured 84 s wall at
+      // sf0.1), and clustering on the partition columns alone funnels
+      // each hot value into one task. Hashing on (partition cols, day)
+      // gives each leaf exactly ONE writer and ~leaves/tasks leaves per
+      // writer — one chunk per leaf, parallel across leaves, skew
+      // bounded by the hottest single day. The sink cannot demand this
+      // itself (DSv2 rejects requiredNumPartitions with an unspecified
+      // distribution), so the job supplies it.
       val q = eventsStream(spark, dir)
         .filter(col("event_type").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("event_type"), to_date(col("ts")))
         .writeStream
         .format("graftbackup")
         .option("partitionColumns", "event_type")
@@ -953,6 +969,12 @@ object StreamingJobs {
         .withColumn("date_dir", date_format(col("ts"), "yyyyMMdd"))
         .drop("ts") // formatted into date_dir; JSON ts strings are the
                     // batch Backup's faithful-mode concern, not this job's
+        // spread the epoch across writers keyed by leaf (same rationale
+        // as s22's native path: source-file count must not cap gzip
+        // parallelism, and per-leaf keying avoids the tasks×leaves
+        // file explosion of a round-robin spread)
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("event_type"), col("date_dir"))
         .writeStream
         .format("json")
         .option("compression", "gzip")

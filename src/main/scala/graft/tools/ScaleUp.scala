@@ -75,8 +75,17 @@ object ScaleUp {
       (d, i) => off(i, "c_custkey")(d)))
     write("supplier", replicate(t.supplier(spark, srcDir),
       (d, i) => off(i, "s_suppkey")(d)))
-    write("part", replicate(t.part(spark, srcDir),
-      (d, i) => off(i, "p_partkey")(d)))
+    // p_name gets the documents treatment: replicate-verbatim gives
+    // every name factor−1 exact twins, so q51's duplicate-name cliques
+    // grow ×factor and its key-pair output ×factor² — a generator
+    // artifact (measured: 29× wall for 10× data at factor 100). The
+    // per-copy letter rotation is a bijection, so intra-copy edit
+    // distances are preserved EXACTLY while cross-copy names decorrelate
+    // — fuzzy-match output scales ×factor, as a real 10× catalog would.
+    write("part", replicate(t.part(spark, srcDir), (d, i) =>
+      off(i, "p_partkey")(
+        if (i == 0) d
+        else d.withColumn("p_name", translate(col("p_name"), Letters, rotated(i))))))
     write("orders", replicate(t.orders(spark, srcDir),
       (d, i) => off(i, "o_orderkey", "o_custkey")(d)))
     write("lineitem", replicate(t.lineitem(spark, srcDir),
