@@ -94,6 +94,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // When a build side outgrows the broadcast threshold, convert the
+      // sort-merge join to a shuffled-hash join at runtime if its
+      // largest observed partition fits this budget: the probe stream
+      // is then hashed against a per-partition map instead of being
+      // SORTED — and for a wide stream that sort is the cost (sf10
+      // measured x06's verify: two sort-merge joins re-sorting a
+      // 39.5M-row × ~470 B gram-array stream cost 3.3× the CPU of the
+      // hash shape per pair). Broadcast still wins when eligible — AQE
+      // tries that conversion first — so small scales keep their plans.
+      // SPARK_GRAFT_SHJ_THRESHOLD=0 disables (local A/B only).
+      .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // local debugging: SPARK_GRAFT_EVENTLOG=<dir> records stage/task

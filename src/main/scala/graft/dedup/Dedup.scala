@@ -427,13 +427,22 @@ object Dedup {
     // never join df2), which only strengthens the prefix. Posting is
     // then prefix ∩ df-window [2, maxDf] — strictly fewer candidates
     // than df-blocking alone, exactly mirrored by the DuckDB oracle.
+    // The df-window filter is applied BEFORE the rank window: under the
+    // (df asc, h asc) order every df<=maxDf gram precedes every
+    // df>maxDf gram, so dropping the latter cannot change the rank of
+    // any gram the post-rank filter would keep — the posted set is
+    // IDENTICAL, but the per-doc sort no longer carries the high-df
+    // posting rows, which are the bulk of the exploded mass in any
+    // corpus with common grams (sf10 probe: the window input is where
+    // x06's cpu went; high-df grams are by definition the rows that
+    // appear df times each).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val posted = exploded.join(dfTab, Seq("h"))
+      .filter(col("df") <= maxDf)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <=
         col("n_gs") - ceil(col("n_gs") * lit(threshold)) + lit(1))
-      .filter(col("df") <= maxDf)
 
     // Explicit post-distinct barrier: the candidate set is small in
     // BYTES (~16 B/pair) but each pair costs a full verify downstream.
