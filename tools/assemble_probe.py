@@ -61,6 +61,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--sf1", nargs="+", required=True)
     p.add_argument("--sf10", nargs="+", required=True)
+    p.add_argument("--sf100", nargs="*", default=[],
+                   help="optional factor-1000 logs (linear family only)")
     p.add_argument("--out", required=True)
     p.add_argument("--date", required=True)
     args = p.parse_args()
@@ -84,6 +86,19 @@ def main():
         "wall_ratio_10x_data": wall,
         "cpu_ratio_10x_data": cpu,
     }
+    if args.sf100:
+        c = best(args.sf100)
+        doc["sf100"] = c
+        doc["sf100_note"] = (
+            "factor-1000 replicas (10,000x the oracle fixture scale), "
+            "linear family only: the output-quadratic interval joins "
+            "(q68/q69) and the wide verify (x28) are excluded by "
+            "construction; x06's candidate stages were pinned exactly "
+            "linear at this scale by direct counts instead of the full "
+            "~62 GB verify shuffle (see PLANS.md round-9 section)")
+        doc["wall_ratio_sf10_to_sf100"] = {
+            q: round(c["queries"][q] / b["queries"][q], 2)
+            for q in c["queries"] if q in b["queries"]}
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
         f.write("\n")
