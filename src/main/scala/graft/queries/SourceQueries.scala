@@ -14,6 +14,77 @@ object SourceQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Raw text-line ingest — the shape a web-scale corpus actually
+    // arrives in (WET-style gz text, one record per line, fields
+    // packed into the line): stage documents as TAB-delimited gz text,
+    // re-ingest via spark.read.text + an explicit split, aggregate.
+    // Scale notes baked into the shape: gzip files are NOT splittable,
+    // so read parallelism = file count — the stager writes one gz per
+    // task (exactly how WET shards arrive), and the 3-limit split
+    // keeps any tab inside the text field intact. No inference pass:
+    // the parse is an explicit projection, single-pass at any scale.
+    "r27_text_source" -> QueryDef(
+      """SELECT source, count(*) AS n_docs,
+        |  sum(length(text))::BIGINT AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      val out = QueryDef.scratchDir("r27_text", dir)
+      Tables.documents(s, dir)
+        .select(concat_ws("\t", col("doc_id"), col("source"), col("text"))
+          .as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      val parts = split(col("value"), "\t", 3)
+      s.read.text(out)
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("source"), parts.getItem(2).as("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"))
+    },
+
+    // One-file-per-object multimodal ingest via Spark's binaryFile
+    // source — the lake layout image/audio corpora actually land in
+    // (object store prefixes of media files): stage real PNGs (one
+    // file per sampled doc, encoded executor-side), re-ingest with
+    // format("binaryFile"), recover identity from the file PATH
+    // metadata column, then run the REAL ImageIO decode; the oracle
+    // predicts the decoded features arithmetically from the synthetic
+    // generator's closed forms (same first-principles contract as
+    // x15). Sampled 1-in-7 to keep staged file counts sane at bench
+    // scales — at lake scale the source parallelizes by file, and
+    // pathGlobFilter prunes the listing before any byte is read.
+    "r28_binaryfile_source" -> QueryDef(
+      """SELECT doc_id, TRUE AS decoded,
+        |  (1 + doc_id % 16)::INT AS width,
+        |  (1 + doc_id % 8)::INT AS height,
+        |  (doc_id % 256)::DOUBLE AS mean_r,
+        |  ((doc_id * 7) % 256)::DOUBLE AS mean_g,
+        |  ((doc_id * 13) % 256)::DOUBLE AS mean_b
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val out = QueryDef.scratchDir("r28_binfile", dir)
+      new java.io.File(out).mkdirs()
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val p = java.nio.file.Paths.get(out, s"doc_$id.png")
+            java.nio.file.Files.write(p,
+              graft.multimodal.Multimodal.syntheticPng(id)): Unit
+          }
+        }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(out)
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          graft.multimodal.Multimodal.MediaRecord(id, bytes, "image/png", 0, 0)
+        })
+        .mapPartitions(graft.multimodal.Multimodal.decodeImages)
+        .toDF()
+    },
+
     // CSV: timestamps carried as formatted strings (CSV has no native
     // timestamp type; an explicit format string round-trips exactly)
     "r10_csv_roundtrip" -> QueryDef(

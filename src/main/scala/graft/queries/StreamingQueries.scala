@@ -305,6 +305,19 @@ object StreamingQueries {
         (s, dir) => StreamingJobs.streamingLshIndexMaintain(s, dir)
       },
 
+    // streaming dedup GATE: the src7 feed streams in and each batch
+    // admits only docs with no LSH candidate against the persisted
+    // corpus index — dedup-on-ingest. The oracle is the one-shot
+    // anti-join over the shared incremental-probe pairs: admitted =
+    // src7 minus any doc that probes a corpus near-dup
+    "s25_stream_dedup_gate" -> QueryDef(
+      s"""WITH pr AS (${DedupQueries.duckIncrementalProbeSql})
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.source = 'src7'
+         |  AND d.doc_id NOT IN (SELECT new_doc FROM pr)""".stripMargin) {
+      (s, dir) => StreamingJobs.streamingDedupGate(s, dir)
+    },
+
     // streaming PQ code-index maintenance: embeddings stream in, each
     // batch appends its codes, the post-stream ADC probe must rank
     // identically to x52's live scan — shares x52's oracle SQL

@@ -1372,4 +1372,59 @@ object StreamingJobs {
       deleteRecursively(scratch)
     }
   }
+
+  /** Streaming dedup GATE (s25) — dedup-on-ingest, the production
+    * counterpart of s23's index maintenance: the corpus LSH index is
+    * built once (yesterday's batch job, persisted parquet), the new
+    * feed STREAMS in, and each micro-batch admits only documents with
+    * NO near-dup candidate against the index — duplicates never land.
+    * The admit decision for a document depends only on its own
+    * postings × the static index, so the union of per-batch survivors
+    * is invariant to batching (asserted in StreamingIndexSpec) and
+    * equals the one-shot anti-join the oracle runs. Per-batch output
+    * dirs are keyed by batchId, so a replayed batch overwrites instead
+    * of double-admitting — the same idempotence contract as
+    * foreachBatchSink. At 100 TB: the index is the pre-capped posting
+    * table partitioned by (band, bucket); each increment batch joins
+    * O(batch × fanout) posting rows against it — never a corpus
+    * rescan, and the gate's admit rate is observable per batch. */
+  def streamingDedupGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sgate")
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+      val idxPath = scratch.resolve("idx").toString
+      graft.dedup.Dedup.lshIndex(docs.filter(col("source") =!= "src7"))
+        .write.mode("overwrite").parquet(idxPath)
+      val feed = docs.filter(col("source") === "src7")
+      val streamDir = scratch.resolve("in")
+      stageSplits(feed, "doc_id", 4, scratch, streamDir)
+      val accepted = scratch.resolve("accepted").toString
+      val q = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ses = batch.sparkSession
+          val dup = graft.dedup.Dedup
+            .lshProbePairs(ses.read.parquet(idxPath), batch)
+            .select(col("new_doc").as("doc_id")).distinct()
+          batch.join(dup, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("n_chars"))
+            .write.mode("overwrite").parquet(s"$accepted/batch=$batchId")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val admitted = spark.read.parquet(accepted)
+        .select(col("doc_id"), col("n_chars"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(admitted.collect(): _*)),
+        admitted.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
 }

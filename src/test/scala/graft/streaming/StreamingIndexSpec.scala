@@ -86,4 +86,36 @@ class StreamingIndexSpec extends SparkTestBase {
         "maintained code index ranks differently from the batch rebuild")
     }
   }
+
+  test("dedup gate admits are invariant to batching and idempotent " +
+    "under batch replay") {
+    // the s25 contract: each doc's admit decision depends only on its
+    // own postings x the static corpus index, so ANY batching of the
+    // feed — including a replayed batch landing twice — yields the
+    // same admitted set as the one-shot anti-join
+    val corpusIdx = Dedup.lshIndex(docs.filter(col("source") =!= "src7"))
+      .cache()
+    try {
+      val feed = docs.filter(col("source") === "src7")
+      def admit(batch: org.apache.spark.sql.DataFrame) =
+        batch.join(
+          Dedup.lshProbePairs(corpusIdx, batch)
+            .select(col("new_doc").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+      val oneShot = admit(feed)
+      val b0 = feed.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val b1 = feed.filter(pmod(col("doc_id"), lit(3)) === 1)
+      val b2 = feed.filter(pmod(col("doc_id"), lit(3)) === 2)
+      val batched = admit(b0) ++ admit(b1) ++ admit(b2)
+      assert(batched == oneShot, "batching changed the admitted set")
+      // replay: admitting b1 twice adds nothing (set semantics mirror
+      // the overwrite-on-batchId sink dirs)
+      assert(batched ++ admit(b1) == oneShot,
+        "a replayed batch changed the admitted set")
+      assert(oneShot.nonEmpty && oneShot.size < feed.count(),
+        "gate should admit some docs and reject at least one near-dup")
+    } finally { corpusIdx.unpersist(): Unit }
+  }
 }
