@@ -364,15 +364,20 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** `wideHash = true` switches the VERIFY side to 120-bit gram hashes
-    * ([[graft.functions.DedupKernels.hash120Array]]): the exact-jaccard
-    * claim then holds past ~10⁸ distinct grams, where single 60-bit
-    * hashes start colliding (~1 expected at 1.5·10⁹ — each collision
-    * inflates an |A∩B| by one). Posting/df stay 60-bit either way (the
-    * wide pair's FIRST long is the posting hash), so candidates are
-    * identical in both modes; only the verify join carries the 2×-wide
-    * array. Default off: the narrow row keeps the verify build side
-    * well under the broadcast threshold at fixture scales. */
+  /** `wideHash = true` re-scores the threshold survivors with 120-bit
+    * gram hashes ([[graft.functions.DedupKernels.hash120Array]]): the
+    * exact-jaccard claim then holds past ~10⁸ distinct grams, where
+    * single 60-bit hashes start colliding (~1 expected at 1.5·10⁹ —
+    * each collision inflates an |A∩B| by one). Posting/df/candidates
+    * AND the big verify join stay 60-bit either way (the wide pair's
+    * FIRST long is the posting hash, and inter120 ≤ inter60 pairwise,
+    * so the narrow threshold pass is a lossless superset) — the wide
+    * arrays touch only the output-scale survivor set, which broadcasts
+    * back against the corpus for the refine. The shape assumes
+    * survivors ≪ candidates (true for any dedup threshold worth
+    * running); a corpus where most candidate pairs pass would make the
+    * refine a broadcast of the output — at that point the output
+    * itself is the scale problem, not the refine. */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text",
                         wideHash: Boolean = false): DataFrame = {
@@ -460,22 +465,51 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     // exact |A∩B| on the candidate pairs only, via the compiled
-    // long-merge kernel (count-only: no intersection array); wide mode
-    // merges (h0,h1) pairs so a 60-bit collision can't inflate the count
-    val vc = if (wideHash) "hs2" else "hs"
-    val interKernel =
-      if (wideHash) "graft_sorted_inter_count_long2" else "graft_sorted_inter_count_long"
-    val result = cand
+    // long-merge kernel (count-only: no intersection array). The big
+    // verify join always runs NARROW (single 60-bit longs): each
+    // candidate pair must co-locate two gram arrays once, and that
+    // per-pair byte floor is THE cost of the stage at scale, so the
+    // arrays on the wire should be as small as exactness allows.
+    val narrow = cand
       .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
-        col(vc).as("v_a")), Seq("doc_a"))
+        col("hs").as("v_a")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
-        col(vc).as("v_b")), Seq("doc_b"))
-      .withColumn("n_inter", expr(s"$interKernel(v_a, v_b)"))
+        col("hs").as("v_b")), Seq("doc_b"))
+      .withColumn("n_inter", expr("graft_sorted_inter_count_long(v_a, v_b)"))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val result =
+      if (!wideHash)
+        narrow.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      else {
+        // Wide mode = narrow prefilter + 120-bit REFINE on survivors
+        // (the x57 rerank shape applied to dedup). Lossless: the
+        // (h0,h1) pair-merge count can only match where the h0 merge
+        // matched, so inter120 <= inter60 pairwise and the narrow
+        // threshold pass is a SUPERSET of the wide result — the refine
+        // re-scores survivors from hs2 and re-applies the threshold,
+        // correcting any 60-bit collision inflation. Survivors are the
+        // OUTPUT scale (thousands), not the candidate scale (tens of
+        // millions), so they broadcast and the 2x-wide arrays never
+        // ride a shuffle: r9's sf10 probe measured the wide-everywhere
+        // verify at 2.5-3x the narrow CPU purely from array bytes.
+        val survivors = broadcast(
+          narrow.select(col("doc_a"), col("doc_b")).distinct())
+        survivors
+          .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
+            col("hs2").as("v2_a")), Seq("doc_a"))
+          .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
+            col("hs2").as("v2_b")), Seq("doc_b"))
+          .withColumn("n_inter",
+            expr("graft_sorted_inter_count_long2(v2_a, v2_b)"))
+          .withColumn("jaccard", round(
+            col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")), 6))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      }
     unpersistAfterFirstAction(result, g)
   }
 

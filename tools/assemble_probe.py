@@ -92,10 +92,11 @@ def main():
         doc["sf100_note"] = (
             "factor-1000 replicas (10,000x the oracle fixture scale), "
             "linear family only: the output-quadratic interval joins "
-            "(q68/q69) and the wide verify (x28) are excluded by "
-            "construction; x06's candidate stages were pinned exactly "
-            "linear at this scale by direct counts instead of the full "
-            "~62 GB verify shuffle (see PLANS.md round-9 section)")
+            "(q68/q69) are excluded by construction, and x06/x28 "
+            "because their verify shuffle (~62 GB at this scale) "
+            "exceeds sandbox disk; x06's candidate stages were pinned "
+            "exactly linear at this scale by direct counts (see "
+            "PLANS.md round-9 section)")
         doc["wall_ratio_sf10_to_sf100"] = {
             q: round(c["queries"][q] / b["queries"][q], 2)
             for q in c["queries"] if q in b["queries"]}
