@@ -87,6 +87,27 @@ object Bench {
   /** Jiffies per second (USER_HZ); 100 on every mainstream Linux. */
   private[graft] val Hz = 100.0
 
+  /** Stop the local ChecksumFileSystem writing `.crc` sidecars. This
+    * container has no libhadoop, so Hadoop's setPermission falls back
+    * to a FORKED `chmod` per file create (Shell.execCommand) — thread
+    * dumps of the streaming backup stagers showed 32/32 task threads
+    * blocked on process spawn, 1,660 task-run-seconds against 247
+    * cpu-seconds at factor-100 scale — and the sidecars double the
+    * file count. The backup format carries its own CRC32 in every
+    * chunk name, so the sidecars are pure overhead here (measured:
+    * s18 65 → 34 s, s22 35 → 25 s at sf10). Mutates the CACHED file:///
+    * instance, which local[*] executors share; replacing the fs class
+    * outright (fs.file.impl = RawLocalFileSystem) is NOT equivalent —
+    * it breaks RocksDB state-store commits, which need the checksum
+    * fs's create/rename semantics. On a real cluster (HDFS/S3A +
+    * native IO) neither the fork nor the sidecar exists. */
+  private[graft] def disableLocalChecksumSidecars(spark: SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,6 +137,7 @@ object Bench {
         .config("spark.eventLog.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    disableLocalChecksumSidecars(spark)
 
     // Per-query task-metric totals (executor run/cpu/gc): separates
     // "the plan does too much work" from "the host ran the same work

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // no .crc sidecars on local writes (halves the per-file forked
+    // chmod cost of a libhadoop-less container — Bench.scala scaladoc)
+    Bench.disableLocalChecksumSidecars(spark)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (driver never sets it): re-dump only the
     // queries matching the regex; older dumps in outDir stay valid.
