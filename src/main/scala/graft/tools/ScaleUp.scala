@@ -101,8 +101,6 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
-    require(factor >= 1 && factor <= 1000, s"unreasonable factor $factor")
-    distinctPerms(factor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,6 +109,18 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, dstDir, factor)
+    spark.stop()
+  }
+
+  /** Replicate `srcDir`'s fixture tables ×`factor` into `dstDir` —
+    * extracted from [[main]] so ScaleUpSpec can pin the generator
+    * contract (row scaling, referential integrity, decorrelation)
+    * end-to-end at a small factor. */
+  def run(spark: SparkSession, srcDir: String, dstDir: String,
+          factor: Int): Unit = {
+    require(factor >= 1 && factor <= 1000, s"unreasonable factor $factor")
+    distinctPerms(factor)
 
     def replicate(df: DataFrame, perCopy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => perCopy(df, i)).reduce(_.unionByName(_))
@@ -162,7 +172,5 @@ object ScaleUp {
         else d.withColumn("embedding", expr(
           s"transform(array(${dimPerm(i).mkString(",")}), j -> " +
             s"element_at(embedding, j + 1))")))))
-
-    spark.stop()
   }
 }

@@ -44,3 +44,67 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(ScaleUp.fisherYates(26, 3).toSeq != ScaleUp.fisherYates(26, 4).toSeq)
   }
 }
+
+/** End-to-end generator contract at factor 3 on the smallest fixture:
+  * the probe's scaling claims rest on these three properties of the
+  * replicas — row counts scale exactly, referential integrity holds
+  * across copies (every fact key resolves in its own copy's dimension
+  * slice), and content decorrelates (near-dup pairs scale ×factor,
+  * never ×factor², and no pair crosses copies). */
+class ScaleUpRunSpec extends graft.SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  private def withReplica[A](factor: Int)(f: String => A): A = {
+    val d = java.nio.file.Files.createTempDirectory("graft_scaleup_spec")
+    try { ScaleUp.run(spark, sf0001, d.toString, factor); f(d.toString) }
+    finally {
+      val s = java.nio.file.Files.walk(d)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+      finally s.close()
+    }
+  }
+
+  test("factor-3 replica: counts scale exactly, keys resolve, " +
+    "near-dup pairs scale x3 with zero cross-copy pairs") {
+    withReplica(3) { dst =>
+      // row-count scaling: replicated tables x3, dims x1
+      for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")) {
+        val n0 = spark.read.parquet(s"$sf0001/$t.parquet").count()
+        val n3 = spark.read.parquet(s"$dst/$t.parquet").count()
+        assert(n3 == 3 * n0, s"$t: $n3 != 3 * $n0")
+      }
+      for (t <- Seq("region", "nation")) {
+        assert(spark.read.parquet(s"$dst/$t.parquet").count() ==
+          spark.read.parquet(s"$sf0001/$t.parquet").count(), t)
+      }
+      // referential integrity: every lineitem resolves an order and a
+      // part IN ITS OWN COPY (same Offset band), orders resolve
+      // customers — an anti-join must be empty
+      val li = spark.read.parquet(s"$dst/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dst/orders.parquet")
+      val part = spark.read.parquet(s"$dst/part.parquet")
+      assert(li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+        "left_anti").count() == 0, "dangling l_orderkey")
+      assert(li.join(part, li("l_partkey") === part("p_partkey"),
+        "left_anti").count() == 0, "dangling l_partkey")
+      assert(li.filter(
+        (col("l_orderkey") / lit(ScaleUp.Offset)).cast("long") =!=
+          (col("l_partkey") / lit(ScaleUp.Offset)).cast("long"))
+        .count() == 0, "fact keys cross copy bands")
+      // decorrelation: near-dup pairs scale exactly x3 and every pair
+      // stays inside one copy band (cross-copy content is disjoint)
+      val p0 = graft.dedup.Dedup.ngramJaccardPairs(
+        spark.read.parquet(s"$sf0001/documents.parquet"), 10, 0.5)
+        .count()
+      val p3 = graft.dedup.Dedup.ngramJaccardPairs(
+        spark.read.parquet(s"$dst/documents.parquet"), 10, 0.5)
+      assert(p3.count() == 3 * p0, "near-dup pairs must scale x3")
+      assert(p3.filter(
+        (col("doc_a") / lit(ScaleUp.Offset)).cast("long") =!=
+          (col("doc_b") / lit(ScaleUp.Offset)).cast("long"))
+        .count() == 0, "a near-dup pair crossed copies")
+    }
+  }
+}
