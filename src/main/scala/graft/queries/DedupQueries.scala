@@ -18,7 +18,7 @@ object DedupQueries {
   // ---- DuckDB mirrors of the Dedup SQL fragments ---------------------
 
   /** h60 in DuckDB: same md5-prefix → 60-bit int. */
-  private def duckHash(inner: String, seed: Int): String =
+  private[queries] def duckHash(inner: String, seed: Int): String =
     s"('0x'||substr(md5('$seed|'||$inner),1,15))::BIGINT"
 
   /** Distinct word-ShingleK-grams in DuckDB (mirrors shinglesSql). */

@@ -43,7 +43,80 @@ object PipelineQueries {
 
   private val Dim = graft.similarity.Ann.Dim
 
+  /** Context-window chunking (x59): window/stride in tokens. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** Epoch-shuffle seed (x58) — a fresh hash bit per doc per epoch. */
+  val ShuffleSeed = 7
+
   val defs: Map[String, QueryDef] = Map(
+
+    // deterministic epoch shuffle: the reproducible data-loading order
+    // every training run needs — shuffle_pos is the rank of the doc
+    // under a seeded portable hash (change the seed per epoch, get a
+    // fresh-but-reproducible permutation; identical on any engine, any
+    // partitioning, any rerun). The global rank is computed WITHOUT a
+    // global window (an unpartitioned row_number funnels the corpus
+    // through one task): hash bands are ORDERED prefixes of the hash,
+    // so global rank = band offset + within-band rank — one window
+    // partitioned by band, one tiny (≤4096-row) cumulative-offset
+    // table broadcast back. At 100 TB that's one shuffle on band with
+    // 4096-way parallelism, and readers can range-prune "positions
+    // [a, b)" straight to hash bands.
+    "x58_epoch_shuffle" -> QueryDef(
+      s"""WITH h AS (SELECT doc_id,
+         |  ${DedupQueries.duckHash("CAST(doc_id AS VARCHAR)", ShuffleSeed)} AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY hs, doc_id) AS shuffle_pos
+         |FROM h""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      val h = Tables.documents(s, dir)
+        .withColumn("hs", expr(
+          s"element_at(graft_hash60_array(array(CAST(doc_id AS STRING)), $ShuffleSeed), 1)"))
+        .withColumn("band", (col("hs") / lit(1L << 48)).cast("long"))
+      val offsets = h.groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .withColumn("band_offset",
+          coalesce(sum(col("n")).over(
+            Window.orderBy(col("band"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("band"), col("band_offset"))
+      h.join(broadcast(offsets), Seq("band"))
+        .withColumn("shuffle_pos", col("band_offset") + row_number().over(
+          Window.partitionBy(col("band")).orderBy(col("hs"), col("doc_id"))))
+        .select(col("doc_id"), col("shuffle_pos"))
+    },
+
+    // context-window chunking: split each document's token stream into
+    // fixed-size windows with stride overlap — how long documents
+    // become model-ready sequences (chunk = tokens[s, s+W-1] for
+    // s = 1, 1+S, 2S+1, … while s ≤ n_tokens; trailing partials kept,
+    // rule explicit in both engines). Pure per-row explode: no
+    // shuffle at all until a downstream op needs one, so it scales as
+    // a map stage; output rows ≈ n_tokens/stride per doc.
+    "x59_context_chunks" -> QueryDef(
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |c AS (SELECT doc_id, len(w) AS n_tokens,
+         |        unnest(range(1, len(w)+1, $ChunkStride)) AS s,
+         |        unnest([array_to_string(w[i:i+${ChunkWindow - 1}],' ')
+         |                for i in range(1, len(w)+1, $ChunkStride)]) AS chunk
+         |      FROM d)
+         |SELECT doc_id, ((s - 1) / $ChunkStride)::BIGINT AS chunk_idx,
+         |  least($ChunkWindow, n_tokens - s + 1)::BIGINT AS chunk_tokens,
+         |  chunk
+         |FROM c""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .select(col("doc_id"), col("n_tokens"), col("w"),
+          posexplode(expr(s"sequence(1, n_tokens, $ChunkStride)"))
+            .as(Seq("chunk_idx", "s")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(ChunkWindow), col("n_tokens") - col("s") + 1)
+            .cast("long").as("chunk_tokens"),
+          concat_ws(" ", expr(s"slice(w, s, $ChunkWindow)")).as("chunk"))
+    },
 
     // exact-substring duplication coverage (Lee et al., 2021): every
     // 8-token window occurring in ≥2 distinct docs is a duplicated
