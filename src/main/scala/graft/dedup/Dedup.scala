@@ -115,7 +115,7 @@ object Dedup {
     try session.conf.get(ListenerMissBudgetKey, DefaultListenerMissBudget.toString).toInt
     catch { case scala.util.control.NonFatal(_) => DefaultListenerMissBudget }
 
-  private def unpersistAfterFirstAction(result: DataFrame, handle: DataFrame): DataFrame = {
+  private def unpersistAfterFirstAction(result: DataFrame, handles: DataFrame*): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val session = result.sparkSession
@@ -125,7 +125,7 @@ object Dedup {
       private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private def done(qe: QueryExecution): Unit =
         if (qe.analyzed.exists(_ eq target)) {
-          handle.unpersist(blocking = false)
+          handles.foreach(_.unpersist(blocking = false))
           session.listenerManager.unregister(this)
         } else if (misses.incrementAndGet() >= budget) {
           // the expected action evidently isn't coming AS-IS: release
@@ -133,7 +133,7 @@ object Dedup {
           // plan runs later it just recomputes without cache — correct,
           // only slower — instead of accumulating pinned relations and
           // one listener per call for the session's lifetime.
-          handle.unpersist(blocking = false)
+          handles.foreach(_.unpersist(blocking = false))
           session.listenerManager.unregister(this)
         }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -390,21 +390,10 @@ object Dedup {
     // become expected (~1 at 1.5·10⁹), each one inflating a df count
     // or an |A∩B| by one. So the computation is exact-to-the-oracle at
     // the scales this fixture family covers and PROBABILISTICALLY
-    // exact beyond; a deployment hashing >10⁸ distinct grams should
-    // widen the verify-side hash to two longs (120-bit), which keeps
-    // the merge-count kernel shape. Under that bound df-counts,
-    // candidate pairs and |A∩B| match the string-based computation
-    // the DuckDB oracle runs — while every
-    // shuffle carries longs instead of ~18-char strings and the
-    // exact-verify is a primitive merge over two presorted long arrays
-    // (~0.5 µs/pair vs ~85 µs/pair measured for per-pair hash-set
-    // array_intersect on strings). The narrow per-doc row (~430 B) also
-    // keeps the verify build side far under the broadcast threshold —
-    // the wide string form sat exactly AT the 10 MB default, and the
-    // resulting broadcast↔sort-merge flip-flop made run times bimodal.
-    //
-    // The table feeds THREE consumers (candidate generation and both
-    // sides of the exact-verify join) — materialize it once.
+    // exact beyond (wideHash refines survivors at 120 bits). Under
+    // that bound df-counts, candidate pairs and |A∩B| match the
+    // string-based computation the DuckDB oracle runs — while every
+    // shuffle carries longs instead of ~18-char strings.
     val gCols = Seq(col("doc_id"), size(col("gs")).as("n_gs"),
       sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")) ++
       (if (wideHash) Seq(expr("graft_hash120_array(gs)").as("hs2")) else Nil)
@@ -413,12 +402,17 @@ object Dedup {
       explode(col("hs")).as("h"))
 
     // Shareable-gram dictionary (df >= 2), partial-aggregated — a
-    // df-unique gram can never produce a candidate. No broadcast hint:
-    // the dictionary is small here but can be huge in a diverse corpus;
-    // AQE picks broadcast vs shuffle join from the observed size.
+    // df-unique gram can never contribute to any |A∩B|. No broadcast
+    // hint: the dictionary is small here but can be huge in a diverse
+    // corpus; AQE picks broadcast vs shuffle join from observed size.
     val dfTab = exploded.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
+
+    // df-annotated postings feed THREE consumers (the window-gram pair
+    // scan and both sides of the high-df correction) — materialize once
+    // so the df shuffle runs once, not per consumer.
+    val annotated = materialize(exploded.join(dfTab, Seq("h")))
 
     // PPJoin-style prefix filtering (Xiao et al., WWW'08; Chaudhuri et
     // al. SSJoin prefix lemma): under ANY global total order on grams,
@@ -429,53 +423,84 @@ object Dedup {
     // Order rarest-first (df asc, hash asc — total, hashes are distinct
     // per doc) so the prefix holds the most selective grams; df-unique
     // grams sort after every dictionary gram by construction (they
-    // never join df2), which only strengthens the prefix. Posting is
-    // then prefix ∩ df-window [2, maxDf] — strictly fewer candidates
-    // than df-blocking alone, exactly mirrored by the DuckDB oracle.
-    // The df-window filter is applied BEFORE the rank window: under the
-    // (df asc, h asc) order every df<=maxDf gram precedes every
-    // df>maxDf gram, so dropping the latter cannot change the rank of
-    // any gram the post-rank filter would keep — the posted set is
-    // IDENTICAL, but the per-doc sort no longer carries the high-df
-    // posting rows, which are the bulk of the exploded mass in any
-    // corpus with common grams (sf10 probe: the window input is where
-    // x06's cpu went; high-df grams are by definition the rows that
-    // appear df times each).
+    // never join df2), which only strengthens the prefix. Candidacy is
+    // then "shares a gram inside BOTH prefixes ∩ df-window [2, maxDf]"
+    // — strictly fewer candidates than df-blocking alone, exactly
+    // mirrored by the DuckDB oracle. The df-window filter is applied
+    // BEFORE the rank window: under the (df asc, h asc) order every
+    // df<=maxDf gram precedes every df>maxDf gram, so dropping the
+    // latter cannot change the rank of any gram the post-rank filter
+    // would keep — the prefix set is IDENTICAL, but the per-doc sort no
+    // longer carries the high-df posting rows, which are the bulk of
+    // the exploded mass in any corpus with common grams.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val posted = exploded.join(dfTab, Seq("h"))
+    val winPost = annotated
       .filter(col("df") <= maxDf)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <=
+      .withColumn("pfx", col("rnk") <=
         col("n_gs") - ceil(col("n_gs") * lit(threshold)) + lit(1))
+      .select(col("doc_id"), col("h"), col("pfx"))
 
-    // Explicit post-distinct barrier: the candidate set is small in
-    // BYTES (~16 B/pair) but each pair costs a full verify downstream.
-    // AQE coalesces the distinct's shuffle output to 1-2 partitions by
-    // size, which serializes the CPU-bound verify stage onto 1-2 cores
-    // (measured: the same verify ran 5 s on 32 cores or 20-200 s when
-    // coalesced). A user repartition with an explicit count is exempt
-    // from AQE coalescing.
-    val cand = posted
+    // COUNT-BASED exact verify (r10): one bucket expansion over the
+    // df-window postings computes, per doc pair, BOTH the candidacy
+    // test (∃ shared gram in both prefixes) and the exact shared-gram
+    // count over df ∈ [2, maxDf] — so no candidate pair ever co-locates
+    // two gram ARRAYS. The r9 sf-probe measured the array verify join
+    // as the engine's single largest super-linear term (12.9×/decade,
+    // ~62 GB shuffle at sf100): each pair shipped |A|+|B| longs. Here
+    // the verify mass is Σ_h df(h)²/2 over window grams — bounded by
+    // maxDf/2 · |postings|, i.e. LINEAR in corpus size with a small
+    // constant — and each row is 17 B of (doc_a, doc_b, flag).
+    // Per-gram expansion is bounded by df <= maxDf << the occupancy
+    // cap, so the star degradation never activates and the pair set
+    // matches the oracle's plain posting self-join. The explicit-N
+    // barrier before the explode keeps AQE from serializing the
+    // expansion (the bucket rows are few bytes; the rule 3 lesson).
+    // Consumed twice (high-df correction keys + final assembly) and
+    // OUTPUT-scale small — materialize so the expansion runs once.
+    val pairStats = materialize(winPost
       .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(explode(elementPairs("ids")).as("p"))
-      .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
-      .distinct()
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pfx"))))
+        .as("members"))
+      .filter(size(col("members")) >= 2)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(elementPairs("members")).as("p"))
+      .select(col("p.l.doc_id").as("doc_a"), col("p.r.doc_id").as("doc_b"),
+        (col("p.l.pfx") && col("p.r.pfx")).as("bp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c_win"), max(col("bp")).as("is_cand"))
+      .filter(col("is_cand") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("c_win")))
 
-    // exact |A∩B| on the candidate pairs only, via the compiled
-    // long-merge kernel (count-only: no intersection array). The big
-    // verify join always runs NARROW (single 60-bit longs): each
-    // candidate pair must co-locate two gram arrays once, and that
-    // per-pair byte floor is THE cost of the stage at scale, so the
-    // arrays on the wire should be as small as exactness allows.
-    val narrow = cand
-      .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
-        col("hs").as("v_a")), Seq("doc_a"))
-      .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
-        col("hs").as("v_b")), Seq("doc_b"))
-      .withColumn("n_inter", expr("graft_sorted_inter_count_long(v_a, v_b)"))
+    // High-df correction: grams with df > maxDf are excluded from the
+    // window scan but CAN sit in a candidate pair's intersection, so
+    // |A∩B| = c_win + |A∩B ∩ {df > maxDf}|. The correction join is
+    // restricted to candidate pairs (never a per-gram expansion — a
+    // df-10⁶ gram must not fan out quadratically): candidates pick up
+    // doc_a's high grams by key, then an equi-join on (doc_b, h) keeps
+    // exactly the shared ones. Mass = Σ_cand |A_high| rows of 24 B —
+    // linear in candidates. On corpora whose df distribution stays
+    // under maxDf (this fixture family at every measured SF: max df 6)
+    // highPost is empty and AQE collapses both joins to empty relations.
+    val highPost = annotated.filter(col("df") > maxDf)
+      .select(col("doc_id"), col("h"))
+    val cHigh = pairStats.select(col("doc_a"), col("doc_b"))
+      .join(highPost.select(col("doc_id").as("doc_a"), col("h")),
+        Seq("doc_a"))
+      .join(highPost.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c_high"))
+
+    // Sizes ride the cached per-doc table (12 B rows), never arrays.
+    val narrow = pairStats
+      .join(cHigh, Seq("doc_a", "doc_b"), "left")
+      .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a")),
+        Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter", col("c_win") + coalesce(col("c_high"), lit(0L)))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
@@ -510,7 +535,11 @@ object Dedup {
           .filter(col("jaccard") >= threshold)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
       }
-    unpersistAfterFirstAction(result, g)
+    // child-first unpersist order: dropping a relation that others
+    // depend on makes CacheManager try to REBUILD the dependents
+    // in-place (non-cascading unpersist), which both re-pins them and
+    // can NPE once the session is tearing down
+    unpersistAfterFirstAction(result, pairStats, annotated, g)
   }
 
   /** [EXT] Train/test contamination check — the eval-integrity op every

@@ -235,6 +235,17 @@ object Multimodal {
       }
       rs = rs.tail
     }
+    // All providers rejected. When the provider list is non-empty this
+    // IS the terminal answer — the static AudioSystem dispatch walks
+    // the same providers through the synchronized JDK13Services
+    // registry, so falling back to it for every undecodable payload
+    // would re-serialize 31/32 decode threads on a corpus with many
+    // bad records (advisor r9). The static path is reserved for the
+    // empty-provider-list case (exotic module layering where the
+    // platform loader sees no SPI), where it is the only dispatch left.
+    if (audioReaders.nonEmpty)
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        s"no provider among ${audioReaders.size} accepted the stream")
     javax.sound.sampled.AudioSystem.getAudioInputStream(in)
   }
 

@@ -21,21 +21,31 @@ object SourceQueries {
     // Scale notes baked into the shape: gzip files are NOT splittable,
     // so read parallelism = file count — the stager writes one gz per
     // task (exactly how WET shards arrive), and the 3-limit split
-    // keeps any tab inside the text field intact. No inference pass:
-    // the parse is an explicit projection, single-pass at any scale.
+    // keeps any tab inside the text field intact. Line breaks inside a
+    // document would SPLIT the record (spark.read.text frames on line
+    // boundaries), so the stager %-encodes %, \n and \r and the reader
+    // decodes them — a bijective escape (every post-encode '%' heads a
+    // %25/%0A/%0D triple, and no decode pattern can straddle another),
+    // so the round-trip is lossless for ANY text, not just the
+    // fixture's single-line docs. No inference pass: the parse is an
+    // explicit projection, single-pass at any scale.
     "r27_text_source" -> QueryDef(
       """SELECT source, count(*) AS n_docs,
         |  sum(length(text))::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
       val out = QueryDef.scratchDir("r27_text", dir)
+      val enc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "%", "%25"), "\n", "%0A"), "\r", "%0D")
       Tables.documents(s, dir)
-        .select(concat_ws("\t", col("doc_id"), col("source"), col("text"))
+        .select(concat_ws("\t", col("doc_id"), col("source"), enc)
           .as("value"))
         .write.mode("overwrite").option("compression", "gzip").text(out)
       val parts = split(col("value"), "\t", 3)
+      val dec = regexp_replace(regexp_replace(regexp_replace(
+        parts.getItem(2), "%0A", "\n"), "%0D", "\r"), "%25", "%")
       s.read.text(out)
         .select(parts.getItem(0).cast("long").as("doc_id"),
-          parts.getItem(1).as("source"), parts.getItem(2).as("text"))
+          parts.getItem(1).as("source"), dec.as("text"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_chars"))

@@ -9,7 +9,12 @@ import graft.streaming.StreamingJobs
   */
 object StreamingQueries {
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy (matching SimilarityQueries): s24's oracle-vs-rows-only choice
+  // forces PQ codebook training, which needs an ACTIVE SparkSession — a
+  // strict val would make that choice at class-load time, and a JVM
+  // that touches StreamingQueries before any session exists would
+  // silently and permanently lose s24's oracle (advisor r9)
+  lazy val defs: Map[String, QueryDef] = Map(
 
     // UPDATE output mode: per-batch emission of only the changed
     // groups, over time-ordered staged chunks whose mid-window
@@ -327,7 +332,9 @@ object StreamingQueries {
       try QueryDef(SimilarityQueries.duckAdcTopkSql) {
         (s, dir) => StreamingJobs.streamingPqIndexMaintain(s, dir)
       } catch {
-        case t: Throwable =>
+        // NonFatal only: an OOM/linkage error must propagate, not be
+        // recorded as "oracle generation failed" (advisor r9)
+        case scala.util.control.NonFatal(t) =>
           System.err.println(
             s"[streaming] PQ oracle generation failed: ${t.getMessage}")
           QueryDef.rowsOnly((s, dir) =>

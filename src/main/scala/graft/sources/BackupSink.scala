@@ -113,12 +113,28 @@ object BackupSink {
                                        chunks: Seq[PublishedChunk]): Unit =
     publishedByRoot.put(root, chunks): Unit
 
-  /** Driver-side publish: O(#chunks) renames of staged files into
-    * their leaf directories, collision `-seq` suffixes (shared by the
-    * batch commit and every streaming epoch commit). Returns the final
-    * location of every chunk. When `planned` destinations are supplied
-    * (the streaming intent-marker path) they are used verbatim — the
-    * marker must list exactly what publish will create. */
+  /** Above this chunk count the publish renames run as ONE Spark job
+    * over the commit's chunk list (executor-side fs clients) instead of
+    * a driver loop. A 100 TB backup implies millions of chunks — a
+    * driver serial point of that many rename RPCs is the one O(#files)
+    * step the sink had left; below the threshold a job costs more than
+    * it saves. */
+  val DistributedPublishThreshold = 64
+
+  /** Publish: renames of staged files into their leaf directories,
+    * collision `-seq` suffixes (shared by the batch commit and every
+    * streaming epoch commit). Small commits rename driver-side; past
+    * [[DistributedPublishThreshold]] the renames are shipped as a tiny
+    * Spark job, so driver work is manifest I/O only — name PLANNING
+    * stays driver-side either way (it is a per-leaf in-memory set walk,
+    * and the streaming intent marker needs the full list before the
+    * first rename). Renames are idempotent per chunk (source gone +
+    * destination present = an earlier attempt of the same task already
+    * did it), so rename-job task retries cannot fail a half-renamed
+    * partition. Returns the final location of every chunk. When
+    * `planned` destinations are supplied (the streaming intent-marker
+    * path) they are used verbatim — the marker must list exactly what
+    * publish will create. */
   def publish(fs: org.apache.hadoop.fs.FileSystem,
               rootPath: Path, cfg: Config,
               messages: Array[WriterCommitMessage],
@@ -130,13 +146,47 @@ object BackupSink {
     val dests = planned.getOrElse(planDestinations(fs, rootPath, cfg, all))
     require(dests.size == all.size,
       s"planned ${dests.size} destinations for ${all.size} chunks")
-    all.zip(dests).map { case (c, dst) =>
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(new Path(c.stagedPath), dst))
-        throw new java.io.IOException(
-          s"cannot publish chunk ${c.stagedPath} -> $dst" +
-            (if (fs.exists(dst)) " (destination already exists)" else ""))
+    val pairs = all.zip(dests)
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    if (pairs.size >= DistributedPublishThreshold && session.isDefined) {
+      val sc = session.get.sparkContext
+      val hconf = cfg.hadoop
+      val work = pairs.map { case (c, dst) => (c.stagedPath, dst.toString) }
+      // ~1000 renames per task: enough to amortize task launch, few
+      // enough that a straggling object-store client doesn't hold the
+      // whole commit
+      val slices = math.max(1, math.min(sc.defaultParallelism,
+        math.ceil(work.size / 1000.0).toInt))
+      sc.parallelize(work, slices).foreachPartition { it =>
+        var efs: FileSystem = null
+        it.foreach { case (src, dstStr) =>
+          val dst = new Path(dstStr)
+          if (efs == null) efs = dst.getFileSystem(hconf.value)
+          renameIdempotent(efs, new Path(src), dst)
+        }
+      }
+    } else {
+      pairs.foreach { case (c, dst) =>
+        renameIdempotent(fs, new Path(c.stagedPath), dst)
+      }
+    }
+    pairs.map { case (c, dst) =>
       PublishedChunk(dst.toString, c.relDir, c.baseName, c.rows)
+    }
+  }
+
+  /** mkdirs + rename, treating "source gone, destination present" as an
+    * earlier attempt's success (retry idempotence for the distributed
+    * publish job). */
+  private def renameIdempotent(fs: FileSystem, src: Path, dst: Path): Unit = {
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst)) {
+      val alreadyDone = !fs.exists(src) && fs.exists(dst)
+      if (!alreadyDone)
+        throw new java.io.IOException(
+          s"cannot publish chunk $src -> $dst" +
+            (if (fs.exists(dst)) " (destination already exists)" else ""))
     }
   }
 
@@ -144,27 +194,38 @@ object BackupSink {
     * BEFORE any rename happens: the usual `<base>.log.gz` name, with a
     * `-seq` suffix where an identical name already exists on disk (a
     * previous append of duplicate content) or is taken by another chunk
-    * of this same commit. Driver-side, O(#chunks) existence probes —
-    * and because the full list exists before the first rename, the
-    * streaming commit can persist it as an intent marker and make the
-    * publish replayable (see [[BackupStreamingWrite.commit]]). */
+    * of this same commit. Driver cost is one listStatus per AFFECTED
+    * leaf directory plus an in-memory set walk — it scales with leaf
+    * count, not chunk count (the per-chunk exists() probe it replaces
+    * was O(#chunks) driver RPCs). Because the full list exists before
+    * the first rename, the streaming commit can persist it as an
+    * intent marker and make the publish replayable (see
+    * [[BackupStreamingWrite.commit]]). */
   def planDestinations(fs: org.apache.hadoop.fs.FileSystem,
                        rootPath: Path, cfg: Config,
                        chunks: Seq[StagedChunk]): Seq[Path] = {
     val ext = if (cfg.gzip) ".log.gz" else ".log"
-    val taken = mutable.HashSet.empty[String]
+    val taken = mutable.HashMap.empty[String, mutable.HashSet[String]]
+    chunks.map(_.relDir).distinct.foreach { rel =>
+      val names = mutable.HashSet.empty[String]
+      try {
+        val sts = fs.listStatus(new Path(rootPath, rel))
+        if (sts != null) sts.foreach(st => names += st.getPath.getName)
+      } catch { case _: java.io.FileNotFoundException => () }
+      taken(rel) = names
+    }
     chunks.map { c =>
-      val dir = new Path(rootPath, c.relDir)
-      var dst = new Path(dir, c.baseName + ext)
+      val names = taken(c.relDir)
+      var name = c.baseName + ext
       var seq = 0
-      while (taken.contains(dst.toString) || fs.exists(dst)) {
+      while (names.contains(name)) {
         seq += 1
         if (seq > 1000) throw new java.io.IOException(
           s"cannot find a free name for chunk ${c.stagedPath}")
-        dst = new Path(dir, s"${c.baseName}-$seq$ext")
+        name = s"${c.baseName}-$seq$ext"
       }
-      taken += dst.toString
-      dst
+      names += name
+      new Path(new Path(rootPath, c.relDir), name)
     }
   }
 
