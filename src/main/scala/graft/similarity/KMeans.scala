@@ -95,4 +95,31 @@ object KMeans {
   /** Corpus with its final cell assignment (call after [[train]]). */
   def assign(embeddings: DataFrame): DataFrame =
     embeddings.withColumn("cell", expr("graft_kmeans_cell(embedding)"))
+
+  /** Reference-model geometry (the x37 contract). */
+  val ModelK = 8
+  val ModelIters = 3
+
+  /** FINAL centroids of the reference clustering: the distributed
+    * Lloyd's above, run on the FIXED training fixture ([[Ivf.trainDir]]
+    * — same source the IVF/PQ codebooks train on), so the centroid
+    * doubles are deterministic per deployment and can be embedded as
+    * LITERALS in the DuckDB oracle (the duckPqCents pattern). Computed
+    * once per JVM; training is still the distributed path — the spec
+    * pins its invariants — while assignment of the QUERY corpus scales
+    * with that corpus alone. */
+  lazy val referenceCentroids: Array[Array[Double]] = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "KMeans reference-model training needs an active SparkSession"))
+    train(graft.Tables.embeddings(spark, Ivf.trainDir),
+      ModelK, ModelIters).centroids
+  }
+
+  /** Bind the reference model's kernels into `spark` (training binds
+    * them as a side effect, but a session that only ASSIGNS — e.g. the
+    * x37 query against a new corpus — needs the explicit bind). */
+  def bindReference(spark: SparkSession): Unit =
+    bind(spark, referenceCentroids)
 }
