@@ -1,24 +1,43 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Pins the Bench stdout contract: the driver keeps only the final
   * ~2000 bytes of stdout and parses the LAST line. BENCH_r01/r03/r04
   * were all `parsed: null` because a per-query map shared the final
   * line and outgrew that window as the suite grew. These tests make the
   * regression impossible to reintroduce silently.
-  */
-class BenchSpec extends AnyFunSuite {
+  *
+  * SparkTestBase (not bare AnyFunSuite): deriving the rows-only list
+  * forces SparkEntry.oracleSql, whose IVF/PQ/k-means entries train
+  * codebooks and need an active session — without one, those defs
+  * would silently latch rows-only for the whole test JVM. */
+class BenchSpec extends SparkTestBase {
 
   test("final bench line stays far under the driver's 2000-byte tail window") {
     // Worst-plausible values: 5-digit totals, 3-digit failure count,
-    // a long sf dir. Still must fit with an order of magnitude to spare.
+    // a long sf dir, the CURRENT rows-only list (derived — grows only
+    // if an operator is added without an oracle, which this bound then
+    // polices too). Still must fit with headroom.
+    spark.sparkContext // force the session before oracleSql trains codebooks
+    val rowsOnly =
+      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     val line = Bench.finalLine(
       total = 99999.999, totalOk = 99999.999, nFailed = 999,
       sfDir = "/root/testdata/sf0.1", loadMax = 999.999,
-      otherMax = 999.999, nHot = 999)
+      otherMax = 999.999, nHot = 999, nRetimed = 999, rowsOnly = rowsOnly)
     val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     assert(bytes < 1024, s"final line is $bytes bytes: $line")
+  }
+
+  test("rows-only-by-design stays the known inexpressible set") {
+    // r8_crc32 (DuckDB has no crc32) and the sequential BPE pair are
+    // pinned by independent brute-force specs instead of oracles; any
+    // NEW oracle-less query must be a conscious decision, not an
+    // accident — this test is the tripwire.
+    spark.sparkContext // force the session before oracleSql trains codebooks
+    val rowsOnly =
+      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    assert(rowsOnly == Seq("r8_crc32", "x47_bpe_merges", "x49_bpe_encode"),
+      s"rows-only set changed: $rowsOnly")
   }
 
   test("final bench line size is independent of the query count") {
@@ -27,11 +46,12 @@ class BenchSpec extends AnyFunSuite {
     // not vary with how many queries SparkEntry declares.
     val line = Bench.finalLine(1.0, 1.0, 0, "/root/testdata/sf0.1")
     assert(!line.contains("\"queries\""))
-    // signature takes scalars only — no per-query collection can leak in;
+    // signature takes scalars only (plus the bounded rows-only list);
     // assert the rendered shape is exactly the driver contract keys
     val keys = "\"(\\w+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
     assert(keys == Seq("metric", "value", "unit", "total_ok", "n_failed",
-      "load_max", "other_max", "n_hot", "sf"))
+      "load_max", "other_max", "n_hot", "n_retimed", "rows_only_by_design",
+      "sf"))
   }
 
   test("final line is valid minimal JSON with the keys the driver parses") {

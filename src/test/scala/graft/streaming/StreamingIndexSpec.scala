@@ -45,6 +45,68 @@ class StreamingIndexSpec extends SparkTestBase {
     }
   }
 
+  test("a TORN LSH-postings write (driver killed mid-append) is fully " +
+    "absorbed by the replayed batch") {
+    // the kill -9 window foreachBatch exposes: the batch's output dir
+    // holds a PARTIAL write (some part files, no _SUCCESS, a live
+    // _temporary attempt dir) and the checkpoint never committed, so
+    // recovery replays the batch. mode=overwrite on batch=<id> must
+    // replace the torn directory wholesale — including the attempt
+    // garbage — or the capped probe view would double-count postings.
+    withScratch { scratch =>
+      val corpus = docs.filter(col("source") =!= "src7")
+      val b0 = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b1 = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val dest = scratch.resolve("lsh").toString
+      StreamingJobs.appendLshPostings(b0, 0, dest)
+      // torn batch 1: a strict subset of its postings landed
+      Dedup.bandBuckets(b1.filter(pmod(col("doc_id"), lit(4)) === 1))
+        .write.mode("overwrite").parquet(s"$dest/batch=1")
+      val bdir = java.nio.file.Paths.get(dest, "batch=1")
+      java.nio.file.Files.deleteIfExists(bdir.resolve("_SUCCESS")): Unit
+      val tmp = bdir.resolve("_temporary").resolve("0")
+      java.nio.file.Files.createDirectories(tmp): Unit
+      java.nio.file.Files.write(tmp.resolve("part-00000-attempt0.parquet"),
+        Array[Byte](0x50, 0x41, 0x52)): Unit
+      // recovery replay of the full batch
+      StreamingJobs.appendLshPostings(b1, 1, dest)
+      val maintained = Dedup.capPostings(
+        spark.read.parquet(dest).select("band", "bucket", "doc_id"))
+      assert(maintained.collect().toSet ==
+        Dedup.lshIndex(corpus).collect().toSet,
+        "torn write survived the replay")
+    }
+  }
+
+  test("a TORN PQ-codes write is fully absorbed by the replayed batch") {
+    withScratch { scratch =>
+      val dest = scratch.resolve("pq").toString
+      val b0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      StreamingJobs.appendPqCodes(b0, 0, dest)
+      // torn batch 1: half its codes landed, no _SUCCESS, attempt junk
+      Pq.withCodes(b1.filter(pmod(col("vec_id"), lit(4)) === 1))
+        .select(col("vec_id"), col("codes"))
+        .write.mode("overwrite").parquet(s"$dest/batch=1")
+      val bdir = java.nio.file.Paths.get(dest, "batch=1")
+      java.nio.file.Files.deleteIfExists(bdir.resolve("_SUCCESS")): Unit
+      val tmp = bdir.resolve("_temporary").resolve("0")
+      java.nio.file.Files.createDirectories(tmp): Unit
+      java.nio.file.Files.write(tmp.resolve("part-00000-attempt0.parquet"),
+        Array[Byte](0x50, 0x41, 0x52)): Unit
+      StreamingJobs.appendPqCodes(b1, 1, dest)
+      val maintained = spark.read.parquet(dest)
+        .select(col("vec_id"), col("codes"))
+      val viaStream = Pq.probeIndex(spark, maintained, emb, 0, 10).collect()
+      val batchIdx = scratch.resolve("pq_batch").toString
+      Pq.writeIndex(emb, batchIdx)
+      val viaBatch = Pq.probeIndex(spark, spark.read.parquet(batchIdx),
+        emb, 0, 10).collect()
+      assert(viaStream.toSeq == viaBatch.toSeq,
+        "torn write changed the maintained index's ranking")
+    }
+  }
+
   test("stream-maintained LSH index converges to the batch rebuild " +
     "under a different batching") {
     withScratch { scratch =>
