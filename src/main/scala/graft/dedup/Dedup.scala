@@ -381,6 +381,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text",
                         wideHash: Boolean = false): DataFrame = {
+    // The count-based verify's bucket expansion reuses graft_pairs with
+    // cap = MaxBucketOccupancy; a bucket is one gram's df<=maxDf posting
+    // list, so the cap can only bind when maxDf exceeds it — and when it
+    // binds it silently UNDERCOUNTS c_win, which here is an exactness
+    // input, not a recall knob. Refuse rather than degrade.
+    require(maxDf <= MaxBucketOccupancy,
+      s"maxDf=$maxDf exceeds the pair-expansion cap $MaxBucketOccupancy: " +
+        "the exact shared-gram count would silently undercount")
     // NARROW representation: each document's distinct shingle set is
     // carried as its sorted 60-bit md5 gram hashes (the same
     // [[hash60Sql]] family everything else uses), not as the gram

@@ -118,8 +118,11 @@ object BackupSink {
     * a driver loop. A 100 TB backup implies millions of chunks — a
     * driver serial point of that many rename RPCs is the one O(#files)
     * step the sink had left; below the threshold a job costs more than
-    * it saves. */
-  val DistributedPublishThreshold = 64
+    * it saves. SPARK_GRAFT_PUBLISH_THRESHOLD overrides for local A/B
+    * measurement only (a huge value forces the driver loop — the
+    * "before" arm of the r11 probe). */
+  val DistributedPublishThreshold: Int =
+    sys.env.get("SPARK_GRAFT_PUBLISH_THRESHOLD").map(_.toInt).getOrElse(64)
 
   /** Publish: renames of staged files into their leaf directories,
     * collision `-seq` suffixes (shared by the batch commit and every

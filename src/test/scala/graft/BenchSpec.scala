@@ -23,9 +23,33 @@ class BenchSpec extends SparkTestBase {
     val line = Bench.finalLine(
       total = 99999.999, totalOk = 99999.999, nFailed = 999,
       sfDir = "/root/testdata/sf0.1", loadMax = 999.999,
-      otherMax = 999.999, nHot = 999, nRetimed = 999, rowsOnly = rowsOnly)
+      otherMax = 999.999, nHot = 999, nRetimed = 999, rowsOnly = rowsOnly,
+      // worst case: a pathological round regresses MANY queries — the
+      // rendered list must stay capped regardless
+      regressions = (1 to 500).map(i => f"q$i%02d_some_longish_name"))
     val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-    assert(bytes < 1024, s"final line is $bytes bytes: $line")
+    assert(bytes < 1700, s"final line is $bytes bytes: $line")
+  }
+
+  test("regressions list is capped in the final line but counted in full") {
+    val line = Bench.finalLine(1.0, 1.0, 0, "/tmp/x",
+      regressions = (1 to 40).map(i => s"q$i"))
+    assert(line.contains("\"n_regressed\":40"))
+    // capped render: q12 present, q13 absent
+    assert(line.contains("\"q12\"") && !line.contains("\"q13\""))
+  }
+
+  test("prevWalls reads the committed quiet capture's queries map") {
+    val f = java.nio.file.Files.createTempFile("bench_prev", ".json")
+    java.nio.file.Files.write(f,
+      """{"final":{"value":1.0},"queries":{"q1":0.5,"q2":2.25}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Bench.prevWalls(f.toString) == Map("q1" -> 0.5, "q2" -> 2.25))
+    // absent / malformed files degrade to empty, never throw
+    assert(Bench.prevWalls("/nonexistent/nope.json").isEmpty)
+    java.nio.file.Files.write(f, "not json".getBytes)
+    assert(Bench.prevWalls(f.toString).isEmpty)
+    java.nio.file.Files.deleteIfExists(f)
   }
 
   test("rows-only-by-design stays the known inexpressible set") {
@@ -50,8 +74,8 @@ class BenchSpec extends SparkTestBase {
     // assert the rendered shape is exactly the driver contract keys
     val keys = "\"(\\w+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
     assert(keys == Seq("metric", "value", "unit", "total_ok", "n_failed",
-      "load_max", "other_max", "n_hot", "n_retimed", "rows_only_by_design",
-      "sf"))
+      "load_max", "other_max", "n_hot", "n_retimed", "n_regressed",
+      "regressions", "rows_only_by_design", "sf"))
   }
 
   test("final line is valid minimal JSON with the keys the driver parses") {

@@ -248,6 +248,73 @@ class BackupSinkSpec extends SparkTestBase {
     assert(spark.read.format("graftbackup").load(dir).count() == 25)
   }
 
+  test("distributed publish torn write: rename job ran, driver died " +
+    "before the marker — replay yields the epoch exactly once") {
+    // Same window as the test above, but through the DISTRIBUTED rename
+    // path (>= DistributedPublishThreshold chunks ships the renames as
+    // a Spark job, BackupSink.publish): the chunk count forces the job,
+    // the "crash" lands after the job fully ran but before the
+    // intent->marker promotion — the widest torn window the r10 rewrite
+    // introduced. Recovery must roll back every intent-listed chunk
+    // (all of them exist this time) and republish the re-staged attempt
+    // exactly once: no duplicate rows, no missing rows, no stray files.
+    val dir = freshDir()
+    val sch = events.schema
+    val cfg = BackupSink.Config(dir, Seq("event_type"), "ts",
+      gzip = true, maxRows = 1, truncate = false, zone = "UTC",
+      queryId = "distcrash",
+      hadoop = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val sw = new BackupStreamingWrite(cfg, sch)
+    val nRows = 100
+    def stageRows(taskId: Long) = {
+      val w = new BackupDataWriter(cfg, sch, 0, taskId)
+      events.limit(nRows).queryExecution.toRdd.map(_.copy()).collect()
+        .foreach(w.write)
+      w.commit()
+    }
+    val msgA = stageRows(1L)
+    val chunksA = msgA.asInstanceOf[BackupSink.TaskChunks].chunks
+    assert(chunksA.size >= BackupSink.DistributedPublishThreshold,
+      s"need >=${BackupSink.DistributedPublishThreshold} chunks to " +
+        s"exercise the distributed rename job, got ${chunksA.size}")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val planned = BackupSink.planDestinations(fs, rootPath, cfg, chunksA)
+    val commits = new org.apache.hadoop.fs.Path(rootPath,
+      "_streaming_commits")
+    fs.mkdirs(commits)
+    val intent = new org.apache.hadoop.fs.Path(commits, "epoch-11.intent")
+    val out = fs.create(intent, true)
+    out.write(planned.map(_.toString).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // the FULL distributed publish runs (rename job over all chunks)...
+    BackupSink.publish(fs, rootPath, cfg, Array(msgA),
+      planned = Some(planned)): Unit
+    // ...then the driver dies: no marker, intent left behind
+    assert(spark.read.format("graftbackup").load(dir).count() == nRows,
+      "attempt A's chunks are all on disk before recovery")
+    // recovery: tasks re-stage, the epoch re-commits
+    sw.commit(11L, Array(stageRows(2L)))
+    assert(spark.read.format("graftbackup").load(dir).count() == nRows,
+      "recovery must yield the epoch's rows exactly once")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(commits, "epoch-11")))
+    assert(!fs.exists(intent), "intent must be promoted away")
+    // every chunk is attempt B's: attempt A planned the same names, so
+    // rollback+republish must leave exactly planned.size data files
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_"))
+      .flatMap(_.listFiles()).filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    assert(files.length == planned.size,
+      s"expected ${planned.size} chunk files, found ${files.length}")
+    // replay after successful recovery stays idempotent
+    sw.commit(11L, Array(stageRows(3L)))
+    assert(spark.read.format("graftbackup").load(dir).count() == nRows)
+  }
+
   test("save modes: append accumulates, overwrite truncates") {
     val dir = freshDir()
     writeEvents(dir)
