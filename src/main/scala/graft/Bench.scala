@@ -82,23 +82,35 @@ object Bench {
   /** Previous-round quiet per-query walls: `queries` map of the JSON at
     * SPARK_GRAFT_PREV_BENCH (default bench/BENCH_PREV.json, the
     * committed quiet capture refreshed each round). Empty when absent
-    * or unreadable — the triggers that need it simply never fire. */
+    * or unreadable — the triggers that need it simply never fire.
+    *
+    * `forSfDir`: walls are only comparable at the SAME scale factor —
+    * a probe run at /tmp/graft_sf10 against an sf0.1 reference would
+    * flag every query as regressed and retime the whole sweep (caught
+    * live in the first r11 probe run). When given, the map is empty
+    * unless the capture's `final.sf` matches. */
   private[graft] def prevWalls(
       path: String = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
-        "bench/BENCH_PREV.json")): Map[String, Double] =
+        "bench/BENCH_PREV.json"),
+      forSfDir: Option[String] = None): Map[String, Double] =
     try {
       val f = new java.io.File(path)
       if (!f.isFile) Map.empty
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(f)
-        val qs = root.get("queries")
-        if (qs == null) Map.empty
+        val prevSf = Option(root.get("final")).flatMap(fin =>
+          Option(fin.get("sf"))).map(_.asText())
+        if (forSfDir.exists(cur => !prevSf.contains(cur))) Map.empty
         else {
-          val b = Map.newBuilder[String, Double]
-          qs.fields().forEachRemaining(e =>
-            b += e.getKey -> e.getValue.asDouble())
-          b.result()
+          val qs = root.get("queries")
+          if (qs == null) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            qs.fields().forEachRemaining(e =>
+              b += e.getKey -> e.getValue.asDouble())
+            b.result()
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
@@ -403,7 +415,7 @@ object Bench {
     //                      contamination mode with no local signature.
     // Single-timing mode only (repeat>1 is already a local variance
     // study).
-    val prev = prevWalls()
+    val prev = prevWalls(forSfDir = Some(sfDir))
     def slowVsPrev(r: QRec): Boolean = prev.get(r.key).exists(p =>
       p > 0 && r.sec > p * RegressFactor && r.sec - p > RegressMinDelta)
     def gcHeavy(r: QRec): Boolean =

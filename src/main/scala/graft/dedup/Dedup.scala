@@ -441,74 +441,109 @@ object Dedup {
     // would keep — the prefix set is IDENTICAL, but the per-doc sort no
     // longer carries the high-df posting rows, which are the bulk of
     // the exploded mass in any corpus with common grams.
+    // Per-doc high-df summary: the grams a doc holds whose df exceeds
+    // the window (stop-shingles at corpus scale), as ONE sorted hash
+    // array + its count per doc. Strictly linear: a df-10⁶ gram
+    // contributes one array element to each containing doc, never a
+    // per-gram expansion. Consumed twice (nh onto the postings, arrays
+    // for the survivor refine) — materialize.
+    val gHigh = materialize(annotated.filter(col("df") > maxDf)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hh"),
+        count(lit(1)).as("nh")))
+
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // Window postings carry the per-doc scalars (set size, high-df
+    // count) INTO the bucket expansion so the pair aggregate needs no
+    // join back against a per-doc table — at candidate scale (tens of
+    // millions of rows) even two narrow equi-joins dominate; at posting
+    // scale (this join, 4x fewer rows) one left join is cheap.
     val winPost = annotated
       .filter(col("df") <= maxDf)
       .withColumn("rnk", row_number().over(w))
       .withColumn("pfx", col("rnk") <=
         col("n_gs") - ceil(col("n_gs") * lit(threshold)) + lit(1))
-      .select(col("doc_id"), col("h"), col("pfx"))
+      .join(gHigh.select(col("doc_id"), col("nh")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("nh"))
+      .select(col("doc_id"), col("h"), col("pfx"), col("n_gs"), col("nh"))
 
-    // COUNT-BASED exact verify (r10): one bucket expansion over the
-    // df-window postings computes, per doc pair, BOTH the candidacy
-    // test (∃ shared gram in both prefixes) and the exact shared-gram
-    // count over df ∈ [2, maxDf] — so no candidate pair ever co-locates
-    // two gram ARRAYS. The r9 sf-probe measured the array verify join
-    // as the engine's single largest super-linear term (12.9×/decade,
-    // ~62 GB shuffle at sf100): each pair shipped |A|+|B| longs. Here
-    // the verify mass is Σ_h df(h)²/2 over window grams — bounded by
-    // maxDf/2 · |postings|, i.e. LINEAR in corpus size with a small
-    // constant — and each row is 17 B of (doc_a, doc_b, flag).
-    // Per-gram expansion is bounded by df <= maxDf << the occupancy
-    // cap, so the star degradation never activates and the pair set
-    // matches the oracle's plain posting self-join. The explicit-N
-    // barrier before the explode keeps AQE from serializing the
-    // expansion (the bucket rows are few bytes; the rule 3 lesson).
-    // Consumed twice (high-df correction keys + final assembly) and
-    // OUTPUT-scale small — materialize so the expansion runs once.
-    val pairStats = materialize(winPost
+    // COUNT-BASED exact verify (r10, re-planned r11): one bucket
+    // expansion over the df-window postings computes, per doc pair,
+    // the candidacy test (∃ shared gram in both prefixes), the exact
+    // shared-gram count over df ∈ [2, maxDf], AND — because the
+    // members carry the per-doc scalars — both set sizes and high-df
+    // counts, so the aggregate emits threshold-ready rows with no
+    // candidate-scale join anywhere. The r9 probe measured the array
+    // verify join at 12.9×/decade (~62 GB shuffle at sf100); here the
+    // verify mass is Σ_h df(h)²/2 over window grams — bounded by
+    // maxDf/2 · |postings|, LINEAR in corpus size (sf10 measured:
+    // 45.8 M expansion rows off 12.9 M window postings) — and the r10
+    // high-df correction join, whose Σ_cand |A_high| fanout was
+    // measured this round at ~2 × 10⁹ rows / 5,400 cpu-s at sf10
+    // (the fixture carries ~26 high-df postings per doc, 1.01 M grams
+    // above the window), is GONE: high-df grams enter through the
+    // upper-bound gate + survivor refine below instead. Per-gram
+    // expansion is bounded by df <= maxDf << the occupancy cap, so the
+    // star degradation never activates and the pair set matches the
+    // oracle's plain posting self-join. The explicit-N barrier before
+    // the explode keeps AQE from serializing the expansion (the bucket
+    // rows are few bytes; the rule 3 lesson). The grouping key carries
+    // the four per-doc scalars — functionally dependent on
+    // (doc_a, doc_b), so the groups are identical.
+    val pairStats = winPost
       .groupBy(col("h"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("pfx"))))
-        .as("members"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pfx"),
+        col("n_gs"), col("nh")))).as("members"))
       .filter(size(col("members")) >= 2)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(elementPairs("members")).as("p"))
       .select(col("p.l.doc_id").as("doc_a"), col("p.r.doc_id").as("doc_b"),
-        (col("p.l.pfx") && col("p.r.pfx")).as("bp"))
-      .groupBy(col("doc_a"), col("doc_b"))
+        (col("p.l.pfx") && col("p.r.pfx")).as("bp"),
+        col("p.l.n_gs").as("n_a"), col("p.r.n_gs").as("n_b"),
+        col("p.l.nh").as("nh_a"), col("p.r.nh").as("nh_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("nh_a"), col("nh_b"))
       .agg(count(lit(1)).as("c_win"), max(col("bp")).as("is_cand"))
       .filter(col("is_cand") && col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("c_win")))
 
-    // High-df correction: grams with df > maxDf are excluded from the
-    // window scan but CAN sit in a candidate pair's intersection, so
-    // |A∩B| = c_win + |A∩B ∩ {df > maxDf}|. The correction join is
-    // restricted to candidate pairs (never a per-gram expansion — a
-    // df-10⁶ gram must not fan out quadratically): candidates pick up
-    // doc_a's high grams by key, then an equi-join on (doc_b, h) keeps
-    // exactly the shared ones. Mass = Σ_cand |A_high| rows of 24 B —
-    // linear in candidates. On corpora whose df distribution stays
-    // under maxDf (this fixture family at every measured SF: max df 6)
-    // highPost is empty and AQE collapses both joins to empty relations.
-    val highPost = annotated.filter(col("df") > maxDf)
-      .select(col("doc_id"), col("h"))
-    val cHigh = pairStats.select(col("doc_a"), col("doc_b"))
-      .join(highPost.select(col("doc_id").as("doc_a"), col("h")),
-        Seq("doc_a"))
-      .join(highPost.select(col("doc_id").as("doc_b"), col("h")),
-        Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c_high"))
+    // Upper-bound gate: |A∩B| = c_win + |A_high ∩ B_high| and the high
+    // part can never exceed min(nh_a, nh_b), so
+    //   jaccard <= (c_win + min(nh)) / (n_a + n_b - c_win - min(nh))
+    // (the bound is monotone in the intersection). Pairs failing the
+    // bound cannot pass the threshold — they are dropped HERE, at
+    // candidate scale, with arithmetic only. What survives is output
+    // scale (near-dups plus near-misses), so the exact high-df
+    // intersection can afford per-pair arrays. Consumed twice
+    // (survivor doc list + final assembly) and tiny — materialize.
+    val bounded = materialize(pairStats
+      .withColumn("ub", col("c_win") + least(col("nh_a"), col("nh_b")))
+      .filter(col("ub").cast("double") /
+        (col("n_a") + col("n_b") - col("ub")) >= threshold)
+      .drop("ub", "is_cand"))
 
-    // Sizes ride the cached per-doc table (12 B rows), never arrays.
-    val narrow = pairStats
-      .join(cHigh, Seq("doc_a", "doc_b"), "left")
-      .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a")),
-        Seq("doc_a"))
-      .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b")),
-        Seq("doc_b"))
-      .withColumn("n_inter", col("c_win") + coalesce(col("c_high"), lit(0L)))
+    // Survivor refine: exact |A_high ∩ B_high| via the compiled sorted
+    // long-merge kernel over the two docs' high-df arrays. The arrays
+    // are first semi-reduced to the survivor docs (broadcast inner
+    // join — survivors are output scale), so the per-doc array table
+    // the left joins probe is output-scale too and broadcasts; no
+    // array ever rides a candidate-scale shuffle. On corpora whose df
+    // stays under maxDf (the sf0.01 oracle fixture: max df 6) gHigh is
+    // empty and the whole refine collapses to empty broadcasts.
+    val survDocs = bounded.select(col("doc_a").as("doc_id"))
+      .union(bounded.select(col("doc_b")))
+      .distinct()
+    val gHighSurv = gHigh.join(broadcast(survDocs), Seq("doc_id"))
+    val narrow = bounded
+      .join(broadcast(gHighSurv.select(col("doc_id").as("doc_a"),
+        col("hh").as("hh_a"))), Seq("doc_a"), "left")
+      .join(broadcast(gHighSurv.select(col("doc_id").as("doc_b"),
+        col("hh").as("hh_b"))), Seq("doc_b"), "left")
+      .withColumn("c_high",
+        when(col("hh_a").isNull || col("hh_b").isNull, lit(0L))
+          .otherwise(expr("graft_sorted_inter_count_long(hh_a, hh_b)")
+            .cast("long")))
+      .withColumn("n_inter", col("c_win") + col("c_high"))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
@@ -547,7 +582,7 @@ object Dedup {
     // depend on makes CacheManager try to REBUILD the dependents
     // in-place (non-cascading unpersist), which both re-pins them and
     // can NPE once the session is tearing down
-    unpersistAfterFirstAction(result, pairStats, annotated, g)
+    unpersistAfterFirstAction(result, bounded, gHigh, annotated, g)
   }
 
   /** [EXT] Train/test contamination check — the eval-integrity op every

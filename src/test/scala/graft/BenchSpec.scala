@@ -45,6 +45,9 @@ class BenchSpec extends SparkTestBase {
       """{"final":{"value":1.0},"queries":{"q1":0.5,"q2":2.25}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(Bench.prevWalls(f.toString) == Map("q1" -> 0.5, "q2" -> 2.25))
+    // sf gating: walls only apply at the capture's own scale factor
+    assert(Bench.prevWalls(f.toString,
+      forSfDir = Some("/tmp/graft_sf10")).isEmpty)
     // absent / malformed files degrade to empty, never throw
     assert(Bench.prevWalls("/nonexistent/nope.json").isEmpty)
     java.nio.file.Files.write(f, "not json".getBytes)

@@ -148,6 +148,60 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(pairs.head._3 - 0.5) < 1e-9)
   }
 
+  test("high-df grams count toward exact jaccard via the survivor refine") {
+    // df("a b c") = 3 > maxDf=2: excluded from candidacy blocking but
+    // MUST count toward |A∩B| — (0,1) gets candidacy from the window
+    // gram "b c d" (df 2) and passes 0.4 ONLY with the high gram
+    // counted: inter {abc,bcd} = 2, union 4 -> 0.5. Without the high
+    // contribution the jaccard would read 1/5 = 0.2 and the pair would
+    // be lost. (3,4) is a candidate via "p q r" (df 2) but its true
+    // jaccard 1/5 = 0.2 fails the threshold — the upper-bound gate
+    // must drop it without fetching any array.
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d x"),
+      (2L, "a b c z y"),
+      (3L, "p q r s t"),
+      (4L, "p q r u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, maxDf = 2, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 1L, 0.5)))
+  }
+
+  test("with high-df grams present, pairs match the string brute force " +
+    "(fixture, maxDf=3)") {
+    // sf0.001's df distribution reaches 6, so maxDf=3 forces a real
+    // high-df population through the ub-gate + survivor-refine path;
+    // the reference is candidates from the df-window alone (prefix
+    // filtering loses no pair at or above the threshold) with exact
+    // jaccard over the string shingle sets.
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = Dedup.ngramJaccardPairs(docs, maxDf = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val g = Dedup.withShingles(docs).select($"doc_id", $"gs")
+    val ex = g.select($"doc_id", explode($"gs").as("gram"))
+    val dfTab = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    assert(dfTab.filter($"df" > 3).count() > 0,
+      "fixture must exercise the high-df path at maxDf=3")
+    val rare = dfTab.filter($"df" >= 2 && $"df" <= 3).select("gram")
+    val candOld = ex.join(rare, "gram")
+      .groupBy("gram").agg(collect_list($"doc_id").as("ids"))
+      .select(explode(expr(s"graft_pairs(array_sort(ids), 1024)")).as("p"))
+      .select($"p.l".as("doc_a"), $"p.r".as("doc_b")).distinct()
+    val expected = candOld
+      .join(g.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
+      .join(g.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
+      .withColumn("ni", size(array_intersect($"gs_a", $"gs_b")))
+      .withColumn("jaccard", round($"ni".cast("double") /
+        (size($"gs_a") + size($"gs_b") - $"ni"), 6))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   test("ngramJaccard wide-hash mode agrees with 60-bit mode on real docs") {
     // Same candidates by construction (posting stays 60-bit); the
     // verify counts agree wherever 60-bit collisions are absent — i.e.
