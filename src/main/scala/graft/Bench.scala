@@ -194,6 +194,25 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_INITIAL_PARTITIONS=<n>: AQE shuffles start WIDE and
+    // coalesce down by observed size — the overshoot-and-coalesce
+    // sizing large-scale runs need. With the width pinned at
+    // shuffle.partitions=32, the sf100 probe measured x06's expansion
+    // aggregate spilling to a sort fallback (458 M rows -> 14 M
+    // rows/partition): 266.9 s wall / 6,702 cpu-s, recovered to
+    // 178.9 s / 3,835 cpu-s at 256 initial partitions — the third
+    // decade goes from 17x to ~11x (linear) per 10x data. NOT the
+    // default: at sf0.1 the same setting cost +17 s suite-wide
+    // (+10%), concentrated in iterative/micro-batch queries (x49 3x,
+    // q94 2.6x — per-shuffle setup x iteration count), caught by the
+    // regression gate on its first run. Per-scale shuffle sizing is
+    // the operational reality — a 100 TB job sets this (or
+    // shuffle.partitions) to cluster scale; the oracle-scale suite
+    // keeps 32. Explicit repartition(N) barriers are exempt from
+    // coalescing either way.
+    sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
+      builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
     // local debugging: SPARK_GRAFT_EVENTLOG=<dir> records stage/task
     // timelines for post-hoc analysis of plan pathologies
     val spark = sys.env.get("SPARK_GRAFT_EVENTLOG")
