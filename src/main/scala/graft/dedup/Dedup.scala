@@ -381,14 +381,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text",
                         wideHash: Boolean = false): DataFrame = {
-    // The count-based verify's bucket expansion reuses graft_pairs with
-    // cap = MaxBucketOccupancy; a bucket is one gram's df<=maxDf posting
-    // list, so the cap can only bind when maxDf exceeds it — and when it
-    // binds it silently UNDERCOUNTS c_win, which here is an exactness
-    // input, not a recall knob. Refuse rather than degrade.
-    require(maxDf <= MaxBucketOccupancy,
-      s"maxDf=$maxDf exceeds the pair-expansion cap $MaxBucketOccupancy: " +
-        "the exact shared-gram count would silently undercount")
+    // The bucket expansion's graft_pairs cap must COVER maxDf: a bucket
+    // is one gram's df<=maxDf posting list, and a binding cap would
+    // silently UNDERCOUNT c_win — here an exactness input, not a recall
+    // knob (r10 advisor). So the cap is max(MaxBucketOccupancy, maxDf):
+    // exact always; a caller passing a huge maxDf (e.g. RecallSpec's
+    // ground-truth runs) has explicitly opted into per-bucket
+    // expansions of C(df,2) and owns that memory trade.
+    val pairCap = math.max(MaxBucketOccupancy, maxDf)
     // NARROW representation: each document's distinct shingle set is
     // carried as its sorted 60-bit md5 gram hashes (the same
     // [[hash60Sql]] family everything else uses), not as the gram
@@ -497,7 +497,7 @@ object Dedup {
         col("n_gs"), col("nh")))).as("members"))
       .filter(size(col("members")) >= 2)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(explode(elementPairs("members")).as("p"))
+      .select(explode(expr(s"graft_pairs(members, $pairCap)")).as("p"))
       .select(col("p.l.doc_id").as("doc_a"), col("p.r.doc_id").as("doc_b"),
         (col("p.l.pfx") && col("p.r.pfx")).as("bp"),
         col("p.l.n_gs").as("n_a"), col("p.r.n_gs").as("n_b"),
