@@ -378,9 +378,17 @@ object Dedup {
     * running); a corpus where most candidate pairs pass would make the
     * refine a broadcast of the output — at that point the output
     * itself is the scale problem, not the refine. */
+  /** Below this corpus size the ARRAY verify regime (per-pair sorted
+    * gram arrays + merge kernel) beats the COUNT regime's fixed stage
+    * costs; above it the array shuffle's per-pair byte floor takes
+    * over (measured crossover between 5·10⁴ and 5·10⁵ docs — see the
+    * regime comment in [[ngramJaccardPairs]]). */
+  val SmallCorpusMaxDocs = 100000L
+
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text",
-                        wideHash: Boolean = false): DataFrame = {
+                        wideHash: Boolean = false,
+                        smallCorpusMaxDocs: Long = SmallCorpusMaxDocs): DataFrame = {
     // The bucket expansion's graft_pairs cap must COVER maxDf: a bucket
     // is one gram's df<=maxDf posting list, and a binding cap would
     // silently UNDERCOUNT c_win — here an exactness input, not a recall
@@ -441,6 +449,90 @@ object Dedup {
     // would keep — the prefix set is IDENTICAL, but the per-doc sort no
     // longer carries the high-df posting rows, which are the bulk of
     // the exploded mass in any corpus with common grams.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // Shared candidacy base for both verify regimes below: window
+    // postings with their per-doc prefix flag.
+    val winBase = annotated
+      .filter(col("df") <= maxDf)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("pfx", col("rnk") <=
+        col("n_gs") - ceil(col("n_gs") * lit(threshold)) + lit(1))
+
+    // Wide mode = narrow prefilter + 120-bit REFINE on survivors (the
+    // x57 rerank shape applied to dedup), identical for both regimes.
+    // Lossless: the (h0,h1) pair-merge count can only match where the
+    // h0 merge matched, so inter120 <= inter60 pairwise and the narrow
+    // threshold pass is a SUPERSET of the wide result — the refine
+    // re-scores survivors from hs2 and re-applies the threshold,
+    // correcting any 60-bit collision inflation. Survivors are the
+    // OUTPUT scale (thousands), not the candidate scale (tens of
+    // millions), so they broadcast and the 2x-wide arrays never ride a
+    // shuffle: r9's sf10 probe measured the wide-everywhere verify at
+    // 2.5-3x the narrow CPU purely from array bytes.
+    def wideRefine(narrow: DataFrame): DataFrame = {
+      val survivors = broadcast(
+        narrow.select(col("doc_a"), col("doc_b")).distinct())
+      survivors
+        .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
+          col("hs2").as("v2_a")), Seq("doc_a"))
+        .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
+          col("hs2").as("v2_b")), Seq("doc_b"))
+        .withColumn("n_inter",
+          expr("graft_sorted_inter_count_long2(v2_a, v2_b)"))
+        .withColumn("jaccard", round(
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+
+    // TWO verify regimes, same exact semantics, gated by corpus size
+    // (the r10-verdict's crossover suggestion, both paths measured and
+    // hash-green against the one string oracle):
+    //  - ARRAY (small corpora): candidate pairs from the prefix-only
+    //    posting expansion; each pair co-locates the two full sorted
+    //    gram-hash arrays once and the compiled long-merge kernel
+    //    counts |A∩B| — inherently exact at any df. Per-pair byte
+    //    floor ~470 B x candidates: ~3.7 GB shuffle at 10⁵ docs, fine;
+    //    ~37 GB at 10⁶, not. Measured x06 walls: 2.2 s sf0.1 / 4.1 s
+    //    sf1 — below the count plan's fixed stage costs at these
+    //    scales (4.6 / 6.9).
+    //  - COUNT (everything larger): the r11 expansion + upper-bound
+    //    gate + survivor refine below — linear shuffle mass, measured
+    //    14.7 s at sf10 (array: 52.6 s) and 170.9 s at sf100 (array:
+    //    exceeds sandbox disk).
+    // The count() gating probe is one metadata-cheap job on a plain
+    // scan (parquet footer counts) and pennies next to either plan.
+    if (docs.count() <= smallCorpusMaxDocs) {
+      val cand = winBase
+        .filter(col("pfx"))
+        .groupBy(col("h"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(explode(expr(s"graft_pairs(ids, $pairCap)")).as("p"))
+        .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
+        .distinct()
+        // explicit-N barrier: the candidate set is small in BYTES but
+        // each pair costs a verify — AQE would coalesce the distinct's
+        // output to 1-2 partitions and serialize the verify stage
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      val narrow = cand
+        .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
+          col("hs").as("v_a")), Seq("doc_a"))
+        .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
+          col("hs").as("v_b")), Seq("doc_b"))
+        .withColumn("n_inter",
+          expr("graft_sorted_inter_count_long(v_a, v_b)").cast("long"))
+        .withColumn("jaccard", round(
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= threshold)
+      val result =
+        if (!wideHash) narrow.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        else wideRefine(narrow)
+      return unpersistAfterFirstAction(result, annotated, g)
+    }
+
     // Per-doc high-df summary: the grams a doc holds whose df exceeds
     // the window (stop-shingles at corpus scale), as ONE sorted hash
     // array + its count per doc. Strictly linear: a df-10⁶ gram
@@ -452,18 +544,12 @@ object Dedup {
       .agg(sort_array(collect_list(col("h"))).as("hh"),
         count(lit(1)).as("nh")))
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     // Window postings carry the per-doc scalars (set size, high-df
     // count) INTO the bucket expansion so the pair aggregate needs no
     // join back against a per-doc table — at candidate scale (tens of
     // millions of rows) even two narrow equi-joins dominate; at posting
     // scale (this join, 4x fewer rows) one left join is cheap.
-    val winPost = annotated
-      .filter(col("df") <= maxDf)
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("pfx", col("rnk") <=
-        col("n_gs") - ceil(col("n_gs") * lit(threshold)) + lit(1))
+    val winPost = winBase
       .join(gHigh.select(col("doc_id"), col("nh")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("nh"))
       .select(col("doc_id"), col("h"), col("pfx"), col("n_gs"), col("nh"))
@@ -551,33 +637,7 @@ object Dedup {
     val result =
       if (!wideHash)
         narrow.select(col("doc_a"), col("doc_b"), col("jaccard"))
-      else {
-        // Wide mode = narrow prefilter + 120-bit REFINE on survivors
-        // (the x57 rerank shape applied to dedup). Lossless: the
-        // (h0,h1) pair-merge count can only match where the h0 merge
-        // matched, so inter120 <= inter60 pairwise and the narrow
-        // threshold pass is a SUPERSET of the wide result — the refine
-        // re-scores survivors from hs2 and re-applies the threshold,
-        // correcting any 60-bit collision inflation. Survivors are the
-        // OUTPUT scale (thousands), not the candidate scale (tens of
-        // millions), so they broadcast and the 2x-wide arrays never
-        // ride a shuffle: r9's sf10 probe measured the wide-everywhere
-        // verify at 2.5-3x the narrow CPU purely from array bytes.
-        val survivors = broadcast(
-          narrow.select(col("doc_a"), col("doc_b")).distinct())
-        survivors
-          .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
-            col("hs2").as("v2_a")), Seq("doc_a"))
-          .join(g.select(col("doc_id").as("doc_b"), col("n_gs").as("n_b"),
-            col("hs2").as("v2_b")), Seq("doc_b"))
-          .withColumn("n_inter",
-            expr("graft_sorted_inter_count_long2(v2_a, v2_b)"))
-          .withColumn("jaccard", round(
-            col("n_inter").cast("double") /
-              (col("n_a") + col("n_b") - col("n_inter")), 6))
-          .filter(col("jaccard") >= threshold)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      }
+      else wideRefine(narrow)
     // child-first unpersist order: dropping a relation that others
     // depend on makes CacheManager try to REBUILD the dependents
     // in-place (non-cascading unpersist), which both re-pins them and

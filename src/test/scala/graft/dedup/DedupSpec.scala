@@ -164,7 +164,11 @@ class DedupSpec extends SparkTestBase {
       (3L, "p q r s t"),
       (4L, "p q r u v")
     ).toDF("doc_id", "text")
-    val got = Dedup.ngramJaccardPairs(docs, maxDf = 2, threshold = 0.4)
+    // smallCorpusMaxDocs = 0 forces the COUNT regime (ub-gate +
+    // survivor refine) — the default gate would route 5 docs to the
+    // array regime, which is inherently exact at any df
+    val got = Dedup.ngramJaccardPairs(docs, maxDf = 2, threshold = 0.4,
+      smallCorpusMaxDocs = 0)
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((0L, 1L, 0.5)))
   }
@@ -177,9 +181,17 @@ class DedupSpec extends SparkTestBase {
     // filtering loses no pair at or above the threshold) with exact
     // jaccard over the string shingle sets.
     val docs = graft.Tables.documents(spark, sf0001)
-    val got = Dedup.ngramJaccardPairs(docs, maxDf = 3, threshold = 0.5)
+    val got = Dedup.ngramJaccardPairs(docs, maxDf = 3, threshold = 0.5,
+      smallCorpusMaxDocs = 0) // force the count regime under high df
       .select($"doc_a", $"doc_b", $"jaccard")
       .as[(Long, Long, Double)].collect().toSet
+    // and the ARRAY regime (the default gate at this corpus size) must
+    // produce the identical pair set — the regime switch is a physical
+    // choice, never a semantic one
+    val gotArray = Dedup.ngramJaccardPairs(docs, maxDf = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == gotArray, "verify regimes disagree")
     val g = Dedup.withShingles(docs).select($"doc_id", $"gs")
     val ex = g.select($"doc_id", explode($"gs").as("gram"))
     val dfTab = ex.groupBy("gram").agg(count(lit(1)).as("df"))
