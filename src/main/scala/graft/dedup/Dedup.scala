@@ -364,6 +364,13 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Below this corpus size the ARRAY verify regime (per-pair sorted
+    * gram arrays + merge kernel) beats the COUNT regime's fixed stage
+    * costs; above it the array shuffle's per-pair byte floor takes
+    * over (measured crossover between 5·10⁴ and 5·10⁵ docs — see the
+    * regime comment in [[ngramJaccardPairs]]). */
+  val SmallCorpusMaxDocs = 100000L
+
   /** `wideHash = true` re-scores the threshold survivors with 120-bit
     * gram hashes ([[graft.functions.DedupKernels.hash120Array]]): the
     * exact-jaccard claim then holds past ~10⁸ distinct grams, where
@@ -378,13 +385,6 @@ object Dedup {
     * running); a corpus where most candidate pairs pass would make the
     * refine a broadcast of the output — at that point the output
     * itself is the scale problem, not the refine. */
-  /** Below this corpus size the ARRAY verify regime (per-pair sorted
-    * gram arrays + merge kernel) beats the COUNT regime's fixed stage
-    * costs; above it the array shuffle's per-pair byte floor takes
-    * over (measured crossover between 5·10⁴ and 5·10⁵ docs — see the
-    * regime comment in [[ngramJaccardPairs]]). */
-  val SmallCorpusMaxDocs = 100000L
-
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int, threshold: Double,
                         textCol: String = "text",
                         wideHash: Boolean = false,
