@@ -45,8 +45,8 @@ object Bench {
       .mkString("[", ",", "]")
     // rows_only_by_design: queries with NO oracleSql entry — derived,
     // so the label can never drift from the contract. Bounded: the
-    // inexpressible set (file-CRC, sequential BPE) is a handful of
-    // names, never the suite.
+    // inexpressible set (file-CRC — DuckDB has no crc32) is a handful
+    // of names, never the suite.
     val ro = names(rowsOnly)
     // regressions: the artifact's own cross-round gate — queries whose
     // final (post-retime) wall still exceeds RegressFactor× the
@@ -78,6 +78,14 @@ object Bench {
   private[graft] val HotGcMinWall = 1.0
   private[graft] val RegressFactor = 1.5
   private[graft] val RegressMinDelta = 0.5
+
+  /** Retime-until-quiet bounds: a query whose best wall still trips the
+    * cross-round gate after its mandatory retime may take up to this
+    * many MORE samples per query, sharing one suite-wide extra wall
+    * budget. Two knobs so neither a persistently-loaded host (per-query
+    * cap) nor a genuinely-regressed round (suite budget) can loop. */
+  private[graft] val MaxExtraRetimes = 2
+  private[graft] val ExtraRetimeBudgetSec = 60.0
 
   /** Previous-round quiet per-query walls: `queries` map of the JSON at
     * SPARK_GRAFT_PREV_BENCH (default bench/BENCH_PREV.json, the
@@ -152,6 +160,45 @@ object Bench {
   /** Jiffies per second (USER_HZ); 100 on every mainstream Linux. */
   private[graft] val Hz = 100.0
 
+  /** Total regular-file bytes under `dir` (compressed parquet on disk).
+    * 0 where unreadable — the caller's cpu floor then applies. */
+  private[graft] def inputBytes(dir: String): Long =
+    try {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(p => try java.nio.file.Files.size(p)
+          catch { case scala.util.control.NonFatal(_) => 0L })
+        .sum()
+      finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** Scale-aware AQE pre-coalesce width: shuffles start this wide and
+    * coalesce DOWN by observed size. Derived from scanned input bytes
+    * at ~64 MiB per initial partition, rounded up to a power of two,
+    * floored at the cpu count and capped at 4096 — so the oracle-scale
+    * suite keeps exactly the old constant (sf0.1 = 16.7 MiB -> 32, no
+    * behavior change, the regression gate stays empty) while the third
+    * decade gets the width it measured as needing: the sf100 probe saw
+    * x06's 458 M-row expansion aggregate spill to the sort fallback at
+    * width 32 (266.9 s wall / 6,702 cpu-s), recovered to 178.9 s /
+    * 3,835 cpu-s at 256 — and 15.2 GiB / 64 MiB rounds to exactly 256.
+    * Input bytes are a proxy for shuffle mass (the spilling aggregate
+    * is intermediate, not input), but the engine's heavy shuffles are
+    * all bounded-linear in input (VERDICT r11 plan audit), so the
+    * proxy tracks. On a real cluster this is the sizing a job submit
+    * does from table stats; here it replaces the manual
+    * SPARK_GRAFT_INITIAL_PARTITIONS knob (which remains as an explicit
+    * override for A/B runs). Constant-256 was trialled and rejected
+    * (+10% at sf0.1, per-shuffle setup x iteration count on
+    * iterative/micro-batch queries) — scale-awareness is the point. */
+  private[graft] def derivedInitialPartitions(dir: String, cpus: Int): Int = {
+    val target = 64L << 20
+    val need = ((inputBytes(dir) + target - 1) / target).toInt
+    val pow2 = if (need <= 1) 1
+      else Integer.highestOneBit(need - 1) << 1
+    math.min(4096, math.max(cpus, pow2))
+  }
+
   /** Stop the local ChecksumFileSystem writing `.crc` sidecars. This
     * container has no libhadoop, so Hadoop's setPermission falls back
     * to a FORKED `chmod` per file create (Shell.execCommand) — thread
@@ -194,25 +241,22 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_INITIAL_PARTITIONS=<n>: AQE shuffles start WIDE and
-    // coalesce down by observed size — the overshoot-and-coalesce
-    // sizing large-scale runs need. With the width pinned at
-    // shuffle.partitions=32, the sf100 probe measured x06's expansion
-    // aggregate spilling to a sort fallback (458 M rows -> 14 M
-    // rows/partition): 266.9 s wall / 6,702 cpu-s, recovered to
-    // 178.9 s / 3,835 cpu-s at 256 initial partitions — the third
-    // decade goes from 17x to ~11x (linear) per 10x data. NOT the
-    // default: at sf0.1 the same setting cost +17 s suite-wide
-    // (+10%), concentrated in iterative/micro-batch queries (x49 3x,
-    // q94 2.6x — per-shuffle setup x iteration count), caught by the
-    // regression gate on its first run. Per-scale shuffle sizing is
-    // the operational reality — a 100 TB job sets this (or
-    // shuffle.partitions) to cluster scale; the oracle-scale suite
-    // keeps 32. Explicit repartition(N) barriers are exempt from
-    // coalescing either way.
-    sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
-      builder.config(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // AQE pre-coalesce width, derived from input bytes (see
+    // [[derivedInitialPartitions]]): sf0.1 and below resolve to the cpu
+    // floor (identical plans to every prior round), the sf100 probe
+    // family gets the 256 its x06 expansion aggregate measured as
+    // needing — with NO env knob. SPARK_GRAFT_INITIAL_PARTITIONS
+    // remains as an explicit override for local A/B only. Explicit
+    // repartition(N) barriers are exempt from coalescing either way.
+    val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption.filter(_ > 0))
+      .getOrElse(derivedInitialPartitions(sfDir, cpus.toInt))
+    if (initParts > cpus.toInt)
+      System.err.println(s"BENCH INITIAL_PARTITIONS $initParts " +
+        s"(input=${inputBytes(sfDir) >> 20} MiB)")
+    builder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      initParts.toString)
     // local debugging: SPARK_GRAFT_EVENTLOG=<dir> records stage/task
     // timelines for post-hoc analysis of plan pathologies
     val spark = sys.env.get("SPARK_GRAFT_EVENTLOG")
@@ -318,7 +362,13 @@ object Bench {
     // by name. (total still accumulates the absolute time spent.)
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=regex
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ONE defs snapshot for the whole run: the run functions timed below
+    // and the rows_only_by_design derivation in the final line must come
+    // from the same evaluation (r11 advisor — separate SparkEntry.queries
+    // / .oracleSql calls could disagree across an x37 train transition)
+    val defsSnap = SparkEntry.defs
+    val selected = defsSnap.map { case (k, d) => k -> d.fn }.toSeq
+      .sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     // SPARK_GRAFT_REPEAT>1 (local debugging): time each query N times in
     // this one JVM to separate JIT/codegen warmup from plan variance.
@@ -442,6 +492,20 @@ object Bench {
     def suspect(r: QRec): Boolean =
       r.ok && (r.hot || gcHeavy(r) || slowVsPrev(r))
     val byName = selected.toMap
+    // Retime-until-quiet budget (r11 verdict #4): the single-retime
+    // policy could still SHIP a contaminated wall when both windows
+    // were bad (r11's x47: 7.86 s official vs 2.51 s quiet, honestly
+    // flagged in `regressions` but flagged is worse than clean). A
+    // query whose best wall would STILL trip the cross-round gate after
+    // its first retime gets up to [[MaxExtraRetimes]] more samples,
+    // bounded by a suite-wide [[ExtraRetimeBudgetSec]] wall budget so a
+    // genuinely-regressed round can't loop (N_regressed × extras ×
+    // per-query wall is then the cap, and a real regression keeps its
+    // flag after the budget anyway — the gate reports truth either
+    // way, the extras just give transient windows more chances to have
+    // moved on).
+    var extraSpentSec = 0.0
+    var nRetimedTotal = 0
     val results = if (repeat == 1) {
       firstPass.map { r =>
         if (suspect(r)) {
@@ -450,17 +514,35 @@ object Bench {
             if (slowVsPrev(r)) Some(s"prev=${f3(prev(r.key))}s") else None)
             .flatten.mkString(",")
           System.err.println(s"BENCH RETIME ${r.key}: $why")
-          val r2 = measure(r.key, r.key, byName(r.key), retime = true)
-          // a FAILED retime is no measurement at all: keep the first
-          // sample untouched (r10 advisor — the old branch let a
+          // a FAILED retime is no measurement at all: keep the prior
+          // best untouched (r10 advisor — the old branch let a
           // crashed re-run clear the hot flag)
-          if (!r2.ok) r
-          else if (r2.sec < r.sec) r2.copy(hot = r.hot && r2.hot)
-          else r.copy(hot = r.hot && r2.hot)
+          var lastSampleSec = 0.0
+          def sample(best: QRec): QRec = {
+            nRetimedTotal += 1
+            val rn = measure(r.key, r.key, byName(r.key), retime = true)
+            lastSampleSec = math.abs(rn.sec)
+            if (!rn.ok) best
+            else if (rn.sec < best.sec) rn.copy(hot = best.hot && rn.hot)
+            else best.copy(hot = best.hot && rn.hot)
+          }
+          var best = sample(r)
+          var extras = 0
+          while (slowVsPrev(best) && extras < MaxExtraRetimes &&
+              extraSpentSec < ExtraRetimeBudgetSec) {
+            System.err.println(
+              s"BENCH RETIME ${r.key}: still prev=${f3(prev(r.key))}s, " +
+                s"extra ${extras + 1}/$MaxExtraRetimes " +
+                s"(budget ${f3(ExtraRetimeBudgetSec - extraSpentSec)}s)")
+            best = sample(best)
+            extraSpentSec += lastSampleSec
+            extras += 1
+          }
+          best
         } else r
       }
     } else firstPass
-    val nRetimed = if (repeat == 1) firstPass.count(suspect) else 0
+    val nRetimed = if (repeat == 1) nRetimedTotal else 0
     val nHot = results.count(_.hot)
     // the cross-round gate on the FINAL (post-retime) walls: still
     // slower than the previous quiet round after every second chance —
@@ -513,8 +595,9 @@ object Bench {
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(finalLine(total, totalOk, nFailed, sfDir, loadMaxSeen,
       otherMaxSeen, nHot, nRetimed,
-      rowsOnly = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
-        .toSeq.sorted,
+      rowsOnly = defsSnap.collect {
+        case (k, d) if d.oracle.isEmpty => k
+      }.toSeq.sorted,
       regressions = regressed))
     spark.stop()
   }

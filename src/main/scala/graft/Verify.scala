@@ -13,6 +13,10 @@ object Verify {
       // match Bench: runtime SMJ→shuffled-hash conversion for build
       // sides past the broadcast threshold (see Bench.scala rationale)
       .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "128m")
+      // match Bench: scale-aware AQE pre-coalesce width (cpu floor at
+      // oracle scale — identical plans; wide at probe scale)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Bench.derivedInitialPartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -24,7 +28,12 @@ object Verify {
     // Local-iteration filter (driver never sets it): re-dump only the
     // queries matching the regex; older dumps in outDir stay valid.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    SparkEntry.queries
+    // ONE defs snapshot: run functions and oracle SQL must come from the
+    // same evaluation so an x37 train-state transition between the two
+    // accesses can't pair a rows-only run with a fixture oracle (r11
+    // advisor — the spurious-hash-mismatch window).
+    val defsSnap = SparkEntry.defs
+    defsSnap.map { case (k, d) => k -> d.fn }
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -59,7 +68,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = defsSnap
+      .collect { case (k, d) if d.oracle.isDefined => k -> d.oracle.get }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

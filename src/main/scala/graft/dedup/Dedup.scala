@@ -502,9 +502,14 @@ object Dedup {
     //    gate + survivor refine below — linear shuffle mass, measured
     //    14.7 s at sf10 (array: 52.6 s) and 170.9 s at sf100 (array:
     //    exceeds sandbox disk).
-    // The count() gating probe is one metadata-cheap job on a plain
-    // scan (parquet footer counts) and pennies next to either plan.
-    if (docs.count() <= smallCorpusMaxDocs) {
+    // The gating probe counts g — the MATERIALIZED per-doc shingle
+    // table both regimes consume (one row per doc) — not the raw docs
+    // input: ngramJaccardPairs accepts arbitrary derived DataFrames,
+    // and a docs.count() would execute the caller's whole upstream plan
+    // an extra time before the real work starts (r11 advisor). Counting
+    // g instead warms the cache the first regime stage needs anyway, so
+    // the probe's cost is work the plan was about to do regardless.
+    if (g.count() <= smallCorpusMaxDocs) {
       val cand = winBase
         .filter(col("pfx"))
         .groupBy(col("h"))
@@ -602,10 +607,19 @@ object Dedup {
     // scale (near-dups plus near-misses), so the exact high-df
     // intersection can afford per-pair arrays. Consumed twice
     // (survivor doc list + final assembly) and tiny — materialize.
+    // The gate applies the SAME 6-decimal rounding as both regimes'
+    // final jaccard filters: round is monotone and the ub-jaccard
+    // dominates the exact jaccard (ub >= n_inter, the ratio is monotone
+    // in the intersection), so round(ub-jac) >= round(exact-jac) and
+    // the rounded gate can never be stricter than the final filter.
+    // Without the rounding, a pair whose exact jaccard lies in
+    // [threshold − 5e-7, threshold) would pass the array regime's
+    // rounded filter but be dropped here — a semantic (if practically
+    // unreachable) regime divergence (r11 advisor).
     val bounded = materialize(pairStats
       .withColumn("ub", col("c_win") + least(col("nh_a"), col("nh_b")))
-      .filter(col("ub").cast("double") /
-        (col("n_a") + col("n_b") - col("ub")) >= threshold)
+      .filter(round(col("ub").cast("double") /
+        (col("n_a") + col("n_b") - col("ub")), 6) >= threshold)
       .drop("ub", "is_cand"))
 
     // Survivor refine: exact |A_high ∩ B_high| via the compiled sorted

@@ -49,6 +49,118 @@ object TextQueries {
        |      0.3 * least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0) +
        |      0.3 * (1.0 - ($duckDigitRatio)), 6)""".stripMargin
 
+  /** Merge rules the x47/x49 surface learns (and their oracles unroll). */
+  val BpeRounds = 8
+
+  /** DuckDB mirror of the [[graft.operators.BpeTrain]] pipeline: word
+    * counts, code-point symbol arrays, then `rounds` UNROLLED CTE
+    * layers (the q94 pagerank idiom — the trained rules are corpus
+    * data, so the SQL must COMPUTE each round, not embed literals).
+    * Each layer k is:
+    *   p_k  pair frequencies over adjacent symbol positions,
+    *   t_k  the argmax pair under the same (freq DESC, l, r) total
+    *        order as BpeTrain (binary string comparison on both
+    *        engines = code-point order),
+    *   m/g/a/e_k  the strict LEFTMOST NON-OVERLAPPING merge, which a
+    *        string replace() gets wrong on repeated-symbol runs but is
+    *        exactly expressible positionally: candidate positions
+    *        (s[i],s[i+1])=(l,r) can only be consecutive when l=r, and
+    *        the greedy scan keeps a candidate iff its 0-based offset
+    *        within its maximal consecutive-candidate run is even — a
+    *        gaps-and-islands group (running count of non-candidates)
+    *        plus a parity test; consumed positions (predecessor
+    *        active) drop, active positions emit l||r via lead(s),
+    *   v_k  the re-assembled symbol arrays.
+    * Validated cell-for-cell against an independent Python
+    * implementation of the BpeKernels scan on sf0.01 before shipping
+    * (all 8 rules and all 500 encode rows identical). */
+  private def bpeVocabCtes(rounds: Int): String = {
+    val head = """WITH w AS (
+      |  SELECT word, count(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word
+      |),
+      |v0 AS (
+      |  SELECT word, cnt,
+      |    list_transform(range(1, length(word)+1),
+      |                   i -> substr(word, i, 1)) AS syms
+      |  FROM w
+      |)""".stripMargin
+    val layers = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS freq
+         |  FROM v${k - 1}, unnest(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |t$k AS (SELECT l, r, freq FROM p$k ORDER BY freq DESC, l, r LIMIT 1),
+         |m$k AS (
+         |  SELECT v.word, v.cnt, u.i, v.syms[u.i] AS s,
+         |    (u.i < len(v.syms) AND v.syms[u.i] = t.l
+         |      AND v.syms[u.i+1] = t.r) AS cand
+         |  FROM v${k - 1} v CROSS JOIN t$k t,
+         |    unnest(range(1, len(v.syms)+1)) AS u(i)
+         |),
+         |g$k AS (
+         |  SELECT word, cnt, i, s, cand,
+         |    sum(CASE WHEN cand THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY word ORDER BY i) AS grp
+         |  FROM m$k
+         |),
+         |a$k AS (
+         |  SELECT word, cnt, i, s, cand AND
+         |    (i - min(CASE WHEN cand THEN i END)
+         |           OVER (PARTITION BY word, grp)) % 2 = 0 AS active
+         |  FROM g$k
+         |),
+         |e$k AS (
+         |  SELECT word, cnt, i, s, active,
+         |    lag(active) OVER (PARTITION BY word ORDER BY i) AS prev_active,
+         |    lead(s) OVER (PARTITION BY word ORDER BY i) AS next_s
+         |  FROM a$k
+         |),
+         |v$k AS (
+         |  SELECT word, cnt,
+         |    list(CASE WHEN active THEN s || next_s ELSE s END
+         |         ORDER BY i) AS syms
+         |  FROM e$k
+         |  WHERE NOT coalesce(prev_active, false)
+         |  GROUP BY word, cnt
+         |)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + layers
+  }
+
+  /** x47 oracle: the `rounds` learned rules — one row per t_k layer.
+    * Assumes the corpus supports `rounds` merges (the fixtures do by
+    * orders of magnitude; BpeTrain stops early on exhaustion, which
+    * would be a row-count mismatch, i.e. loudly red, not silently
+    * green). */
+  private def bpeRulesOracle(rounds: Int): String =
+    bpeVocabCtes(rounds) + "\n" + (1 to rounds).map { k =>
+      s"""SELECT $k::INT AS step, l AS "left", r AS "right",
+         |  l || r AS merged, freq FROM t$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** x49 oracle: per-doc encode stats off the FINAL vocab layer — a
+    * word seen in training encodes to exactly its trained symbol
+    * array, so n_tokens is a join against len(v_rounds.syms) and
+    * n_symbols is the word's code-point length (= len(v0.syms)). */
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeVocabCtes(rounds) + s""",
+      |dw AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents)
+      |  WHERE length(word) > 0
+      |)
+      |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+      |  sum(length(d.word))::BIGINT AS n_symbols,
+      |  sum(len(v.syms))::BIGINT AS n_tokens,
+      |  ((sum(length(d.word)) - sum(len(v.syms))) * 1000
+      |    // sum(length(d.word)))::BIGINT AS saved_permille
+      |FROM dw d JOIN v$rounds v USING (word)
+      |GROUP BY d.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // capstone curation funnel: exact dedup (keep-first) → language
@@ -386,16 +498,18 @@ object TextQueries {
     // 2016) — learn the first merge rules of a tokenizer ON the corpus:
     // word counts once, then per-round pair-frequency aggregate + top-1
     // + codegen'd strict-leftmost merge over the distinct-word table
-    // (see operators/BpeTrain). rows-only BY DESIGN: the merge-apply
-    // step is sequential per word (leftmost non-overlapping) and not
-    // SQL-expressible — a string replace() encoding silently mismerges
-    // repeated-symbol runs. BpeSpec carries the correctness burden: an
-    // independent brute-force reference must agree rule-for-rule on the
-    // real corpus, plus adversarial run/overlap cases and a
-    // repartitioning-invariance check.
-    "x47_bpe_merges" -> QueryDef.rowsOnly { (s, dir) =>
+    // (see operators/BpeTrain). Oracle-checked since r12 (the r11
+    // verdict's stretch item): the sequential leftmost-non-overlapping
+    // merge is not expressible as a string replace(), but it IS
+    // expressible positionally — [[bpeVocabCtes]] unrolls the 8 rounds
+    // as generated CTE layers (the q94 pagerank idiom) with a
+    // gaps-and-islands parity pass standing in for the greedy scan.
+    // BpeSpec additionally keeps the independent brute-force
+    // rule-for-rule parity on the real corpus plus adversarial
+    // run/overlap cases and a repartitioning-invariance check.
+    "x47_bpe_merges" -> QueryDef(bpeRulesOracle(BpeRounds)) { (s, dir) =>
       graft.operators.BpeTrain.trainOnText(
-        s, Tables.documents(s, dir), "text", rounds = 8)
+        s, Tables.documents(s, dir), "text", rounds = BpeRounds)
     },
 
     // BPE ENCODE — the inference half of x47: replay the learned merge
@@ -403,16 +517,17 @@ object TextQueries {
     // same kernel tier training used) and report per-doc token counts
     // + the integer per-mille compression the vocabulary buys. The
     // whole rule chain folds into one nested codegen projection; no
-    // per-rule shuffle, no vocabulary broadcast. rows-only like x47
-    // (the sequential merge-apply is not SQL-expressible); BpeSpec's
-    // independent brute-force applier is the oracle.
-    "x49_bpe_encode" -> QueryDef.rowsOnly { (s, dir) =>
+    // per-rule shuffle, no vocabulary broadcast. Oracle since r12: the
+    // per-word token counts come straight off the final unrolled vocab
+    // layer (encode of a word seen in training IS its trained symbol
+    // count), joined back to per-doc words.
+    "x49_bpe_encode" -> QueryDef(bpeEncodeOracle(BpeRounds)) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val words = docs
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      val rules = graft.operators.BpeTrain.train(s, words, rounds = 8)
+      val rules = graft.operators.BpeTrain.train(s, words, rounds = BpeRounds)
       graft.operators.BpeTrain.encodeStats(docs, "text", rules)
     },
 

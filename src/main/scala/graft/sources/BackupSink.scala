@@ -121,8 +121,20 @@ object BackupSink {
     * it saves. SPARK_GRAFT_PUBLISH_THRESHOLD overrides for local A/B
     * measurement only (a huge value forces the driver loop — the
     * "before" arm of the r11 probe). */
-  val DistributedPublishThreshold: Int =
-    sys.env.get("SPARK_GRAFT_PUBLISH_THRESHOLD").map(_.toInt).getOrElse(64)
+  val DistributedPublishThreshold: Int = {
+    // defensive parse: this initializes at object load, and a malformed
+    // override ('64m', empty) would otherwise surface as an
+    // ExceptionInInitializerError breaking EVERY later BackupSink use
+    // with an unrelated-looking error (r11 advisor); a debugging knob
+    // must never be able to take the sink down
+    val raw = sys.env.get("SPARK_GRAFT_PUBLISH_THRESHOLD")
+    val parsed = raw.flatMap(s =>
+      scala.util.Try(s.trim.toInt).toOption.filter(_ > 0))
+    if (raw.isDefined && parsed.isEmpty)
+      System.err.println(s"[backup] ignoring malformed " +
+        s"SPARK_GRAFT_PUBLISH_THRESHOLD=${raw.get} (using default 64)")
+    parsed.getOrElse(64)
+  }
 
   /** Publish: renames of staged files into their leaf directories,
     * collision `-seq` suffixes (shared by the batch commit and every

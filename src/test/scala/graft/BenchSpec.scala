@@ -56,14 +56,15 @@ class BenchSpec extends SparkTestBase {
   }
 
   test("rows-only-by-design stays the known inexpressible set") {
-    // r8_crc32 (DuckDB has no crc32) and the sequential BPE pair are
-    // pinned by independent brute-force specs instead of oracles; any
-    // NEW oracle-less query must be a conscious decision, not an
-    // accident — this test is the tripwire.
+    // r8_crc32 is the ONLY remaining oracle-less query (DuckDB has no
+    // crc32; it is pinned by BackupSpec's file-level CRC checks
+    // instead). The BPE pair got unrolled-CTE oracles in r12. Any NEW
+    // oracle-less query must be a conscious decision, not an accident
+    // — this test is the tripwire.
     spark.sparkContext // force the session before oracleSql trains codebooks
     val rowsOnly =
       (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
-    assert(rowsOnly == Seq("r8_crc32", "x47_bpe_merges", "x49_bpe_encode"),
+    assert(rowsOnly == Seq("r8_crc32"),
       s"rows-only set changed: $rowsOnly")
   }
 
@@ -97,5 +98,31 @@ class BenchSpec extends SparkTestBase {
     // window this still holds the design invariant (final line value-only).
     val n = SparkEntry.queries.size
     assert(n >= 73, s"query surface shrank to $n — update SURVEY coverage")
+  }
+
+  test("derived AQE width: cpu floor at oracle scale, 256 at probe sf100") {
+    // The r12 contract (r11 verdict #1): the oracle-scale suite keeps
+    // EXACTLY the old constant (no plan change, regression gate stays
+    // empty) while the third decade gets the width its x06 expansion
+    // aggregate measured as needing (266.9 s spilled at 32 vs 178.9 s
+    // at 256). Pin both ends from the sizing math itself.
+    def widthFor(bytes: Long, cpus: Int): Int = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_width").toFile
+      try {
+        // one file of `bytes` sparse bytes — Files.size reads metadata
+        val f = new java.io.RandomAccessFile(
+          new java.io.File(dir, "x.parquet"), "rw")
+        try f.setLength(bytes) finally f.close()
+        Bench.derivedInitialPartitions(dir.getAbsolutePath, cpus)
+      } finally {
+        dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+      }
+    }
+    assert(widthFor(17L << 20, 32) == 32)           // sf0.1-shaped: floor
+    assert(widthFor(1557L << 20, 32) == 32)         // sf10-shaped: floor
+    assert(widthFor(15566L << 20, 32) == 256)       // sf100-shaped
+    assert(widthFor(15566L << 30, 32) == 4096)      // petabyte-shaped: cap
+    // unreadable dir -> 0 bytes -> the cpu floor, never a crash
+    assert(Bench.derivedInitialPartitions("/nonexistent/path", 32) == 32)
   }
 }

@@ -3,10 +3,13 @@ package graft.operators
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** BPE vocabulary induction: the spec IS the oracle (x47 is rows-only
-  * by design — the sequential merge-apply step is not SQL-expressible),
-  * so it carries an independent brute-force reference implementation
-  * that must agree rule-for-rule with the distributed operator. */
+/** BPE vocabulary induction: an independent brute-force reference
+  * implementation that must agree rule-for-rule with the distributed
+  * operator. Since r12 x47/x49 ALSO have DuckDB oracles (unrolled CTE
+  * layers — TextQueries.bpeVocabCtes); this spec stays as the
+  * second, SQL-free line of evidence plus the adversarial cases
+  * (repeated-symbol runs, surrogates, repartition invariance) the
+  * fixture corpus may not exercise. */
 class BpeSpec extends SparkTestBase {
 
   /** Independent reference: naive in-memory BPE over a word-count map.
