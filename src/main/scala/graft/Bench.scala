@@ -36,7 +36,8 @@ object Bench {
       total: Double, totalOk: Double, nFailed: Int, sfDir: String,
       loadMax: Double = -1.0, otherMax: Double = -1.0, nHot: Int = 0,
       nRetimed: Int = 0, rowsOnly: Seq[String] = Nil,
-      regressions: Seq[String] = Nil): String = {
+      regressions: Seq[String] = Nil,
+      initialPartitions: Int = -1, inputMib: Long = -1L): String = {
     // sfDir is operator-controlled, but this is the one line that must
     // ALWAYS parse — escape the two characters that can break JSON
     val sf = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -54,7 +55,13 @@ object Bench {
     // the name list is capped so a pathological round can't regrow the
     // r03 line-clip failure mode.
     val rg = names(regressions.take(12))
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"load_max":${f3(loadMax)},"other_max":${f3(otherMax)},"n_hot":$nHot,"n_retimed":$nRetimed,"n_regressed":${regressions.size},"regressions":$rg,"rows_only_by_design":$ro,"sf":"$sf"}"""
+    // initial_partitions/input_mib: the derived AQE pre-coalesce width
+    // and the input size it was derived from — every artifact (official
+    // or probe) is then self-describing about its sizing, so a
+    // mis-sized run is readable off the artifact itself instead of
+    // needing the stderr BENCH INITIAL_PARTITIONS line (r12 verdict #3,
+    // same lesson as the r8 load telemetry).
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"load_max":${f3(loadMax)},"other_max":${f3(otherMax)},"n_hot":$nHot,"n_retimed":$nRetimed,"n_regressed":${regressions.size},"regressions":$rg,"rows_only_by_design":$ro,"initial_partitions":$initialPartitions,"input_mib":$inputMib,"sf":"$sf"}"""
   }
 
   /** More than this many CPU cores of FOREIGN work (host busy minus
@@ -248,12 +255,13 @@ object Bench {
     // needing — with NO env knob. SPARK_GRAFT_INITIAL_PARTITIONS
     // remains as an explicit override for local A/B only. Explicit
     // repartition(N) barriers are exempt from coalescing either way.
+    val inputMib = inputBytes(sfDir) >> 20
     val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption.filter(_ > 0))
       .getOrElse(derivedInitialPartitions(sfDir, cpus.toInt))
     if (initParts > cpus.toInt)
       System.err.println(s"BENCH INITIAL_PARTITIONS $initParts " +
-        s"(input=${inputBytes(sfDir) >> 20} MiB)")
+        s"(input=$inputMib MiB)")
     builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       initParts.toString)
@@ -528,8 +536,14 @@ object Bench {
           }
           var best = sample(r)
           var extras = 0
+          // budget gate on PREDICTED cost (spent so far + the best wall
+          // as the next sample's estimate), not spent-so-far alone: the
+          // old check admitted one more sample whenever any budget
+          // remained, so a single probe-scale query (x06 sf100
+          // ~171-267 s) could overshoot the 60 s suite budget by a full
+          // wall — tripling it (r12 advisor).
           while (slowVsPrev(best) && extras < MaxExtraRetimes &&
-              extraSpentSec < ExtraRetimeBudgetSec) {
+              extraSpentSec + best.sec < ExtraRetimeBudgetSec) {
             System.err.println(
               s"BENCH RETIME ${r.key}: still prev=${f3(prev(r.key))}s, " +
                 s"extra ${extras + 1}/$MaxExtraRetimes " +
@@ -598,7 +612,8 @@ object Bench {
       rowsOnly = defsSnap.collect {
         case (k, d) if d.oracle.isEmpty => k
       }.toSeq.sorted,
-      regressions = regressed))
+      regressions = regressed,
+      initialPartitions = initParts, inputMib = inputMib))
     spark.stop()
   }
 }

@@ -17,16 +17,22 @@ class BenchSpec extends SparkTestBase {
     // a long sf dir, the CURRENT rows-only list (derived — grows only
     // if an operator is added without an oracle, which this bound then
     // polices too). Still must fit with headroom.
-    spark.sparkContext // force the session before oracleSql trains codebooks
-    val rowsOnly =
-      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    spark.sparkContext // force the session before defs trains codebooks
+    // ONE defs snapshot (not separate queries/oracleSql evaluations):
+    // the same double-snapshot race Bench/Verify fixed in r12 — an x37
+    // train-state transition between two calls could flake this (r12
+    // advisor).
+    val rowsOnly = SparkEntry.defs.collect {
+      case (k, d) if d.oracle.isEmpty => k
+    }.toSeq.sorted
     val line = Bench.finalLine(
       total = 99999.999, totalOk = 99999.999, nFailed = 999,
       sfDir = "/root/testdata/sf0.1", loadMax = 999.999,
       otherMax = 999.999, nHot = 999, nRetimed = 999, rowsOnly = rowsOnly,
       // worst case: a pathological round regresses MANY queries — the
       // rendered list must stay capped regardless
-      regressions = (1 to 500).map(i => f"q$i%02d_some_longish_name"))
+      regressions = (1 to 500).map(i => f"q$i%02d_some_longish_name"),
+      initialPartitions = 4096, inputMib = 99999999L)
     val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     assert(bytes < 1700, s"final line is $bytes bytes: $line")
   }
@@ -61,9 +67,11 @@ class BenchSpec extends SparkTestBase {
     // instead). The BPE pair got unrolled-CTE oracles in r12. Any NEW
     // oracle-less query must be a conscious decision, not an accident
     // — this test is the tripwire.
-    spark.sparkContext // force the session before oracleSql trains codebooks
-    val rowsOnly =
-      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    spark.sparkContext // force the session before defs trains codebooks
+    // one defs snapshot — same race-avoidance as above (r12 advisor)
+    val rowsOnly = SparkEntry.defs.collect {
+      case (k, d) if d.oracle.isEmpty => k
+    }.toSeq.sorted
     assert(rowsOnly == Seq("r8_crc32"),
       s"rows-only set changed: $rowsOnly")
   }
@@ -79,7 +87,8 @@ class BenchSpec extends SparkTestBase {
     val keys = "\"(\\w+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
     assert(keys == Seq("metric", "value", "unit", "total_ok", "n_failed",
       "load_max", "other_max", "n_hot", "n_retimed", "n_regressed",
-      "regressions", "rows_only_by_design", "sf"))
+      "regressions", "rows_only_by_design", "initial_partitions",
+      "input_mib", "sf"))
   }
 
   test("final line is valid minimal JSON with the keys the driver parses") {

@@ -15,13 +15,28 @@ cd "$(dirname "$0")/.."
 src="${1:-$(ls -t bench/BENCH_local_r*.json 2>/dev/null | head -1)}"
 [ -n "$src" ] && [ -f "$src" ] || { echo "no quiet capture found" >&2; exit 1; }
 python3 - "$src" <<'EOF'
-import json, sys
+import json, os, sys
 d = json.load(open(sys.argv[1]))
-assert d.get("final", {}).get("sf"), "capture has no final.sf"
+sf = d.get("final", {}).get("sf")
+assert sf, "capture has no final.sf"
+# The promoted capture must be at the SAME scale factor as the current
+# reference (or the official sf0.1 suite when no reference exists yet):
+# the no-arg path picks the newest BENCH_local_r*.json by mtime, so a
+# probe capture at /tmp/graft_sf10 could otherwise be promoted — after
+# which Bench.prevWalls(forSfDir) returns empty and every sf-gated
+# retime/regression trigger is silently disabled (r12 advisor).
+expected = "/root/testdata/sf0.1"
+if os.path.isfile("bench/BENCH_PREV.json"):
+    prev_sf = json.load(open("bench/BENCH_PREV.json")) \
+        .get("final", {}).get("sf")
+    if prev_sf:
+        expected = prev_sf
+assert sf == expected, \
+    f"capture sf {sf!r} != reference sf {expected!r} — refusing to promote"
 qs = d.get("queries", {})
 assert len(qs) >= 50, f"capture has only {len(qs)} queries"
 print(f"promoting {sys.argv[1]}: {len(qs)} queries at "
-      f"{d['final']['sf']}, total {d['final'].get('value')}s")
+      f"{sf}, total {d['final'].get('value')}s")
 EOF
 cp "$src" bench/BENCH_PREV.json
 echo "bench/BENCH_PREV.json <- $src"

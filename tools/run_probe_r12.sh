@@ -17,4 +17,8 @@ run() { # dir label family
 case "$1" in
   sf100) run /tmp/graft_sf100 sf100_a "$SF100FAMILY" ;;
   sf10)  run /tmp/graft_sf10  sf10_a  "$SF100FAMILY" ;;
+  # no silent no-op: invoking with no/unknown argument must fail loudly
+  # (r12 advisor — the no-default case let the round-end ritual "succeed"
+  # while producing no rows, which is exactly what happened in r12)
+  *) echo "usage: run_probe_r12.sh sf10|sf100" >&2; exit 1 ;;
 esac
