@@ -159,9 +159,18 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)
       // comm can contain spaces — parse after the closing paren:
       // state ppid pgrp session tty tpgid flags minflt cminflt majflt
-      // cmajflt utime(11) stime(12)
+      // cmajflt utime(11) stime(12) cutime(13) cstime(14).
+      // cutime/cstime (reaped children) COUNT AS SELF: this container
+      // has no libhadoop, so every backup file create forks a `chmod`
+      // (Shell.execCommand) — short-lived, reaped children whose CPU
+      // the old utime+stime read missed, making the backup streamers
+      // flag THEMSELVES as foreign load (s18 showed other_cores≈5.5
+      // at sf10 AND sf100 in r11+r13 probes — both scales, only s18 —
+      // while genuinely-quiet queries in the same windows read ~0).
+      // A child forked by this JVM is our work, not another tenant's.
       val f = selfStat.substring(selfStat.lastIndexOf(')') + 2).split(" ")
-      (busy, iowait, f(11).toLong + f(12).toLong)
+      (busy, iowait,
+        f(11).toLong + f(12).toLong + f(13).toLong + f(14).toLong)
     } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
 
   /** Jiffies per second (USER_HZ); 100 on every mainstream Linux. */

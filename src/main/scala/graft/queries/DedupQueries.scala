@@ -135,6 +135,56 @@ object DedupQueries {
        |SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
        |FROM newb n JOIN corpc c USING (band, bucket)""".stripMargin
 
+  /** Oracle for the ROLLING ingest pipeline (x60): three "days"
+    * (src7, src8, src9) arrive in order against a base corpus of the
+    * other 17 sources. Day k's batch probes the occupancy-capped view
+    * of the posting log as of day k-1 (base + POSTINGS OF ADMITTED
+    * docs only — rejected docs never enter the index), admits docs
+    * with no candidate, and appends the admitted docs' postings. The
+    * day loop is a fixed 3-element unroll (the BPE-oracle idiom), so
+    * the sequential day-over-day state is expressed as generated CTE
+    * layers; the cap is re-evaluated per day over the grown log, so a
+    * bucket can fill up mid-sequence and stop producing candidates —
+    * exactly what [[graft.dedup.Dedup.capPostings]] at probe time
+    * does. */
+  private[queries] val duckRollingIngestSql: String = {
+    val days = Seq("src7", "src8", "src9")
+    val dayList = days.map(d => s"'$d'").mkString(", ")
+    val layers = days.zipWithIndex.map { case (day, i) =>
+      val k = i + 1
+      s"""c$k AS (SELECT band, bucket FROM p${k - 1}
+         |  GROUP BY band, bucket
+         |  HAVING count(*) <= $MaxBucketOccupancy),
+         |n$k AS (SELECT band, bucket, doc_id FROM b2 WHERE source = '$day'),
+         |dup$k AS (SELECT DISTINCT n.doc_id
+         |  FROM n$k n
+         |  JOIN (SELECT p.* FROM p${k - 1} p JOIN c$k USING (band, bucket)) c
+         |  USING (band, bucket)),
+         |adm$k AS (SELECT doc_id FROM documents
+         |  WHERE source = '$day'
+         |    AND doc_id NOT IN (SELECT doc_id FROM dup$k)),
+         |p$k AS (SELECT * FROM p${k - 1}
+         |  UNION ALL
+         |  SELECT n.* FROM n$k n JOIN adm$k USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val sel = days.indices.map { i =>
+      val k = i + 1
+      s"""SELECT $k AS ingest_day, d.doc_id, d.n_chars
+         |FROM documents d JOIN adm$k USING (doc_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       |s AS (SELECT doc_id, $duckShingles gs FROM d),
+       |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+       |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+       |bands AS ($duckBands),
+       |b2 AS (SELECT bands.*, d2.source FROM bands
+       |       JOIN documents d2 USING (doc_id)),
+       |p0 AS (SELECT band, bucket, doc_id FROM b2
+       |       WHERE source NOT IN ($dayList)),
+       |$layers
+       |$sel""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // reproducible train/val/test split: the portable 60-bit hash of the
@@ -332,6 +382,71 @@ object DedupQueries {
         .write.mode("overwrite").parquet(idxPath)
       Dedup.lshProbePairs(s.read.parquet(idxPath),
         docs.filter(col("source") === "src7"))
+    },
+
+    // ROLLING ingest pipeline — x51's incremental probe CHAINED into
+    // s25's admit gate, day over day (r12 verdict #5): three "daily"
+    // batches (src7, src8, src9) arrive in order against the persisted
+    // posting log of the other 17 sources. Each day reads the log as
+    // yesterday's job left it, probes the occupancy-capped view
+    // (capPostings at probe time, the s23 invariance shape), admits
+    // only docs with no near-dup candidate, and appends ONLY the
+    // admitted docs' postings — so a doc rejected on day 1 never
+    // blocks a day-2 doc, and day 2 IS gated on day 1's admissions
+    // (the state the isolated x51/s25 checks can't see). Every write
+    // goes to a fixed batch=<id>/day=<k> subdir with mode=overwrite
+    // (idempotent replays, no stale state across reruns in one JVM);
+    // the result is read back from the admitted-doc log, the same
+    // yesterday-wrote-today-reads contract as x51. At 100 TB each
+    // day costs O(batch × bucket-fanout) + one O(postings) cap
+    // aggregate — the corpus is never rescanned and no day's work
+    // grows with the number of PRIOR days beyond the posting log's
+    // linear size.
+    "x60_rolling_dedup_ingest" -> QueryDef(duckRollingIngestSql) {
+      (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val days = Seq("src7", "src8", "src9")
+      val logDir = QueryDef.scratchDir("x60_postlog", dir)
+      val admitDir = QueryDef.scratchDir("x60_admit", dir)
+      // CLEAR both trees before day 1: per-subdir overwrite alone is
+      // not rerun-safe here because day 1 READS the whole log before
+      // any day subdir is rewritten — a rerun in the same JVM would
+      // probe day-1 docs against their own postings from the previous
+      // run and reject everything (caught by RollingIngestSpec's
+      // idempotence test on this query's first version)
+      def clear(path: String): Unit = {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }
+      clear(logDir); clear(admitDir)
+      Dedup.bandBuckets(docs.filter(!col("source").isin(days: _*)))
+        .write.mode("overwrite").parquet(s"$logDir/batch=base")
+      days.zipWithIndex.foreach { case (day, i) =>
+        val k = i + 1
+        val batch = docs.filter(col("source") === day)
+        // list the log fresh each day: yesterday's append is visible,
+        // today's own is not yet written
+        val capped = Dedup.capPostings(s.read.parquet(logDir))
+        val admitted = batch.join(
+          Dedup.lshProbePairs(capped, batch)
+            .select(col("new_doc").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+          // two actions consume the admit decision (the admitted-doc
+          // log and the posting append) — persist so the probe join
+          // runs once per day, not per consumer
+          .persist()
+        try {
+          admitted
+            .select(lit(k).as("ingest_day"), col("doc_id"), col("n_chars"))
+            .write.mode("overwrite").parquet(s"$admitDir/day=$k")
+          Dedup.bandBuckets(admitted)
+            .write.mode("overwrite").parquet(s"$logDir/batch=day$k")
+        } finally admitted.unpersist(blocking = false)
+      }
+      s.read.parquet(admitDir)
+        .select(col("ingest_day"), col("doc_id"), col("n_chars"))
     },
 
     // MinHash-as-estimator: estimated jaccard (signature agreement

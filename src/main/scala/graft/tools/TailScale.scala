@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot diagnostic for the stream-tail's driver-side costs at probe
+  * scale (r12 verdict #4): the graftbackup micro-batch source keeps NO
+  * source-side log — each trigger re-lists the backup tree
+  * ([[graft.sources.BackupSource]] `layout`) and the checkpoint offset
+  * is a (leaf dir → sorted file count) JSON map. Both are driver-side
+  * metadata: the offset map is O(#leaves) — an int per PARTITION LEAF,
+  * NOT per chunk file — while the per-trigger listing walks O(#files).
+  * This main measures both against a real backup built at
+  * SPARK_GRAFT_SF_DIR's events table over s18's window, so the
+  * PLANS.md scale claim is a number, not an argument.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 sbt "runMain graft.tools.TailScale"
+  */
+object TailScale {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Bench.disableLocalChecksumSidecars(spark)
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft_tailscale")
+    try {
+      val out = scratch.resolve("bak").toString
+      // s18's exact window: base Jan 5-15, incremental extension to 25
+      graft.operators.Backup.run(spark, graft.config.BackupConfig(
+        inputPath = s"$dir/events.parquet", outputPath = out,
+        timeColumn = "ts", partitionColumn = "event_type",
+        from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+        to = java.time.Instant.parse("2024-01-15T00:00:00Z")))
+      graft.operators.Backup.incremental(spark, s"$dir/events.parquet",
+        out, java.time.Instant.parse("2024-01-25T00:00:00Z"))
+
+      val stream = new graft.sources.BackupMicroBatchStream(
+        out, new org.apache.spark.sql.types.StructType()
+          .add("event_type", "string").add("date_dir", "string"),
+        Seq("event_type"),
+        Array.empty[org.apache.spark.sql.sources.Filter], None,
+        Array.empty[org.apache.spark.sql.sources.Filter])
+
+      // time the two per-trigger driver costs over several iterations
+      // (min-of-N: first call pays FS metadata cache fill)
+      def timeMs[A](n: Int)(body: => A): (Double, A) = {
+        var best = Double.MaxValue
+        var last: A = body // warm
+        (1 to n).foreach { _ =>
+          val t0 = System.nanoTime()
+          last = body
+          best = math.min(best, (System.nanoTime() - t0) / 1e6)
+        }
+        (best, last)
+      }
+      val (listMs, off) = timeMs(5)(
+        stream.latestOffset().asInstanceOf[graft.sources.BackupOffset])
+      val offJson = off.json()
+      val (planMs, parts) = timeMs(5)(
+        stream.planInputPartitions(stream.initialOffset(), off))
+      val nFiles = off.counts.values.map(_.toLong).sum
+      println(f"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"list_ms":$listMs%.1f,"plan_ms":$planMs%.1f,"n_partitions":${parts.length}}""")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(scratch.toFile)
+      spark.stop()
+    }
+  }
+}
