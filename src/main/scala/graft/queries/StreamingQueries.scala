@@ -323,6 +323,18 @@ object StreamingQueries {
       (s, dir) => StreamingJobs.streamingDedupGate(s, dir)
     },
 
+    // streaming ROLLING ingest: s25's gate + s23's maintenance
+    // composed into the continuous loop — daily batches stream in
+    // (one per trigger, mtime-ordered), each admits against the
+    // posting log as of the previous batch and appends its admitted
+    // postings. Shares x60's oracle SQL verbatim: the stream must
+    // converge to the batch rolling pipeline exactly (the s23 ≡ x51
+    // contract, one level up the composition)
+    "s26_stream_rolling_ingest" ->
+      QueryDef(DedupQueries.duckRollingIngestSql) {
+        (s, dir) => StreamingJobs.streamingRollingIngest(s, dir)
+      },
+
     // streaming PQ code-index maintenance: embeddings stream in, each
     // batch appends its codes, the post-stream ADC probe must rank
     // identically to x52's live scan — shares x52's oracle SQL

@@ -1427,4 +1427,89 @@ object StreamingJobs {
       deleteRecursively(scratch)
     }
   }
+
+  /** Streaming ROLLING ingest (s26) — s25's gate and s23's index
+    * maintenance COMPOSED into the continuous production loop: daily
+    * batches arrive as a stream (one staged file per trigger, day
+    * order encoded in mtimes — the file source processes oldest
+    * first), and each micro-batch probes the occupancy-capped view of
+    * the posting log AS OF THE PREVIOUS BATCH, admits only
+    * candidate-free docs, and appends the admitted docs' postings —
+    * the index the next day is gated on includes this day's
+    * admissions. Outputs are keyed by the DAY carried in the data
+    * (each staged file is one source), not by batchId, so a replayed
+    * trigger overwrites its own day instead of double-admitting. Must
+    * converge to x60's batch rolling pipeline exactly — it shares
+    * x60's oracle SQL verbatim, the same convergence contract as
+    * s23 ≡ x51. At 100 TB this is the always-on shape: the stream IS
+    * the ingest schedule, the posting log is the only cross-day
+    * state, and each trigger costs O(batch × fanout) + one
+    * O(postings) cap aggregate. */
+  def streamingRollingIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sroll")
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+      val days = Seq("src7", "src8", "src9")
+      val dayOf = days.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+      val postings = scratch.resolve("postlog").toString
+      graft.dedup.Dedup
+        .bandBuckets(docs.filter(!col("source").isin(days: _*)))
+        .write.mode("overwrite").parquet(s"$postings/batch=base")
+      val streamDir = scratch.resolve("in")
+      java.nio.file.Files.createDirectories(streamDir): Unit
+      days.zipWithIndex.foreach { case (day, i) =>
+        val f = stageParquet(docs.filter(col("source") === day), scratch,
+          streamDir, s"day${i + 1}")
+        bumpMtimeOrFail(f, 1000000L * (i + 1),
+          "a mis-ordered day would gate day 1 on day 2's admissions")
+      }
+      val admitted = scratch.resolve("admitted").toString
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/*.parquet")
+        .writeStream
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ses = batch.sparkSession
+          // one staged file per trigger → one source per batch; an
+          // empty no-data batch has no day and nothing to do
+          val srcs = batch.select(col("source")).distinct()
+            .collect().map(_.getString(0))
+          if (srcs.nonEmpty) {
+            require(srcs.length == 1 && dayOf.contains(srcs.head),
+              s"rolling trigger saw sources ${srcs.toSeq} — staging broke " +
+                "the one-day-per-trigger contract")
+            val k = dayOf(srcs.head)
+            // list the log fresh per trigger: previous days' appends
+            // are visible, this day's own is not yet written
+            val capped = graft.dedup.Dedup
+              .capPostings(ses.read.parquet(postings))
+            val adm = batch.join(
+              graft.dedup.Dedup.lshProbePairs(capped, batch)
+                .select(col("new_doc").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+              .persist()
+            try {
+              adm.select(lit(k).as("ingest_day"), col("doc_id"),
+                col("n_chars"))
+                .write.mode("overwrite").parquet(s"$admitted/day=$k")
+              graft.dedup.Dedup.bandBuckets(adm)
+                .write.mode("overwrite").parquet(s"$postings/batch=day$k")
+            } finally adm.unpersist(blocking = false): Unit
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.read.parquet(admitted)
+        .select(col("ingest_day"), col("doc_id"), col("n_chars"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+        out.schema)
+    } finally {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+      deleteRecursively(scratch)
+    }
+  }
 }

@@ -62,6 +62,20 @@ class RollingIngestSpec extends SparkTestBase {
     assert(first == second)
   }
 
+  test("s26: streaming rolling ingest converges to the batch pipeline " +
+    "(stream ≡ x60, the s23≡x51 contract one composition level up)") {
+    spark.sparkContext // session before defs — see test 1
+    val stream = SparkEntry.queries("s26_stream_rolling_ingest")(spark, sf0001)
+      .select($"ingest_day", $"doc_id", $"n_chars")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("x60_rolling_dedup_ingest")(spark, sf0001)
+      .select($"ingest_day", $"doc_id", $"n_chars")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(stream == batch,
+      s"stream-only=${(stream -- batch).toSeq.sorted.take(5)}, " +
+        s"batch-only=${(batch -- stream).toSeq.sorted.take(5)}")
+  }
+
   test("x60: day-2 gating sees day-1 admissions (state the isolated " +
     "x51/s25 shapes cannot)") {
     // day-2 duplicates of ADMITTED day-1 docs must be rejected even
