@@ -152,6 +152,65 @@ object SimilarityQueries {
           Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)
         },
 
+        // ANN index QUALITY measurement — recall@10 of the IVF index
+        // against the exact brute-force ground truth, per probe: the
+        // evaluation loop every production ANN deployment runs before
+        // trusting an index (probe count / cell count / NProbe tuning
+        // all key off this number). Integer outputs (n_hits of
+        // n_truth) so the hash compare is exact; recall = n_hits /
+        // n_truth. Both sides rank by (cos_sim rounded to 6 DESC,
+        // nn_id), so the two top-10 SETS are deterministic and the
+        // intersection is engine-independent. Scale shape: the truth
+        // side is the x09 probes×corpus scan (the baseline an
+        // evaluation HAS to pay, bounded by the probe sample size —
+        // 50 probes here, never the corpus); the approx side is the
+        // x35 celled probe; the final join is probe-set-sized.
+        "x61_ann_recall" -> QueryDef(
+          s"""WITH $duckIvfAssign,
+             |p AS (SELECT vec_id AS probe_id, embedding AS p_emb
+             |      FROM embeddings WHERE vec_id < 50),
+             |truth AS (SELECT probe_id, nn_id FROM (
+             |  SELECT p.probe_id, e.vec_id AS nn_id,
+             |    row_number() OVER (PARTITION BY p.probe_id
+             |      ORDER BY round(${duckCos("e.embedding", "p.p_emb")}, 6)
+             |        DESC, e.vec_id) AS rn
+             |  FROM embeddings e, p WHERE e.vec_id != p.probe_id)
+             |  WHERE rn <= 10),
+             |probe AS (
+             |  SELECT vec_id AS probe_id, c AS cell FROM (
+             |    SELECT vec_id, c,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+             |    FROM d WHERE vec_id < 50) WHERE rn <= ${Ivf.NProbe}),
+             |cand AS (
+             |  SELECT pr.probe_id, e.vec_id AS nn_id,
+             |    round(${duckCos("e.embedding", "q.embedding")}, 6) AS cos_sim
+             |  FROM probe pr
+             |  JOIN a ON a.cell = pr.cell
+             |  JOIN embeddings e ON e.vec_id = a.vec_id
+             |  JOIN embeddings q ON q.vec_id = pr.probe_id
+             |  WHERE e.vec_id != pr.probe_id),
+             |approx AS (SELECT probe_id, nn_id FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY cos_sim DESC, nn_id) AS rk
+             |  FROM cand) WHERE rk <= 10)
+             |SELECT t.probe_id, count(*)::BIGINT AS n_truth,
+             |  sum(CASE WHEN ap.nn_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_hits
+             |FROM truth t LEFT JOIN approx ap
+             |  ON ap.probe_id = t.probe_id AND ap.nn_id = t.nn_id
+             |GROUP BY t.probe_id""".stripMargin) { (s, dir) =>
+          val emb = Tables.embeddings(s, dir)
+          val truth = Ann.nearestNeighbors(s, emb, probeMaxId = 50, k = 10)
+            .select(col("probe_id"), col("nn_id"))
+          val approx = Ivf.batchTopK(s, emb, probeMaxId = 50, k = 10)
+            .select(col("probe_id"), col("nn_id"),
+              lit(1).as("hit"))
+          truth.join(approx, Seq("probe_id", "nn_id"), "left")
+            .groupBy(col("probe_id"))
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+        },
+
         // SemDeDup: semantic dedup inside the IVF cells — one row per
         // would-be-removed vector (an earlier same-cell vector is
         // within the cosine threshold), with the strongest evidence
@@ -182,6 +241,17 @@ object SimilarityQueries {
             Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)),
           "x35_batch_ann_ivf" -> QueryDef.rowsOnly((s, dir) =>
             Ivf.batchTopK(s, Tables.embeddings(s, dir), probeMaxId = 100)),
+          "x61_ann_recall" -> QueryDef.rowsOnly { (s, dir) =>
+            val emb = Tables.embeddings(s, dir)
+            val truth = Ann.nearestNeighbors(s, emb, probeMaxId = 50, k = 10)
+              .select(col("probe_id"), col("nn_id"))
+            val approx = Ivf.batchTopK(s, emb, probeMaxId = 50, k = 10)
+              .select(col("probe_id"), col("nn_id"), lit(1).as("hit"))
+            truth.join(approx, Seq("probe_id", "nn_id"), "left")
+              .groupBy(col("probe_id"))
+              .agg(count(lit(1)).as("n_truth"),
+                sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+          },
           "x39_semdedup" -> QueryDef.rowsOnly((s, dir) =>
             Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)))
     }

@@ -176,7 +176,7 @@ object Ann {
     * second-largest CPU stage. Zero-norm rows stay null like
     * [[graft.functions.CosineSimF]]. */
   def nearestNeighbors(spark: SparkSession, embeddings: DataFrame,
-                       probeMaxId: Long): DataFrame = {
+                       probeMaxId: Long, k: Int = 1): DataFrame = {
     VectorFunctions.register(spark)
     val probes = embeddings.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
@@ -195,7 +195,7 @@ object Ann {
       .partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
     scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= k)
       .select(col("probe_id"), col("nn_id"), col("cos_sim"))
   }
 }

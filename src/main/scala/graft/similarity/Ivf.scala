@@ -174,7 +174,7 @@ object Ivf {
     * batch needs — a forced broadcast there would OOM the driver.
     * `IvfPlanSpec` pins both shapes. */
   def batchTopK(spark: SparkSession, embeddings: DataFrame,
-                probeMaxId: Long): DataFrame = {
+                probeMaxId: Long, k: Int = 1): DataFrame = {
     VectorFunctions.register(spark)
     val assigned = withCell(embeddings)
     val w = org.apache.spark.sql.expressions.Window
@@ -196,7 +196,7 @@ object Ivf {
       .select(col("probe_id"), col("vec_id").as("nn_id"),
         round(expr("graft_cosine(embedding, q_emb)"), 6).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= k)
       .select(col("probe_id"), col("nn_id"), col("cos_sim"))
   }
 

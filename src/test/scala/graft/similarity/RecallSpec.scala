@@ -80,6 +80,27 @@ class RecallSpec extends SparkTestBase {
     assert(recall >= 0.8, f"minhash recall collapsed to $recall%.3f")
   }
 
+  test("x61: IVF recall@10 equals a direct recompute from the two " +
+    "library calls; integer invariants hold") {
+    spark.sparkContext // session before SparkEntry.defs trains codebooks
+    val rows = graft.SparkEntry.queries("x61_ann_recall")(spark, sf0001)
+      .select($"probe_id", $"n_truth", $"n_hits")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 50, s"expected 50 probes, got ${rows.length}")
+    assert(rows.forall { case (_, t, h) => t == 10 && h >= 0 && h <= t })
+    val emb = Tables.embeddings(spark, sf0001)
+    val truth = Ann.nearestNeighbors(spark, emb, probeMaxId = 50, k = 10)
+      .select($"probe_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.batchTopK(spark, emb, probeMaxId = 50, k = 10)
+      .select($"probe_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val expected = truth.groupBy(_._1).view
+      .mapValues(s => s.count(approx).toLong).toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == expected)
+    val recall = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    info(f"IVF recall@10 = $recall%.3f over 50 probes " +
+      s"(NProbe=${Ivf.NProbe} of ${Ivf.K} cells)")
+  }
+
   test("occupancy cap starvation degrades recall gracefully, not abruptly") {
     val (full, _) = recallAt(graft.dedup.Dedup.MaxBucketOccupancy)
     val (starved, starvedFound) = recallAt(8)
