@@ -349,6 +349,63 @@ object SimilarityQueries {
           Pq.ivfAdcTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
         },
 
+        // PQ index QUALITY — recall@10 of the compressed-domain ADC
+        // ranking against the exact squared-L2 ground truth (the
+        // metric ADC estimates — measuring it against cosine would
+        // conflate quantization loss with metric mismatch): the
+        // standard PQ evaluation (recall@k) run before trusting a
+        // code index, x61's loop applied to the PQ tier. Truth side
+        // uses the dot identity |e−q|² = e·e + q·q − 2·e·q mirrored
+        // term-for-term in DuckDB with 6dp rounding + id tie-break;
+        // the ADC side totals exact micro-unit integers, so both
+        // top-10 SETS are engine-independent. Bounded by the 50-probe
+        // sample, never corpus×corpus.
+        "x62_pq_recall" -> QueryDef({
+          val eDot = (x: String) =>
+            s"list_sum([($x[i]::DOUBLE * $x[i]::DOUBLE) for i in range(1, ${Dim + 1})])"
+          val epDot =
+            s"list_sum([(e.embedding[i]::DOUBLE * p.p_emb[i]::DOUBLE) for i in range(1, ${Dim + 1})])"
+          s"""WITH $duckPqAssign,
+             |p AS (SELECT vec_id AS probe_id, embedding AS p_emb
+             |      FROM embeddings WHERE vec_id < 50),
+             |truth AS (SELECT probe_id, nn_id FROM (
+             |  SELECT p.probe_id, e.vec_id AS nn_id,
+             |    row_number() OVER (PARTITION BY p.probe_id
+             |      ORDER BY round(${eDot("e.embedding")} + ${eDot("p.p_emb")}
+             |        - 2 * $epDot, 6), e.vec_id) AS rn
+             |  FROM embeddings e, p WHERE e.vec_id != p.probe_id)
+             |  WHERE rn <= 10),
+             |qd AS (SELECT p.probe_id, ct.j, ct.c,
+             |         CAST(round(${duckPqL2("p.p_emb", "ct.j", "ct.v")}
+             |           * 1e6, 0) AS BIGINT) AS dm
+             |       FROM p, pqc ct),
+             |adc AS (SELECT qd.probe_id, code.vec_id AS nn_id,
+             |          sum(qd.dm)::BIGINT AS adc_micro
+             |        FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+             |        WHERE code.vec_id != qd.probe_id
+             |        GROUP BY qd.probe_id, code.vec_id),
+             |approx AS (SELECT probe_id, nn_id FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY adc_micro, nn_id) AS rk
+             |  FROM adc) WHERE rk <= 10)
+             |SELECT t.probe_id, count(*)::BIGINT AS n_truth,
+             |  sum(CASE WHEN ap.nn_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_hits
+             |FROM truth t LEFT JOIN approx ap
+             |  ON ap.probe_id = t.probe_id AND ap.nn_id = t.nn_id
+             |GROUP BY t.probe_id""".stripMargin
+        }) { (s, dir) =>
+          val emb = Tables.embeddings(s, dir)
+          val truth = Ann.nearestNeighborsL2(s, emb, probeMaxId = 50, k = 10)
+            .select(col("probe_id"), col("nn_id"))
+          val approx = Pq.batchAdcTopK(s, emb, probeMaxId = 50, k = 10)
+            .select(col("probe_id"), col("nn_id"), lit(1).as("hit"))
+          truth.join(approx, Seq("probe_id", "nn_id"), "left")
+            .groupBy(col("probe_id"))
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+        },
+
         // persisted-index probe: the x51 pattern for PQ — the corpus
         // encodes ONCE into a (vec_id, codes) parquet index (~3 TB for
         // 100 TB of floats) and the query probes the round-tripped
@@ -415,6 +472,18 @@ object SimilarityQueries {
           "x53_pq_distortion" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.distortionBySubspace(
               Tables.embeddings(s, dir))),
+          "x62_pq_recall" -> QueryDef.rowsOnly { (s, dir) =>
+            val emb = Tables.embeddings(s, dir)
+            val truth = Ann.nearestNeighborsL2(s, emb, probeMaxId = 50, k = 10)
+              .select(col("probe_id"), col("nn_id"))
+            val approx = graft.similarity.Pq
+              .batchAdcTopK(s, emb, probeMaxId = 50, k = 10)
+              .select(col("probe_id"), col("nn_id"), lit(1).as("hit"))
+            truth.join(approx, Seq("probe_id", "nn_id"), "left")
+              .groupBy(col("probe_id"))
+              .agg(count(lit(1)).as("n_truth"),
+                sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+          },
           "x54_ivf_adc_topk" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.ivfAdcTopK(s, Tables.embeddings(s, dir),
               queryVecId = 0, k = 10)),

@@ -198,4 +198,33 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("nn_id"), col("cos_sim"))
   }
+
+  /** Exact squared-L2 top-k per probe — the ground truth the PQ/ADC
+    * tier approximates (ADC is an L2-distance estimate, so its recall
+    * must be measured against exact L2 neighbors, not cosine ones).
+    * Same broadcast-probes shape as [[nearestNeighbors]], with the
+    * dot-product identity |e-q|² = e·e + q·q − 2·e·q so the inner
+    * loop is ONE compiled dot per pair (norms precomputed per row);
+    * rounded to 6dp with an id tie-break so the rank SETS are
+    * engine-independent (the x09 discipline). */
+  def nearestNeighborsL2(spark: SparkSession, embeddings: DataFrame,
+                         probeMaxId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val probes = embeddings.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        expr("graft_dot(embedding, embedding)").as("p_n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("dist2"), col("nn_id"))
+    spread(embeddings)
+      .withColumn("n2", expr("graft_dot(embedding, embedding)"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("nn_id"),
+        round(col("n2") + col("p_n2") -
+          lit(2.0) * expr("graft_dot(embedding, p_emb)"), 6).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("nn_id"), col("dist2"))
+  }
 }

