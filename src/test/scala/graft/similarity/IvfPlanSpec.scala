@@ -60,4 +60,30 @@ class IvfPlanSpec extends SparkTestBase {
       assert(run() == broadcasted)
     }
   }
+
+  test("recall-op batch scans broadcast the probe side, never the corpus " +
+    "(x61/x62 truth + ADC shapes)") {
+    // the r13 evaluation ops are ONE corpus scan against a broadcast
+    // probe sample — a corpus-side broadcast or shuffle here is the
+    // plan regression that turns a bounded evaluation into corpus²
+    withConf(NoAutoBroadcast) {
+      val emb = Tables.embeddings(spark, sf0001)
+      Seq(
+        "nearestNeighborsL2" ->
+          Ann.nearestNeighborsL2(spark, emb, probeMaxId = 50, k = 10),
+        "nearestNeighbors" ->
+          Ann.nearestNeighbors(spark, emb, probeMaxId = 50, k = 10),
+        "batchAdcTopK" ->
+          Pq.batchAdcTopK(spark, emb, probeMaxId = 50, k = 10)
+      ).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("BroadcastHashJoin"),
+          s"$name: probe side not broadcast:\n$plan")
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name: corpus-side shuffle/cartesian appeared:\n$plan")
+      }
+    }
+  }
 }
