@@ -207,9 +207,16 @@ object Bench {
     * override for A/B runs). Constant-256 was trialled and rejected
     * (+10% at sf0.1, per-shuffle setup x iteration count on
     * iterative/micro-batch queries) — scale-awareness is the point. */
-  private[graft] def derivedInitialPartitions(dir: String, cpus: Int): Int = {
+  private[graft] def derivedInitialPartitions(dir: String, cpus: Int): Int =
+    derivedInitialPartitionsFromBytes(inputBytes(dir), cpus)
+
+  /** The sizing math on a precomputed byte count — split out so main
+    * walks the data directory ONCE for both the sizing and the
+    * input_mib telemetry (at sf100 the walk covers ~10⁵ files). */
+  private[graft] def derivedInitialPartitionsFromBytes(
+      bytes: Long, cpus: Int): Int = {
     val target = 64L << 20
-    val need = ((inputBytes(dir) + target - 1) / target).toInt
+    val need = ((bytes + target - 1) / target).toInt
     val pow2 = if (need <= 1) 1
       else Integer.highestOneBit(need - 1) << 1
     math.min(4096, math.max(cpus, pow2))
@@ -264,10 +271,11 @@ object Bench {
     // needing — with NO env knob. SPARK_GRAFT_INITIAL_PARTITIONS
     // remains as an explicit override for local A/B only. Explicit
     // repartition(N) barriers are exempt from coalescing either way.
-    val inputMib = inputBytes(sfDir) >> 20
+    val inBytes = inputBytes(sfDir)
+    val inputMib = inBytes >> 20
     val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption.filter(_ > 0))
-      .getOrElse(derivedInitialPartitions(sfDir, cpus.toInt))
+      .getOrElse(derivedInitialPartitionsFromBytes(inBytes, cpus.toInt))
     if (initParts > cpus.toInt)
       System.err.println(s"BENCH INITIAL_PARTITIONS $initParts " +
         s"(input=$inputMib MiB)")

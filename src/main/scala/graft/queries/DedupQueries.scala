@@ -414,13 +414,8 @@ object DedupQueries {
       // probe day-1 docs against their own postings from the previous
       // run and reject everything (caught by RollingIngestSpec's
       // idempotence test on this query's first version)
-      def clear(path: String): Unit = {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(path))
-      }
-      clear(logDir); clear(admitDir)
+      graft.util.Fs.deleteRecursively(logDir)
+      graft.util.Fs.deleteRecursively(admitDir)
       Dedup.bandBuckets(docs.filter(!col("source").isin(days: _*)))
         .write.mode("overwrite").parquet(s"$logDir/batch=base")
       days.zipWithIndex.foreach { case (day, i) =>

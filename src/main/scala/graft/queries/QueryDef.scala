@@ -28,13 +28,7 @@ object QueryDef {
     val pid = ProcessHandle.current().pid()
     val root = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_scratch_${user}_$pid")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(root)
-    }
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
     s"${user}_$pid"
   }
 

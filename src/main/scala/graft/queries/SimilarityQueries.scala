@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions
@@ -77,6 +78,33 @@ object SimilarityQueries {
   private def duckL2(a: String, b: String): String =
     s"""list_sum([($a[i+1]::DOUBLE - $b[i+1]) * ($a[i+1]::DOUBLE - $b[i+1])
        |  for i in range(0, $Dim)])""".stripMargin
+
+  /** Shared recall@10 run functions for x61/x62 — ONE definition used
+    * by both the oracle QueryDef and the training-failure rows-only
+    * fallback, so the two branches can never diverge (the fallback is
+    * the same computation minus the DuckDB SQL). Output: one row per
+    * probe, integer (n_truth, n_hits). */
+  private def recallCounts(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("probe_id"), col("nn_id"))
+      .join(approx.select(col("probe_id"), col("nn_id"), lit(1).as("hit")),
+        Seq("probe_id", "nn_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+
+  private def ivfRecallRun(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    recallCounts(
+      Ann.nearestNeighbors(s, emb, probeMaxId = 50, k = 10),
+      Ivf.batchTopK(s, emb, probeMaxId = 50, k = 10))
+  }
+
+  private def pqRecallRun(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    recallCounts(
+      Ann.nearestNeighborsL2(s, emb, probeMaxId = 50, k = 10),
+      graft.similarity.Pq.batchAdcTopK(s, emb, probeMaxId = 50, k = 10))
+  }
 
   /** Shared assignment CTEs: per-vector distances + argmin cell
     * (ties to the lower index, like the kernel). */
@@ -198,18 +226,7 @@ object SimilarityQueries {
              |    AS n_hits
              |FROM truth t LEFT JOIN approx ap
              |  ON ap.probe_id = t.probe_id AND ap.nn_id = t.nn_id
-             |GROUP BY t.probe_id""".stripMargin) { (s, dir) =>
-          val emb = Tables.embeddings(s, dir)
-          val truth = Ann.nearestNeighbors(s, emb, probeMaxId = 50, k = 10)
-            .select(col("probe_id"), col("nn_id"))
-          val approx = Ivf.batchTopK(s, emb, probeMaxId = 50, k = 10)
-            .select(col("probe_id"), col("nn_id"),
-              lit(1).as("hit"))
-          truth.join(approx, Seq("probe_id", "nn_id"), "left")
-            .groupBy(col("probe_id"))
-            .agg(count(lit(1)).as("n_truth"),
-              sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-        },
+             |GROUP BY t.probe_id""".stripMargin) (ivfRecallRun _),
 
         // SemDeDup: semantic dedup inside the IVF cells — one row per
         // would-be-removed vector (an earlier same-cell vector is
@@ -241,17 +258,7 @@ object SimilarityQueries {
             Ivf.outlierScores(Tables.embeddings(s, dir), topN = 50)),
           "x35_batch_ann_ivf" -> QueryDef.rowsOnly((s, dir) =>
             Ivf.batchTopK(s, Tables.embeddings(s, dir), probeMaxId = 100)),
-          "x61_ann_recall" -> QueryDef.rowsOnly { (s, dir) =>
-            val emb = Tables.embeddings(s, dir)
-            val truth = Ann.nearestNeighbors(s, emb, probeMaxId = 50, k = 10)
-              .select(col("probe_id"), col("nn_id"))
-            val approx = Ivf.batchTopK(s, emb, probeMaxId = 50, k = 10)
-              .select(col("probe_id"), col("nn_id"), lit(1).as("hit"))
-            truth.join(approx, Seq("probe_id", "nn_id"), "left")
-              .groupBy(col("probe_id"))
-              .agg(count(lit(1)).as("n_truth"),
-                sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-          },
+          "x61_ann_recall" -> QueryDef.rowsOnly(ivfRecallRun _),
           "x39_semdedup" -> QueryDef.rowsOnly((s, dir) =>
             Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)))
     }
@@ -394,17 +401,7 @@ object SimilarityQueries {
              |FROM truth t LEFT JOIN approx ap
              |  ON ap.probe_id = t.probe_id AND ap.nn_id = t.nn_id
              |GROUP BY t.probe_id""".stripMargin
-        }) { (s, dir) =>
-          val emb = Tables.embeddings(s, dir)
-          val truth = Ann.nearestNeighborsL2(s, emb, probeMaxId = 50, k = 10)
-            .select(col("probe_id"), col("nn_id"))
-          val approx = Pq.batchAdcTopK(s, emb, probeMaxId = 50, k = 10)
-            .select(col("probe_id"), col("nn_id"), lit(1).as("hit"))
-          truth.join(approx, Seq("probe_id", "nn_id"), "left")
-            .groupBy(col("probe_id"))
-            .agg(count(lit(1)).as("n_truth"),
-              sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-        },
+        }) (pqRecallRun _),
 
         // persisted-index probe: the x51 pattern for PQ — the corpus
         // encodes ONCE into a (vec_id, codes) parquet index (~3 TB for
@@ -472,18 +469,7 @@ object SimilarityQueries {
           "x53_pq_distortion" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.distortionBySubspace(
               Tables.embeddings(s, dir))),
-          "x62_pq_recall" -> QueryDef.rowsOnly { (s, dir) =>
-            val emb = Tables.embeddings(s, dir)
-            val truth = Ann.nearestNeighborsL2(s, emb, probeMaxId = 50, k = 10)
-              .select(col("probe_id"), col("nn_id"))
-            val approx = graft.similarity.Pq
-              .batchAdcTopK(s, emb, probeMaxId = 50, k = 10)
-              .select(col("probe_id"), col("nn_id"), lit(1).as("hit"))
-            truth.join(approx, Seq("probe_id", "nn_id"), "left")
-              .groupBy(col("probe_id"))
-              .agg(count(lit(1)).as("n_truth"),
-                sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-          },
+          "x62_pq_recall" -> QueryDef.rowsOnly(pqRecallRun _),
           "x54_ivf_adc_topk" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.ivfAdcTopK(s, Tables.embeddings(s, dir),
               queryVecId = 0, k = 10)),

@@ -355,19 +355,10 @@ object StreamingJobs {
     dest
   }
 
-  /** Best-effort recursive delete of a staging dir (children first). */
+  /** Best-effort recursive delete of a staging dir (children first) —
+    * delegates to the shared [[graft.util.Fs.deleteRecursively]]. */
   private def deleteRecursively(root: java.nio.file.Path): Unit =
-    try {
-      if (java.nio.file.Files.exists(root)) {
-        val s = java.nio.file.Files.walk(root)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach { p =>
-            try java.nio.file.Files.deleteIfExists(p): Unit
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
-        finally s.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    graft.util.Fs.deleteRecursively(root)
 
   /** [[eventsStream]] over an arbitrary file glob (schema still taken
     * from the fixture) — for jobs that stage their own stream input.

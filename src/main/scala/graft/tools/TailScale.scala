@@ -66,10 +66,7 @@ object TailScale {
       val nFiles = off.counts.values.map(_.toLong).sum
       println(f"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"list_ms":$listMs%.1f,"plan_ms":$planMs%.1f,"n_partitions":${parts.length}}""")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(scratch.toFile)
+      graft.util.Fs.deleteRecursively(scratch)
       spark.stop()
     }
   }

@@ -16,8 +16,8 @@ class RollingIngestSpec extends SparkTestBase {
   /** Reference fold: no persistence, plain DataFrame unions. Day k
     * probes the capped view of base + admitted-days<k postings;
     * admitted docs (and ONLY those) contribute postings to day k+1. */
-  private def referenceRolling(): Set[(Int, Long)] = {
-    val docs = graft.Tables.documents(spark, sf0001)
+  private def rollingFold(
+      docs: org.apache.spark.sql.DataFrame): Set[(Int, Long)] = {
     var postings = Dedup.bandBuckets(docs.filter(!col("source").isin(days: _*)))
     days.zipWithIndex.flatMap { case (day, i) =>
       val batch = docs.filter(col("source") === day)
@@ -30,6 +30,9 @@ class RollingIngestSpec extends SparkTestBase {
       adm.map(id => (i + 1, id))
     }.toSet
   }
+
+  private def referenceRolling(): Set[(Int, Long)] =
+    rollingFold(graft.Tables.documents(spark, sf0001))
 
   test("x60: persisted rolling pipeline equals the in-memory reference fold") {
     // force the session BEFORE SparkEntry.queries: defs construction
@@ -78,20 +81,38 @@ class RollingIngestSpec extends SparkTestBase {
 
   test("x60: day-2 gating sees day-1 admissions (state the isolated " +
     "x51/s25 shapes cannot)") {
-    // day-2 duplicates of ADMITTED day-1 docs must be rejected even
-    // when they match nothing in the base corpus: verify that the set
-    // of postings day 2 is gated on is exactly base + day-1 admitted
-    // (not base alone) by showing the reference fold with day-1
-    // admissions withheld admits a SUPERSET on day 2.
-    val docs = graft.Tables.documents(spark, sf0001)
+    // DIRECT construction, not a monotonicity claim (admission is NOT
+    // monotone in postings — adding day-1 postings can push a bucket
+    // past the occupancy cap and drop it from the probed view, which
+    // can ADMIT a day-2 doc the base-only gate rejected): a day-2 doc
+    // that duplicates an ADMITTED day-1 doc and matches nothing in the
+    // base corpus must be rejected by the rolling fold but admitted by
+    // a base-only gate — the difference IS the day-1 state.
+    val textA = "alpha beaver cactus delta eagle falcon grape hotel " +
+      "igloo jaguar kepler lemon"
+    val docs = Seq(
+      (1L, "src0", "one unrelated base document with plenty distinct words"),
+      (2L, "src0", "another base document full of different vocabulary here"),
+      (10L, "src7", textA), // day 1: unique vs base -> admitted
+      (11L, "src7", "second day one document nothing like the others at all"),
+      (20L, "src8", textA), // day 2: exact dup of ADMITTED day-1 doc 10
+      (30L, "src9", "final day three document with its own words entirely")
+    ).toDF("doc_id", "source", "text")
+    val rolling = rollingFold(docs)
+    assert(rolling.contains((1, 10L)) && rolling.contains((1, 11L)),
+      s"day-1 docs should be admitted: $rolling")
+    assert(!rolling.exists(_ == (2, 20L)),
+      s"day-2 duplicate of an admitted day-1 doc must be REJECTED: $rolling")
+    assert(rolling.contains((3, 30L)), s"unique day-3 doc admitted: $rolling")
+    // the base-only gate (no day-1 state) ADMITS doc 20 — proving the
+    // rejection above is attributable to day-1's postings, not the base
     val base = Dedup.bandBuckets(docs.filter(!col("source").isin(days: _*)))
     val d2 = docs.filter(col("source") === "src8")
-    val withoutDay1 = d2.join(
+    val baseOnlyAdmitted = d2.join(
       Dedup.lshProbePairs(Dedup.capPostings(base), d2)
         .select($"new_doc".as("doc_id")).distinct(), Seq("doc_id"),
       "left_anti").select($"doc_id").as[Long].collect().toSet
-    val rolling = referenceRolling().collect { case (2, id) => id }
-    assert(rolling.subsetOf(withoutDay1),
-      "day-2 admissions must only shrink when day-1 postings are added")
+    assert(baseOnlyAdmitted.contains(20L),
+      s"base-only gate should admit doc 20: $baseOnlyAdmitted")
   }
 }

@@ -16,7 +16,7 @@ import argparse, json, re
 
 BQ = re.compile(
     r"BENCHQ (\S+) ok=true wall=([\d.]+) run_s=([\d.]+) cpu_s=([\d.]+) "
-    r"gc_s=([\d.]+) load=([\d.]+) other_cores=([\d.]+)")
+    r"gc_s=([\d.]+) load=(-?[\d.]+) other_cores=(-?[\d.]+)")
 
 
 def parse(path):

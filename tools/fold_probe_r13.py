@@ -23,22 +23,30 @@ import argparse
 import json
 import re
 
+# telemetry fields print as -1.000 when /proc is unreadable (Bench's
+# cpuJiffies/loadAvg1m fallbacks) — the pattern must admit the minus or
+# those lines silently stop matching and their samples vanish
 BQ = re.compile(
     r"BENCHQ (\S+) ok=(\w+) wall=([\d.]+) run_s=([\d.]+) cpu_s=([\d.]+) "
-    r"gc_s=([\d.]+) load=([\d.]+) other_cores=([\d.]+) "
-    r"iowait_cores=([\d.]+)(.*)")
+    r"gc_s=([\d.]+) load=(-?[\d.]+) other_cores=(-?[\d.]+) "
+    r"iowait_cores=(-?[\d.]+)(.*)")
 
 
 def parse(path):
-    """Min-wall per query (the probe estimator) + the final line."""
-    by_q, final = {}, {}
+    """Min-wall per query over OK samples (the probe estimator) + the
+    final line + the names of queries that had any failed sample (a
+    failure must be visible even when a later retry succeeded — and a
+    fast failed sample must never win the min)."""
+    by_q, final, failed = {}, {}, set()
     with open(path, errors="replace") as f:
         for line in f:
             m = BQ.search(line)
             if m:
                 q = m.group(1)
-                row = {"ok": m.group(2) == "true",
-                       "wall": float(m.group(3)),
+                if m.group(2) != "true":
+                    failed.add(q)
+                    continue
+                row = {"wall": float(m.group(3)),
                        "run_s": float(m.group(4)),
                        "cpu_s": float(m.group(5)),
                        "gc_s": float(m.group(6)),
@@ -53,29 +61,39 @@ def parse(path):
                     final = json.loads(line[line.index("{"):])
                 except ValueError:
                     pass
-    return by_q, final
+    return by_q, final, failed
 
 
 def block(logs, label):
     by_q, runs = {}, []
     width = None
+    all_failed = set()
     for path in logs:
-        rows, final = parse(path)
+        rows, final, failed = parse(path)
         assert rows, f"{path}: no BENCHQ rows"
+        all_failed |= failed
         runs.append({"log": path, "n_queries": len(rows),
                      "total_sec": final.get("value"),
                      "initial_partitions": final.get("initial_partitions"),
                      "input_mib": final.get("input_mib"),
                      "load_max": final.get("load_max"),
-                     "other_max": final.get("other_max")})
+                     "other_max": final.get("other_max"),
+                     "failed_samples": sorted(failed)})
         w = final.get("initial_partitions")
         assert width is None or w is None or w == width, \
             f"{path}: width {w} != {width} — don't fold mixed-width logs"
         width = width or w
         for q, r in rows.items():
-            assert r["ok"], f"{path}: {q} failed"
             if q not in by_q or r["wall"] < by_q[q]["wall"]:
                 by_q[q] = r
+    # every query that ever failed must also have an OK sample to fold;
+    # a query with ONLY failed samples has no honest wall
+    only_failed = all_failed - set(by_q)
+    assert not only_failed, f"queries with no successful sample: " \
+        f"{sorted(only_failed)}"
+    if all_failed:
+        print(f"note: failed samples seen for {sorted(all_failed)} "
+              "(min taken over OK samples only)")
     return {
         "label": label,
         "estimator": "min wall per query over source_runs",

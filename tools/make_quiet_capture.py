@@ -12,10 +12,12 @@ import json
 import re
 import sys
 
+# telemetry fields print as -1.000 when /proc is unreadable — admit the
+# minus or those lines silently stop matching and samples vanish
 BQ = re.compile(
     r"BENCHQ (\S+) ok=(\w+) wall=([\d.]+) run_s=([\d.]+) cpu_s=([\d.]+) "
-    r"gc_s=([\d.]+) load=([\d.]+) other_cores=([\d.]+) "
-    r"iowait_cores=([\d.]+)(.*)")
+    r"gc_s=([\d.]+) load=(-?[\d.]+) other_cores=(-?[\d.]+) "
+    r"iowait_cores=(-?[\d.]+)(.*)")
 
 
 def parse(path):
