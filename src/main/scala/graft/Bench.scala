@@ -558,7 +558,13 @@ object Bench {
           // old check admitted one more sample whenever any budget
           // remained, so a single probe-scale query (x06 sf100
           // ~171-267 s) could overshoot the 60 s suite budget by a full
-          // wall — tripling it (r12 advisor).
+          // wall — tripling it (r12 advisor). Residual exposure is the
+          // IN-FLIGHT sample only: when a contaminated window makes the
+          // admitted sample run far past its best-wall estimate, the
+          // overshoot is that one sample's excess (unknowable before
+          // taking it) — bounded per query by MaxExtraRetimes and ended
+          // suite-wide because the updated extraSpentSec fails this gate
+          // on the next iteration.
           while (slowVsPrev(best) && extras < MaxExtraRetimes &&
               extraSpentSec + best.sec < ExtraRetimeBudgetSec) {
             System.err.println(
