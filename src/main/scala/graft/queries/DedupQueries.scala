@@ -353,14 +353,42 @@ object DedupQueries {
     },
 
     // MinHash + LSH banding: near-dup candidate pairs via band-bucket join
-    "x03_minhash_lsh_pairs" -> QueryDef(
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |s AS (SELECT doc_id, $duckShingles gs FROM d),
-         |hl AS (SELECT doc_id, $duckHashList hs FROM s),
-         |sig AS (SELECT doc_id, $duckSigCols FROM hl),
-         |bands AS ($duckBands),
-         |${duckCappedPairs("bands", Seq("band", "bucket"))}""".stripMargin) { (s, dir) =>
+    "x03_minhash_lsh_pairs" -> QueryDef(duckLshPairsSql) { (s, dir) =>
       Dedup.lshCandidatePairs(Tables.documents(s, dir))
+    },
+
+    // LSH detection QUALITY measurement — the dedup family's x61/x62:
+    // per-Jaccard-band recall of the banded-MinHash candidate generator
+    // against the exact n-gram Jaccard ground truth (x06's complete
+    // PPJoin-prefix pair set at the operating threshold). Each truth
+    // pair lands in band floor(jaccard*10) ∈ {5..10}; n_lsh_hits counts
+    // how many band members the LSH ALSO surfaced — the measured
+    // S-curve 1-(1-s^r)^b that tunes Bands × RowsPerBand, observed on
+    // the real corpus instead of assumed from theory. Integer outputs
+    // keep the driver's hash compare exact; recall = n_lsh_hits /
+    // n_truth per band. Both inputs are already bounded (PPJoin prefix
+    // blocking on the truth side, occupancy-capped buckets on the LSH
+    // side), so the eval costs one extra pair-keyed join and a
+    // ≤11-row aggregate on top of running both generators — never a
+    // doc×doc stage. Band boundaries compare identical 6dp-rounded
+    // doubles on both engines, so floor(j*10) is engine-independent.
+    "x63_lsh_dedup_recall" -> QueryDef(
+      s"""WITH truth AS ($ngramJaccardOracleSql),
+         |cand AS ($duckLshPairsSql)
+         |SELECT CAST(floor(t.jaccard * 10) AS INT) AS jaccard_band,
+         |  count(*)::BIGINT AS n_truth,
+         |  sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_lsh_hits
+         |FROM truth t LEFT JOIN cand c
+         |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.ngramJaccardPairs(docs, JaccardMaxDf, JaccardThreshold)
+      val cand = Dedup.lshCandidatePairs(docs).withColumn("hit", lit(1))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy(floor(col("jaccard") * 10).cast("int").as("jaccard_band"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_lsh_hits"))
     },
 
     // INCREMENTAL dedup probe — the production shape x03's corpus
@@ -642,6 +670,17 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }
   )
+
+  /** Banded-LSH candidate-pair oracle shared by x03 (the pair list) and
+    * x63 (the recall eval, which nests it as a CTE): shingle → MinHash
+    * signature → banded buckets → occupancy-capped in-bucket pairs. */
+  private lazy val duckLshPairsSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       |s AS (SELECT doc_id, $duckShingles gs FROM d),
+       |hl AS (SELECT doc_id, $duckHashList hs FROM s),
+       |sig AS (SELECT doc_id, $duckSigCols FROM hl),
+       |bands AS ($duckBands),
+       |${duckCappedPairs("bands", Seq("band", "bucket"))}""".stripMargin
 
   /** String-ground-truth jaccard oracle shared by x06 (60-bit) and x28
     * (120-bit): the hash width is an engine detail the oracle must not

@@ -41,6 +41,11 @@ object PipelineQueries {
   val WSampleSeed = 23
   val WSampleK = 500
 
+  /** Temperature-mix (x64): hash seed (fresh bit vs x19/x25/x46/x58)
+    * and token-budget divisor — the mixed sample targets tot/5 tokens. */
+  val TempMixSeed = 13
+  val TempMixBudgetDiv = 5
+
   private val Dim = graft.similarity.Ann.Dim
 
   /** Context-window chunking (x59): window/stride in tokens. */
@@ -218,6 +223,75 @@ object PipelineQueries {
           expr("(src_tokens * 1000L) div total").as("share_permille"),
           expr("(total * 1000L) div (n_sources * src_tokens)")
             .as("weight_permille"))
+    },
+
+    // temperature-scaled domain mixing — x43 computes the UNIFORM
+    // rebalancing weights; this MATERIALIZES a tempered mix (the
+    // XLM-R / mT5 recipe: sample source i with probability ∝ p_i^α,
+    // α = 0.5) under a global token budget of tot/TempMixBudgetDiv.
+    // α = 0.5 is deliberately the one fractional power both engines
+    // compute bit-identically (IEEE sqrt is correctly rounded; pow(x,
+    // 0.3) is libm-dependent); floor() makes the weight an integer and
+    // every step after it is pure integer arithmetic, so the per-source
+    // rate — rate_i = min(1000, (w_i · B · 1000) div (Σw · n_i)),
+    // w_i = floor(sqrt(n_i)), B = tot div 5 — is cross-engine exact.
+    // Rates scale as 1/sqrt(n_i): small sources are upsampled toward
+    // the tempered share, huge ones capped at their budget slice.
+    // Membership is the portable 60-bit doc_id hash under a fresh seed
+    // (no RNG — identical on any engine/partitioning/rerun, and
+    // independent of the doc's x19 split and x25 sample bits). Scale
+    // shape: one corpus scan for per-source stats, a single-row
+    // broadcast of the totals, the ≤|sources| rate table broadcast
+    // back onto the scan — the corpus is never shuffled.
+    "x64_temperature_mix" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(string_split(text,' '))::BIGINT AS toks,
+         |    ${DedupQueries.duckHash("CAST(doc_id AS VARCHAR)", TempMixSeed)}
+         |      % 1000 AS bucket
+         |  FROM documents),
+         |s AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |        CAST(floor(sqrt(CAST(sum(toks) AS BIGINT))) AS BIGINT) AS w
+         |      FROM t GROUP BY source),
+         |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |             CAST(sum(w) AS BIGINT) AS wsum FROM s),
+         |r AS (SELECT s.source, s.n_docs, s.n_tokens,
+         |        CAST(least(1000, (s.w * (g.tot // $TempMixBudgetDiv) * 1000)
+         |          // (g.wsum * s.n_tokens)) AS BIGINT) AS rate_permille
+         |      FROM s CROSS JOIN g)
+         |SELECT r.source, r.n_docs, r.n_tokens, r.rate_permille,
+         |  CAST(sum(CASE WHEN t.bucket < r.rate_permille THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN t.bucket < r.rate_permille THEN t.toks
+         |    ELSE 0 END) AS BIGINT) AS sampled_tokens
+         |FROM r JOIN t ON t.source = r.source
+         |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .withColumn("bucket", expr(
+          "element_at(graft_hash60_array(array(CAST(doc_id AS STRING)), " +
+            s"$TempMixSeed), 1) % 1000"))
+      val srcStats = t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("bigint").as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("bigint"))
+      val g = broadcast(srcStats.agg(
+        sum(col("n_tokens")).cast("bigint").as("tot"),
+        sum(col("w")).cast("bigint").as("wsum")))
+      val rates = srcStats.crossJoin(g)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          least(lit(1000L),
+            expr(s"(w * (tot div $TempMixBudgetDiv) * 1000L) " +
+              "div (wsum * n_tokens)")).as("rate_permille"))
+      t.join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"), col("n_docs"), col("n_tokens"),
+          col("rate_permille"))
+        .agg(sum(when(col("bucket") < col("rate_permille"), 1L)
+            .otherwise(0L)).cast("bigint").as("n_sampled"),
+          sum(when(col("bucket") < col("rate_permille"), col("toks"))
+            .otherwise(0L)).cast("bigint").as("sampled_tokens"))
     },
 
     // hybrid retrieval: reciprocal-rank fusion (Cormack et al., 2009)

@@ -32,6 +32,51 @@ class PipelineSpec extends SparkTestBase {
       "shard exceeds budget by more than one straddling doc")
   }
 
+  test("x64: temperature-mix rates match the closed form and the sample " +
+    "is the exact hash filter") {
+    val res = SparkEntry.queries("x64_temperature_mix")(spark, sf0001)
+      .select($"source", $"n_docs", $"n_tokens", $"rate_permille",
+        $"n_sampled", $"sampled_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // independent recompute from collected rows (portable hash included)
+    graft.functions.DedupFunctions.register(spark)
+    val raw = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("toks"),
+        expr("element_at(graft_hash60_array(array(CAST(doc_id AS STRING))," +
+          s" ${PipelineQueries.TempMixSeed}), 1) % 1000").as("bucket"))
+      .as[(String, Long, Long, Long)].collect()
+    val bySrc = raw.groupBy(_._1)
+    assert(res.map(_._1).toSet == bySrc.keySet, "every source reported")
+    val nTok = bySrc.map { case (src, rows) => src -> rows.map(_._3).sum }
+    val w = nTok.map { case (src, n) =>
+      src -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val tot = nTok.values.sum
+    val wsum = w.values.sum
+    val budget = tot / PipelineQueries.TempMixBudgetDiv
+    res.foreach { case (src, nDocs, nTokens, rate, nSamp, sampTok) =>
+      assert(nDocs == bySrc(src).length && nTokens == nTok(src),
+        s"$src stats")
+      val expRate = math.min(1000L, w(src) * budget * 1000L /
+        (wsum * nTok(src)))
+      assert(rate == expRate, s"$src rate $rate != closed-form $expRate")
+      val sampled = bySrc(src).filter(_._4 < rate)
+      assert(nSamp == sampled.length, s"$src sample count")
+      assert(sampTok == sampled.map(_._3).sum, s"$src sample tokens")
+      assert(rate <= 1000 && nSamp <= nDocs)
+    }
+    // the tempered mix actually selects data, and never the whole corpus
+    val sampTot = res.map(_._6).sum
+    assert(sampTot > 0 && sampTot < tot)
+    // temperature direction: the smallest source's rate is >= the
+    // largest source's (rate ∝ 1/sqrt(n) up to floor slack and the cap)
+    val smallest = res.minBy(_._3)
+    val largest = res.maxBy(_._3)
+    assert(smallest._4 >= largest._4,
+      s"upsampling inverted: ${smallest._1}=${smallest._4} < " +
+        s"${largest._1}=${largest._4}")
+  }
+
   test("x42: rrf is exactly the integer-floored sum of its two rank legs") {
     val rows = SparkEntry.queries("x42_hybrid_rrf")(spark, sf0001)
       .select($"doc_id", $"bm25_rank", $"cos_rank", $"rrf")
