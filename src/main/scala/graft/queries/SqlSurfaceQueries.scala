@@ -748,6 +748,12 @@ object SqlSurfaceQueries {
           s"CAST(o_totalprice AS DECIMAL(12,2)) AS price " +
           s"FROM orders_q73 WHERE $pred"
       s.sql(s"DROP TABLE IF EXISTS $t")
+      // DROP on an EXTERNAL (LOCATION'd) table leaves its files behind,
+      // and CTAS refuses a non-empty location — so a rerun in the same
+      // JVM (Bench's retime path) failed instantly until the location
+      // is cleared too. Every other DDL query is mode=overwrite
+      // saveAsTable, which rewrites the location itself.
+      graft.util.Fs.deleteRecursively(s"$scratch/t")
       s.sql(s"CREATE TABLE $t USING parquet LOCATION '$scratch/t' AS " +
         sel("o_orderkey % 3 = 0"))
       def snap(step: String): (String, Long, String) = {
