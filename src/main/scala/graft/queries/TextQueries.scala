@@ -21,6 +21,9 @@ object TextQueries {
     * substring-dedup (0), packing (11) and πps-sample (23) seeds). */
   val LmSeed = 29
 
+  /** x65 per-source retention target: keep the best 30% by quality. */
+  val PruneKeepPermille = 300
+
   /** DuckDB mirror of langPred's score-and-argmax CASE chain. */
   private val duckLangPred: String = {
     val scores = LangMarkers.map { case (lang, markers) =>
@@ -269,6 +272,54 @@ object TextQueries {
         wsTokens(col("text")).as("n_words"),
         round(stopwordRatio(col("text")), 6).as("stop_ratio"),
         qualityScore(col("text")).as("quality"))
+    },
+
+    // per-source quality-quantile pruning — the adaptive retention op
+    // (FineWeb/DCLM shape: keep each domain's best ~30% by quality
+    // score, NOT one global threshold — a global cut empties clean-but-
+    // different domains and keeps a dirty domain's worst). Exactness at
+    // scale comes from quantizing the 6dp score to permille FIRST: the
+    // per-source quantile then reads off a (source, qp) HISTOGRAM of
+    // ≤ 1001 buckets per source — the cumulative window runs over that
+    // tiny aggregate, never a per-source sort of the corpus (the
+    // approx-sketch alternative would break cross-engine hash parity).
+    // threshold = largest qp whose ≥-mass still covers ceil(30% · n);
+    // keeping the whole boundary bucket makes retention deterministic
+    // and ≥ the target without a tiebreak.
+    "x65_quality_prune" -> QueryDef(
+      s"""WITH q AS (SELECT doc_id, source,
+         |    CAST(floor(($duckQuality) * 1000) AS BIGINT) AS qp
+         |  FROM documents),
+         |n AS (SELECT source, count(*) AS n_docs FROM q GROUP BY source),
+         |h AS (SELECT source, qp, count(*) AS c FROM q GROUP BY 1, 2),
+         |cum AS (SELECT source, qp,
+         |    sum(c) OVER (PARTITION BY source ORDER BY qp DESC) AS n_ge
+         |  FROM h),
+         |t AS (SELECT cum.source, max(qp) AS threshold_permille
+         |  FROM cum JOIN n ON n.source = cum.source
+         |  WHERE cum.n_ge >= (n.n_docs * $PruneKeepPermille + 999) // 1000
+         |  GROUP BY cum.source)
+         |SELECT q.source, n.n_docs, t.threshold_permille,
+         |  count(*)::BIGINT AS n_kept
+         |FROM q JOIN t ON t.source = q.source
+         |       JOIN n ON n.source = q.source
+         |WHERE q.qp >= t.threshold_permille
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        floor(qualityScore(col("text")) * 1000).cast("bigint").as("qp"))
+      val n = q.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val h = q.groupBy(col("source"), col("qp")).agg(count(lit(1)).as("c"))
+      val cum = h.withColumn("n_ge", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("qp").desc)))
+      val thr = cum.join(n, Seq("source"))
+        .filter(col("n_ge") >=
+          expr(s"(n_docs * $PruneKeepPermille + 999) div 1000"))
+        .groupBy(col("source")).agg(max(col("qp")).as("threshold_permille"))
+      q.join(broadcast(thr.join(n, Seq("source"))), Seq("source"))
+        .filter(col("qp") >= col("threshold_permille"))
+        .groupBy(col("source"), col("n_docs"), col("threshold_permille"))
+        .agg(count(lit(1)).as("n_kept"))
     },
 
     // token counting: whitespace + regex token classes, per source

@@ -45,4 +45,29 @@ class TextAnalysisSpec extends SparkTestBase {
     // hello, world, 42, x, ! → 5
     assert(re == 5)
   }
+
+  test("x65: per-source threshold is the MINIMAL permille bucket " +
+    "covering the retention target, and n_kept is its exact tail mass") {
+    val res = graft.SparkEntry.queries("x65_quality_prune")(spark, sf0001)
+      .select($"source", $"n_docs", $"threshold_permille", $"n_kept")
+      .as[(String, Long, Long, Long)].collect()
+    // independent recompute from collected per-doc quantized scores
+    val qp = graft.Tables.documents(spark, sf0001)
+      .select($"source",
+        org.apache.spark.sql.functions.floor(
+          TextAnalysis.qualityScore($"text") * 1000).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(res.map(_._1).toSet == qp.keySet, "every source reported")
+    res.foreach { case (src, nDocs, thr, nKept) =>
+      val scores = qp(src).map(_._2)
+      val target = (scores.length * graft.queries.TextQueries
+        .PruneKeepPermille + 999) / 1000
+      assert(nDocs == scores.length, s"$src n_docs")
+      assert(nKept == scores.count(_ >= thr), s"$src kept = tail mass")
+      assert(nKept >= target, s"$src retention below target")
+      // minimality: excluding the boundary bucket dips below target
+      assert(scores.count(_ > thr) < target,
+        s"$src threshold not minimal: a higher cut still covers target")
+    }
+  }
 }
