@@ -57,8 +57,10 @@ object DedupQueries {
        | THEN 1 ELSE -1 END for hv in hs]) > 0
        | THEN (2**j)::BIGINT ELSE 0 END) for j in range(0, $SimBits)])::BIGINT""".stripMargin
 
-  private val JaccardMaxDf = 10
-  private val JaccardThreshold = 0.5
+  // private[graft]: LshRecallSpec recomputes x63's truth set from the
+  // same operating constants instead of hardcoding copies
+  private[graft] val JaccardMaxDf = 10
+  private[graft] val JaccardThreshold = 0.5
   private val SimhashMaxHamming = 3
 
   /** In-bucket pair generation with the occupancy cap mirrored from

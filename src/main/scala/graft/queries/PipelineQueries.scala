@@ -233,8 +233,17 @@ object PipelineQueries {
     // compute bit-identically (IEEE sqrt is correctly rounded; pow(x,
     // 0.3) is libm-dependent); floor() makes the weight an integer and
     // every step after it is pure integer arithmetic, so the per-source
-    // rate — rate_i = min(1000, (w_i · B · 1000) div (Σw · n_i)),
+    // rate — rate_i = min(1000, (w_i · ((B·1000) div n_i)) div Σw),
     // w_i = floor(sqrt(n_i)), B = tot div 5 — is cross-engine exact.
+    // The division is STAGED ((B·1000) div n_i first) to keep every
+    // intermediate under 2⁶³ at any real corpus size: the naive
+    // (w_i·B·1000) div (Σw·n_i) numerator is ~200·tot^1.5, which wraps
+    // Int64 silently on Spark (and errors on DuckDB) past ~1.3·10¹¹
+    // tokens — under 1 TB of text. Staged: B·1000 ≤ 200·tot (fits to
+    // 4·10¹⁶ tokens ≈ 100+ TB), and its quotient shrinks as w_i grows
+    // (product ≤ B·1000/√n_i), so the multiply is bounded too. The
+    // inner quotient is ≥ 200 for every source (n_i ≤ tot, B = tot/5),
+    // so the staging costs < 0.5% relative rate precision.
     // Rates scale as 1/sqrt(n_i): small sources are upsampled toward
     // the tempered share, huge ones capped at their budget slice.
     // Membership is the portable 60-bit doc_id hash under a fresh seed
@@ -256,8 +265,9 @@ object PipelineQueries {
          |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
          |             CAST(sum(w) AS BIGINT) AS wsum FROM s),
          |r AS (SELECT s.source, s.n_docs, s.n_tokens,
-         |        CAST(least(1000, (s.w * (g.tot // $TempMixBudgetDiv) * 1000)
-         |          // (g.wsum * s.n_tokens)) AS BIGINT) AS rate_permille
+         |        CAST(least(1000, (s.w *
+         |            (((g.tot // $TempMixBudgetDiv) * 1000) // s.n_tokens))
+         |          // g.wsum) AS BIGINT) AS rate_permille
          |      FROM s CROSS JOIN g)
          |SELECT r.source, r.n_docs, r.n_tokens, r.rate_permille,
          |  CAST(sum(CASE WHEN t.bucket < r.rate_permille THEN 1 ELSE 0 END)
@@ -283,8 +293,8 @@ object PipelineQueries {
       val rates = srcStats.crossJoin(g)
         .select(col("source"), col("n_docs"), col("n_tokens"),
           least(lit(1000L),
-            expr(s"(w * (tot div $TempMixBudgetDiv) * 1000L) " +
-              "div (wsum * n_tokens)")).as("rate_permille"))
+            expr(s"(w * (((tot div $TempMixBudgetDiv) * 1000L) " +
+              "div n_tokens)) div wsum")).as("rate_permille"))
       t.join(broadcast(rates), Seq("source"))
         .groupBy(col("source"), col("n_docs"), col("n_tokens"),
           col("rate_permille"))

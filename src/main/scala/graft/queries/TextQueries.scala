@@ -286,40 +286,43 @@ object TextQueries {
     // threshold = largest qp whose ≥-mass still covers ceil(30% · n);
     // keeping the whole boundary bucket makes retention deterministic
     // and ≥ the target without a tiebreak.
+    // Everything after the histogram is DERIVED FROM the histogram:
+    // n_docs = Σc per source, and n_kept (the ≥-threshold tail mass)
+    // IS the n_ge of the threshold row — the min n_ge among qualifying
+    // buckets, since n_ge shrinks as qp grows. So the corpus is scanned
+    // exactly once (the quality expression is the dominant per-row
+    // cost; a rejoin-the-corpus formulation would evaluate it twice).
     "x65_quality_prune" -> QueryDef(
-      s"""WITH q AS (SELECT doc_id, source,
-         |    CAST(floor(($duckQuality) * 1000) AS BIGINT) AS qp
-         |  FROM documents),
-         |n AS (SELECT source, count(*) AS n_docs FROM q GROUP BY source),
-         |h AS (SELECT source, qp, count(*) AS c FROM q GROUP BY 1, 2),
+      s"""WITH h AS (SELECT source,
+         |    CAST(floor(($duckQuality) * 1000) AS BIGINT) AS qp,
+         |    count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+         |      FROM h GROUP BY source),
          |cum AS (SELECT source, qp,
          |    sum(c) OVER (PARTITION BY source ORDER BY qp DESC) AS n_ge
-         |  FROM h),
-         |t AS (SELECT cum.source, max(qp) AS threshold_permille
-         |  FROM cum JOIN n ON n.source = cum.source
-         |  WHERE cum.n_ge >= (n.n_docs * $PruneKeepPermille + 999) // 1000
-         |  GROUP BY cum.source)
-         |SELECT q.source, n.n_docs, t.threshold_permille,
-         |  count(*)::BIGINT AS n_kept
-         |FROM q JOIN t ON t.source = q.source
-         |       JOIN n ON n.source = q.source
-         |WHERE q.qp >= t.threshold_permille
-         |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+         |  FROM h)
+         |SELECT cum.source, n.n_docs,
+         |  max(cum.qp) AS threshold_permille,
+         |  CAST(min(cum.n_ge) AS BIGINT) AS n_kept
+         |FROM cum JOIN n ON n.source = cum.source
+         |WHERE cum.n_ge >= (n.n_docs * $PruneKeepPermille + 999) // 1000
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val q = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        floor(qualityScore(col("text")) * 1000).cast("bigint").as("qp"))
-      val n = q.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      val h = q.groupBy(col("source"), col("qp")).agg(count(lit(1)).as("c"))
+      val h = Tables.documents(s, dir)
+        .groupBy(col("source"),
+          floor(qualityScore(col("text")) * 1000).cast("bigint").as("qp"))
+        .agg(count(lit(1)).as("c"))
+      val n = h.groupBy(col("source")).agg(sum(col("c")).cast("bigint")
+        .as("n_docs"))
       val cum = h.withColumn("n_ge", sum(col("c")).over(
         Window.partitionBy(col("source")).orderBy(col("qp").desc)))
-      val thr = cum.join(n, Seq("source"))
+      cum.join(n, Seq("source"))
         .filter(col("n_ge") >=
           expr(s"(n_docs * $PruneKeepPermille + 999) div 1000"))
-        .groupBy(col("source")).agg(max(col("qp")).as("threshold_permille"))
-      q.join(broadcast(thr.join(n, Seq("source"))), Seq("source"))
-        .filter(col("qp") >= col("threshold_permille"))
-        .groupBy(col("source"), col("n_docs"), col("threshold_permille"))
-        .agg(count(lit(1)).as("n_kept"))
+        .groupBy(col("source"), col("n_docs"))
+        .agg(max(col("qp")).as("threshold_permille"),
+          min(col("n_ge")).cast("bigint").as("n_kept"))
     },
 
     // token counting: whitespace + regex token classes, per source

@@ -11,9 +11,10 @@ import graft.{SparkEntry, SparkTestBase, Tables}
 class LshRecallSpec extends SparkTestBase {
   import spark.implicits._
 
-  // x63's operating constants (mirrored from DedupQueries)
-  private val MaxDf = 10
-  private val Threshold = 0.5
+  // x63's operating constants — the same vals the query reads, so a
+  // constant change can never silently desynchronize the truth set
+  private val MaxDf = graft.queries.DedupQueries.JaccardMaxDf
+  private val Threshold = graft.queries.DedupQueries.JaccardThreshold
 
   test("x63: per-band counts equal the collected-set intersection of " +
     "truth and LSH candidates") {

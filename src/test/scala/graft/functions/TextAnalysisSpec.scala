@@ -58,6 +58,14 @@ class TextAnalysisSpec extends SparkTestBase {
           TextAnalysis.qualityScore($"text") * 1000).cast("long"))
       .as[(String, Long)].collect().groupBy(_._1)
     assert(res.map(_._1).toSet == qp.keySet, "every source reported")
+    // plan shape: the n_docs branch must REUSE the histogram exchange,
+    // not rescan the corpus — the quality expression is the dominant
+    // per-row cost and must be evaluated exactly once per document
+    val df = graft.SparkEntry.queries("x65_quality_prune")(spark, sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "x65 n_docs branch rescans the corpus instead of reusing the " +
+        "histogram exchange")
     res.foreach { case (src, nDocs, thr, nKept) =>
       val scores = qp(src).map(_._2)
       val target = (scores.length * graft.queries.TextQueries

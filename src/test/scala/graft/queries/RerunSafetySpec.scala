@@ -32,21 +32,43 @@ class RerunSafetySpec extends SparkTestBase {
     "x51_incremental_dedup_probe", "x56_pq_index_probe",
     "x60_rolling_dedup_ingest")
 
-  test("stateful-set inventory matches the scratch/DDL users in source") {
-    // if a new query adds scratchDir/DDL state, add it here — the
-    // QueriesSmokeSpec single run cannot see second-run failures
+  test("stateful-set inventory: keys exist AND no scratch call site is " +
+    "unaccounted for") {
     val qs = SparkEntry.queries
     val missing = statefulKeys.filterNot(qs.contains)
     assert(missing.isEmpty, s"stale keys in statefulKeys: $missing")
+    // bidirectional half: a NEW QueryDef.scratchDir call site (the
+    // stateful-query signature) must force a conscious update here —
+    // key existence alone cannot detect an unlisted new stateful query
+    val root = new java.io.File("src/main/scala/graft")
+    assume(root.isDirectory, "source tree not visible from test cwd")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val sites = scalaFiles(root).map { f =>
+      val src = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      "QueryDef\\.scratchDir\\(".r.findAllIn(src).size
+    }.sum
+    assert(sites == 36,
+      s"QueryDef.scratchDir call sites changed (36 -> $sites): add the " +
+        "new stateful query to statefulKeys, then update this pin")
   }
 
   statefulKeys.foreach { key =>
-    test(s"$key is rerun-safe in one JVM (same row count both runs)") {
+    test(s"$key is rerun-safe in one JVM (identical content both runs)") {
       val fn = SparkEntry.queries(key)
-      val first = fn(spark, sf0001).count()
-      val second = fn(spark, sf0001).count()
-      assert(second == first,
-        s"$key rerun changed row count: $first -> $second")
+      // full-content compare (sorted JSON rows): a rerun that reads
+      // leftover state into different VALUES but the same cardinality
+      // must fail too, not just a row-count change
+      def snap(): Seq[String] = fn(spark, sf0001).toJSON.collect().toSeq.sorted
+      val first = snap()
+      val second = snap()
+      assert(second == first, {
+        val diff = second.diff(first).take(3)
+        s"$key rerun changed content (${first.size} -> ${second.size} " +
+          s"rows); first differing rows: $diff"
+      })
     }
   }
 }
