@@ -262,6 +262,15 @@ object Bench {
       // SPARK_GRAFT_SHJ_THRESHOLD=0 disables (local A/B only).
       .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
+      // The streaming specs' RESULT CHANNEL is a memory sink (the
+      // driver pulls the bounded output to compare it); at sf100 the
+      // outer stream-stream joins emit ~corpus-sized unmatched sides
+      // and the default 1g cap aborts the pull even though the join
+      // itself succeeded (s19 measured 1.5 GiB of task results). The
+      // cap is a harness limit, not an engine one — production sinks
+      // are files (s11/s16/s18 exercise that path) — so give the
+      // result channel headroom proportional to the driver heap.
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // AQE pre-coalesce width, derived from input bytes (see
