@@ -248,6 +248,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      // graft plan tier at session build — same registration as Verify
+      // (strategy + TopKRewrite + functions), so the plans this bench
+      // times are the plans a fresh session plans (r13 verdict #1)
+      .withExtensions(new graft.plans.GraftSparkExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // When a build side outgrows the broadcast threshold, convert the
@@ -269,8 +273,15 @@ object Bench {
       // itself succeeded (s19 measured 1.5 GiB of task results). The
       // cap is a harness limit, not an engine one — production sinks
       // are files (s11/s16/s18 exercise that path) — so give the
-      // result channel headroom proportional to the driver heap.
-      .config("spark.driver.maxResultSize", "8g")
+      // result channel headroom actually proportional to the driver
+      // heap: min(8g, heap/2). A fixed 8g on a small-heap JVM would
+      // let one oversized pull OOM the driver and kill the whole run
+      // instead of failing that query with a clean maxResultSize
+      // error (r13 advisor). SPARK_GRAFT_MAX_RESULT overrides for
+      // local A/B.
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT",
+          s"${math.min(8L << 30, Runtime.getRuntime.maxMemory / 2) >> 20}m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // AQE pre-coalesce width, derived from input bytes (see

@@ -14,6 +14,11 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      // graft plan tier at session build, matching Verify/Bench: the
+      // rewrite/strategy/functions are session state, so activating
+      // them mid-suite (as TopKRewriteSpec's class-init once did) made
+      // every later suite's plans depend on class-loading order
+      .withExtensions(new graft.plans.GraftSparkExtensions())
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -46,26 +46,40 @@ class LshRecallSpec extends SparkTestBase {
     }
   }
 
-  test("x63: exact duplicates (band 10) are fully recalled on the " +
-    "uncapped fixture") {
+  test("x63: exact duplicates (band 10) are fully recalled when no " +
+    "bucket is capped") {
     // identical texts have identical MinHash signatures, so they share
-    // every band bucket; with no bucket over MaxBucketOccupancy (true
-    // for the fixture, asserted here so a fixture change can't silently
-    // weaken the test) the pair survives the capped expansion in all
-    // Bands bands — recall at jaccard = 1.0 must be exactly 1.
-    val docs = Tables.documents(spark, sf0001)
+    // every band bucket; with no bucket over MaxBucketOccupancy the
+    // pair survives the capped expansion in all Bands bands — recall
+    // at jaccard = 1.0 must be exactly 1. The corpus fixture has NO
+    // jaccard=1.0 pairs (the r13 advisor's vacuous-pass finding — the
+    // old per-row foreach asserted nothing), so the guarantee is
+    // pinned on a CONSTRUCTED corpus with known exact-dup pairs,
+    // running the same two generators x63 composes.
+    val words = ('a' to 'z').map(_.toString)
+    def text(seed: Int): String =
+      (0 until 12).map(i => words((seed * 7 + i * 3) % 26)).mkString(" ")
+    val dups = (0 until 4).flatMap(i =>
+      Seq((100L + 2 * i, text(i)), (101L + 2 * i, text(i))))
+    val distincts = (0 until 12).map(i => (200L + i, text(40 + 5 * i)))
+    val docs = (dups ++ distincts).toDF("doc_id", "text")
+
     val maxOcc = Dedup.bandBuckets(docs)
       .groupBy($"band", $"bucket").count()
       .agg(org.apache.spark.sql.functions.max($"count")).as[Long].head()
-    assume(maxOcc <= Dedup.MaxBucketOccupancy,
-      s"fixture grew a hot bucket ($maxOcc) — band-10 recall no longer " +
-        "guaranteed by construction")
-    val band10 = SparkEntry.queries("x63_lsh_dedup_recall")(spark, sf0001)
-      .filter($"jaccard_band" === 10)
-      .select($"n_truth", $"n_lsh_hits").as[(Long, Long)].collect()
-    band10.foreach { case (nTruth, nHits) =>
-      assert(nHits == nTruth,
-        s"exact-dup recall must be 1.0 uncapped: $nHits/$nTruth")
-    }
+    assert(maxOcc <= Dedup.MaxBucketOccupancy,
+      s"constructed corpus grew a hot bucket ($maxOcc) — band-10 " +
+        "recall no longer guaranteed by construction")
+
+    val truth10 = Dedup.ngramJaccardPairs(docs, MaxDf, Threshold)
+      .filter($"jaccard" >= 1.0)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(truth10.size >= 4,
+      s"constructed corpus lost its exact-dup pairs ($truth10)")
+    val cand = Dedup.lshCandidatePairs(docs)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val missed = truth10 -- cand
+    assert(missed.isEmpty,
+      s"exact-dup recall must be 1.0 uncapped; LSH missed $missed")
   }
 }

@@ -9,7 +9,12 @@ import graft.{SparkTestBase, Tables}
   * exactly when it may, and declines when it must. */
 class TopKRewriteSpec extends SparkTestBase {
 
-  GroupTopK.enableRewrite(spark)
+  // rewrite is session-default via SparkTestBase's GraftSparkExtensions
+  // (no per-suite enableRewrite — that was the order-dependence the r13
+  // verdict flagged); assert the precondition so a base-fixture change
+  // fails here, loudly, instead of making every plan test vacuous
+  assert(spark.experimental.extraOptimizations.isEmpty,
+    "rewrite should come from extensions, not experimental mutation")
 
   private def lineitem = Tables.lineitem(spark, sf0001)
 
