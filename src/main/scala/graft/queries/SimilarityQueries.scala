@@ -99,6 +99,10 @@ object SimilarityQueries {
       Ivf.batchTopK(s, emb, probeMaxId = 50, k = 10))
   }
 
+  private def semDedupRecallRun(s: SparkSession, dir: String): DataFrame =
+    Ivf.semDedupRecall(s, Tables.embeddings(s, dir),
+      probeMaxId = 50, minCosine = SemDupMinCosine)
+
   private def pqRecallRun(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     recallCounts(
@@ -244,7 +248,36 @@ object SimilarityQueries {
              |FROM p WHERE c >= $SemDupMinCosine
              |GROUP BY vec_id, cell""".stripMargin) { (s, dir) =>
           Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)
-        })
+        },
+
+        // SemDeDup QUALITY measurement — x39's x61: per-cosine-band
+        // recall of the within-cell pair restriction against the exact
+        // above-threshold ground truth, on a bounded probe sample. A
+        // pair straddling a cell boundary is invisible to x39; this is
+        // the measured miss rate a pipeline tuning K reads. ONE
+        // probes×corpus pass computes the exact cosine AND the
+        // same-cell bit together (the approx side costs one integer
+        // compare per pair, not a second generator + join); integer
+        // outputs keep the hash compare exact, recall = n_cell_hits /
+        // n_truth.
+        "x66_semdedup_recall" -> QueryDef(
+          s"""WITH $duckIvfAssign,
+             |p AS (SELECT e.vec_id AS probe_id, e.embedding AS p_emb,
+             |        a.cell AS p_cell
+             |      FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+             |      WHERE e.vec_id < 50),
+             |pairs AS (
+             |  SELECT round(${duckCos("e.embedding", "p.p_emb")}, 6)
+             |      AS cos_sim,
+             |    (a.cell = p.p_cell) AS same_cell
+             |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id, p
+             |  WHERE e.vec_id != p.probe_id)
+             |SELECT CAST(floor(cos_sim * 10) AS INT) AS cos_band,
+             |  count(*)::BIGINT AS n_truth,
+             |  sum(CASE WHEN same_cell THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_cell_hits
+             |FROM pairs WHERE cos_sim >= $SemDupMinCosine
+             |GROUP BY 1""".stripMargin) (semDedupRecallRun _))
     } catch {
       case t: Throwable =>
         System.err.println(
@@ -260,7 +293,8 @@ object SimilarityQueries {
             Ivf.batchTopK(s, Tables.embeddings(s, dir), probeMaxId = 100)),
           "x61_ann_recall" -> QueryDef.rowsOnly(ivfRecallRun _),
           "x39_semdedup" -> QueryDef.rowsOnly((s, dir) =>
-            Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)))
+            Ivf.semDedup(Tables.embeddings(s, dir), SemDupMinCosine)),
+          "x66_semdedup_recall" -> QueryDef.rowsOnly(semDedupRecallRun _))
     }
 
   /** PQ codebooks as a DuckDB VALUES table (subspace, code, centroid).

@@ -239,6 +239,51 @@ object Ivf {
       .agg(max(col("c")).as("max_cos"), count(lit(1)).as("n_close"))
   }
 
+  /** [EXT] SemDeDup index-quality evaluation — the x61/x62/x63 loop
+    * closed for the last index family: what fraction of the TRUE
+    * above-threshold cosine pairs does the cell partition actually
+    * cover? [[semDedup]] only compares within-cell pairs, so a close
+    * pair straddling a cell boundary is invisible to it; a pipeline
+    * tuning K needs that miss rate, per cosine band, before trusting
+    * the dedup. Output: one row per band floor(cos·10) ≥
+    * floor(minCosine·10) with integer (n_truth, n_cell_hits) — recall
+    * = n_cell_hits / n_truth; integers keep the driver's hash compare
+    * exact (the x61 discipline).
+    *
+    * Scale shape: the truth side is the bounded probes×corpus scan an
+    * evaluation HAS to pay (probe sample ≤ probeMaxId, never
+    * corpus×corpus); the approx side costs ONE extra integer compare
+    * per pair — the probe's cell and the corpus row's cell ride the
+    * same broadcast/scan — instead of a second generator plus a
+    * pair-keyed join. Cosine uses the precomputed-norm dot identity
+    * of [[Ann.nearestNeighbors]] (bit-identical to CosineSimF on
+    * fixed-Dim corpora, null on zero norms). */
+  def semDedupRecall(spark: SparkSession, embeddings: DataFrame,
+                     probeMaxId: Long, minCosine: Double): DataFrame = {
+    VectorFunctions.register(spark)
+    val withC = withCell(embeddings)
+    val probes = withC.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        sqrt(expr("graft_dot(embedding, embedding)")).as("p_norm"),
+        col("cell").as("p_cell"))
+    withC
+      .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        round(
+          when(col("norm") === 0.0 || col("p_norm") === 0.0, lit(null))
+            .otherwise(expr("graft_dot(embedding, p_emb)") /
+              (col("norm") * col("p_norm"))),
+          6).as("cos_sim"),
+        (col("cell") === col("p_cell")).as("same_cell"))
+      .filter(col("cos_sim") >= minCosine)
+      .groupBy(floor(col("cos_sim") * 10).cast("int").as("cos_band"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("same_cell"), lit(1L)).otherwise(lit(0L)))
+          .cast("bigint").as("n_cell_hits"))
+  }
+
   /** Cell occupancy — the quantizer-balance tuning view. */
   def cellStats(embeddings: DataFrame): DataFrame =
     withCell(embeddings)
