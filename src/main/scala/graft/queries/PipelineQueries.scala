@@ -304,6 +304,141 @@ object PipelineQueries {
             .otherwise(0L)).cast("bigint").as("sampled_tokens"))
     },
 
+    // corpus-build CAPSTONE — the shipped pipeline end-to-end as ONE
+    // declarative plan (r13 verdict #6): x65's per-source quality
+    // prune → x64's temperature-scaled mix (rates computed on the
+    // PRUNED corpus — the composition the isolated ops can't see) →
+    // x19's train/val/test hash split → x41's greedy shard packing,
+    // per (split, bucket). Every stage reuses its component's exact
+    // constants and expressions, so this is the composition contract,
+    // not a fourth implementation.
+    //
+    // Scale shape: the corpus is scanned exactly TWICE (the x64/x65
+    // floor for a stats-then-apply pipeline without persisted state,
+    // CapstoneSpec-pinned): once into the (source, qp) histogram
+    // carrying count AND sum(toks) per bucket — from which the
+    // thresholds, the post-prune token masses and the tempered rates
+    // are ALL derived by a LINEAR window chain (no self-joins: a
+    // histogram self-join duplicates its whole subtree per consumer,
+    // since column pruning makes each copy's exchange canonically
+    // different — measured at 8 corpus scans before this design) —
+    // and once as the doc-level stream, which filters against the
+    // broadcast threshold+rate table (≤|sources| rows, one map-side
+    // lookup per doc) and packs under the (split, bucket) window. No
+    // stage shuffles the corpus on a low-cardinality key, and nothing
+    // between the two scans grows with corpus size.
+    "x67_corpus_build" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(string_split(text,' '))::BIGINT AS toks,
+         |    CAST(floor((${TextQueries.duckQuality}) * 1000) AS BIGINT)
+         |      AS qp,
+         |    ${DedupQueries.duckHash("CAST(doc_id AS VARCHAR)", TempMixSeed)}
+         |      % 1000 AS mixb,
+         |    ${DedupQueries.duckHash("CAST(doc_id AS VARCHAR)", 42)}
+         |      % 100 AS splitb,
+         |    ${DedupQueries.duckHash("CAST(doc_id AS VARCHAR)", PackSeed)}
+         |      % $PackBuckets AS packb
+         |  FROM documents),
+         |h AS (SELECT source, qp, count(*) AS c,
+         |        CAST(sum(toks) AS BIGINT) AS tk
+         |      FROM t GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+         |      FROM h GROUP BY 1),
+         |cum AS (SELECT source, qp,
+         |    sum(c) OVER (PARTITION BY source ORDER BY qp DESC) AS n_ge,
+         |    CAST(sum(tk) OVER (PARTITION BY source ORDER BY qp DESC)
+         |      AS BIGINT) AS tok_ge
+         |  FROM h),
+         |thr AS (SELECT cum.source, max(cum.qp) AS thr,
+         |        CAST(min(cum.tok_ge) AS BIGINT) AS kept_tokens
+         |      FROM cum JOIN n ON n.source = cum.source
+         |      WHERE cum.n_ge >=
+         |        (n.n_docs * ${TextQueries.PruneKeepPermille} + 999) // 1000
+         |      GROUP BY 1),
+         |s AS (SELECT source, thr, kept_tokens,
+         |        CAST(floor(sqrt(kept_tokens)) AS BIGINT) AS w FROM thr),
+         |g AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS tot,
+         |             CAST(sum(w) AS BIGINT) AS wsum FROM s),
+         |r AS (SELECT s.source, s.thr,
+         |        CAST(least(1000, (s.w *
+         |            (((g.tot // $TempMixBudgetDiv) * 1000) // s.kept_tokens))
+         |          // g.wsum) AS BIGINT) AS rate_permille
+         |      FROM s CROSS JOIN g),
+         |m AS (SELECT t.doc_id, t.toks, t.packb,
+         |        CASE WHEN t.splitb < 80 THEN 'train'
+         |             WHEN t.splitb < 90 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM t JOIN r ON r.source = t.source
+         |      WHERE t.qp >= r.thr AND t.mixb < r.rate_permille),
+         |c2 AS (SELECT split, packb, toks,
+         |        sum(toks) OVER (PARTITION BY split, packb ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |      FROM m)
+         |SELECT split, packb AS bucket,
+         |  ((cum - toks) // $PackBudget)::BIGINT AS shard,
+         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS shard_tokens
+         |FROM c2 GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      graft.functions.DedupFunctions.register(s)
+      def hashBit(seed: Int, mod: Long) = expr(
+        "element_at(graft_hash60_array(array(CAST(doc_id AS STRING)), " +
+          s"$seed), 1) % $mod")
+      val t = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"),
+          floor(graft.functions.TextAnalysis.qualityScore(col("text")) * 1000)
+            .cast("bigint").as("qp"),
+          hashBit(TempMixSeed, 1000L).as("mixb"),
+          hashBit(42, 100L).as("splitb"),
+          hashBit(PackSeed, PackBuckets.toLong).as("packb"))
+      // LINEAR stats chain: n_docs, the running >=-tails, the source
+      // totals and the global totals are all windows over the
+      // histogram (and then over the ≤|sources|-row threshold table)
+      // instead of self-joins — a self-join of h would duplicate its
+      // whole subtree per consumer (column pruning makes each copy's
+      // exchange different, so nothing canonicalizes equal and every
+      // derivation bottoms out in its own corpus scan; measured: 8
+      // scans). The windows stack on ONE tiny exchange each.
+      val h = t.groupBy(col("source"), col("qp"))
+        .agg(count(lit(1)).as("c"), sum(col("toks")).cast("bigint").as("tk"))
+      val wRun = Window.partitionBy(col("source")).orderBy(col("qp").desc)
+      val wSrc = Window.partitionBy(col("source"))
+      val cum = h.withColumn("n_ge", sum(col("c")).over(wRun))
+        .withColumn("tok_ge", sum(col("tk")).over(wRun))
+        .withColumn("n_docs", sum(col("c")).over(wSrc))
+      val thr = cum
+        .filter(col("n_ge") >=
+          expr(s"(n_docs * ${TextQueries.PruneKeepPermille} + 999) div 1000"))
+        .groupBy(col("source"))
+        .agg(max(col("qp")).as("thr"),
+          min(col("tok_ge")).cast("bigint").as("kept_tokens"))
+        .withColumn("w",
+          floor(sqrt(col("kept_tokens").cast("double"))).cast("bigint"))
+      // global totals as an empty-partition window: thr is ≤|sources|
+      // rows, so the single-partition funnel is a few hundred bytes
+      val wAll = Window.partitionBy()
+      val rates = thr
+        .withColumn("tot", sum(col("kept_tokens")).over(wAll).cast("bigint"))
+        .withColumn("wsum", sum(col("w")).over(wAll).cast("bigint"))
+        .select(col("source"), col("thr"),
+          least(lit(1000L),
+            expr(s"(w * (((tot div $TempMixBudgetDiv) * 1000L) " +
+              "div kept_tokens)) div wsum")).as("rate_permille"))
+      val m = t.join(broadcast(rates), Seq("source"))
+        .filter(col("qp") >= col("thr") && col("mixb") < col("rate_permille"))
+        .withColumn("split",
+          when(col("splitb") < 80, "train")
+            .when(col("splitb") < 90, "val")
+            .otherwise("test"))
+      val packW = Window.partitionBy(col("split"), col("packb"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("cum", sum(col("toks")).over(packW))
+        .withColumn("shard", expr(s"(cum - toks) div $PackBudget"))
+        .groupBy(col("split"), col("packb").as("bucket"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("bigint").as("shard_tokens"))
+    },
+
     // hybrid retrieval: reciprocal-rank fusion (Cormack et al., 2009)
     // of a BM25 keyword ranking (x38's scaled-rational integer score,
     // restricted to the fixed query terms) and a dense cosine ranking
