@@ -37,7 +37,8 @@ object Bench {
       loadMax: Double = -1.0, otherMax: Double = -1.0, nHot: Int = 0,
       nRetimed: Int = 0, rowsOnly: Seq[String] = Nil,
       regressions: Seq[String] = Nil,
-      initialPartitions: Int = -1, inputMib: Long = -1L): String = {
+      initialPartitions: Int = -1, inputMib: Long = -1L,
+      nQueries: Int = -1): String = {
     // sfDir is operator-controlled, but this is the one line that must
     // ALWAYS parse — escape the two characters that can break JSON
     val sf = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -61,7 +62,12 @@ object Bench {
     // mis-sized run is readable off the artifact itself instead of
     // needing the stderr BENCH INITIAL_PARTITIONS line (r12 verdict #3,
     // same lesson as the r8 load telemetry).
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"load_max":${f3(loadMax)},"other_max":${f3(otherMax)},"n_hot":$nHot,"n_retimed":$nRetimed,"n_regressed":${regressions.size},"regressions":$rg,"rows_only_by_design":$ro,"initial_partitions":$initialPartitions,"input_mib":$inputMib,"sf":"$sf"}"""
+    // n_queries/sec_per_query: the per-query cost budget (r13 verdict
+    // #8) — suite growth is ~7 queries/round, so total wall creeping up
+    // is expected; COST PER QUERY creeping up is the regression class
+    // the totals hide, now readable off the artifact itself.
+    val perQ = if (nQueries > 0) f""","n_queries":$nQueries,"sec_per_query":${total / nQueries}%.3f""" else ""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"load_max":${f3(loadMax)},"other_max":${f3(otherMax)},"n_hot":$nHot,"n_retimed":$nRetimed,"n_regressed":${regressions.size},"regressions":$rg,"rows_only_by_design":$ro,"initial_partitions":$initialPartitions,"input_mib":$inputMib$perQ,"sf":"$sf"}"""
   }
 
   /** More than this many CPU cores of FOREIGN work (host busy minus
@@ -656,7 +662,8 @@ object Bench {
         case (k, d) if d.oracle.isEmpty => k
       }.toSeq.sorted,
       regressions = regressed,
-      initialPartitions = initParts, inputMib = inputMib))
+      initialPartitions = initParts, inputMib = inputMib,
+      nQueries = results.size))
     spark.stop()
   }
 }

@@ -322,6 +322,59 @@ object PqKernels extends Serializable {
     total
   }
 
+  /** The query's precomputed ADC lookup table, flat M×Ks longs:
+    * T[j·Ks + c] = round(L2²(q_sub_j, cent_j[c])·1e6) — every term
+    * [[adcMicros]] could ever produce for this query, computed ONCE.
+    * Bit-identical to the fused form by construction (same per-term
+    * arithmetic, same round-then-sum order), so rankings are exactly
+    * preserved — PqSpec pins the parity. Cost: Ks× one pair's distance
+    * work per probe, amortized over every corpus row the probe meets
+    * (the classic PQ scan layout; the fused form only wins when a
+    * probe meets fewer than ~Ks corpus rows, which a scan never does). */
+  def adcTable(qEmb: ArrayData,
+               books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val ks = books(0).length
+    val out = new Array[Long](m * ks)
+    var j = 0
+    while (j < m) {
+      val cents = books(j)
+      val sub = cents(0).length
+      val off = j * sub
+      var c = 0
+      while (c < ks) {
+        val cent = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = at(qEmb, off + i) - cent(i)
+          acc += d * d
+          i += 1
+        }
+        out(j * ks + c) = Math.round(acc * 1e6)
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC distance from a precomputed [[adcTable]]: Σ_j T[j·Ks+code_j] —
+    * M table reads + adds per pair instead of M×SubDim fused
+    * multiply-adds. Ks is derived from the shapes so the expression
+    * carries no codebook reference at all. */
+  def adcFromTable(codes: ArrayData, table: ArrayData): Long = {
+    val m = codes.numElements()
+    val ks = table.numElements() / m
+    var total = 0L
+    var j = 0
+    while (j < m) {
+      total += table.getLong(j * ks + codes.getInt(j))
+      j += 1
+    }
+    total
+  }
+
   /** Per-subspace quantization distortion in micro-units — the error a
     * vector incurs by being coded (distance to its CHOSEN = nearest
     * centroid, i.e. the min over the codebook). The quantizer-quality
@@ -373,6 +426,47 @@ case class PqEncodeExpr(child: Expression,
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** pq_adc_table(q_emb): the query's M×Ks precomputed ADC lookup table
+  * (flat, micro-units) — computed once per probe row, carried through
+  * the broadcast, consumed by [[PqAdcLookupExpr]] per pair. */
+case class PqAdcTableExpr(child: Expression,
+                          books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.adcTable(a.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernels", PqKernels,
+      "graft.functions.PqKernels$")
+    val bref = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.adcTable($c, $bref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_adc_lookup(codes, table): ADC distance by table lookup — the
+  * per-pair hot path of the precomputed variant (M reads + adds, no
+  * floating point at all). Bit-identical to pq_adc(codes, q_emb) when
+  * `table = pq_adc_table(q_emb)`. */
+case class PqAdcLookupExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.adcFromTable(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernels", PqKernels,
+      "graft.functions.PqKernels$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $k.adcFromTable($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** pq_adc(codes, q_emb): asymmetric PQ distance in micro-units. */
@@ -550,6 +644,9 @@ object VectorFunctions {
       (es => PqEncodeExpr(es.head, graft.similarity.Pq.codebooks)),
     "graft_pq_adc" ->
       (es => PqAdcExpr(es.head, es(1), graft.similarity.Pq.codebooks)),
+    "graft_pq_adc_table" ->
+      (es => PqAdcTableExpr(es.head, graft.similarity.Pq.codebooks)),
+    "graft_pq_adc_lookup" -> (es => PqAdcLookupExpr(es.head, es(1))),
     "graft_pq_distort" ->
       (es => PqDistortExpr(es.head, graft.similarity.Pq.codebooks)))
 

@@ -171,28 +171,57 @@ object Pq {
       .limit(k)
   }
 
+  /** Broadcast-payload ceiling for the table-precompute variant of
+    * [[batchAdcTopK]]: each probe's M×Ks lookup table is M·Ks longs
+    * (2 KiB at 16×16), so up to this many probes the table broadcast
+    * stays ≤ ~32 MiB — comfortably a broadcast — and the per-pair cost
+    * drops from M×SubDim fused multiply-adds to M integer lookups.
+    * Past it the fused form keeps the broadcast 8× smaller (floats
+    * only); at that probe count the batch is no longer a broadcast
+    * workload anyway and wants a different join shape.
+    * `SPARK_GRAFT_PQ_TABLE=0|1` overrides for local A/B only. */
+  val TableMaxProbes = 16384L
+
   /** BATCH ADC top-k — [[adcTopK]] for a probe SET: the coded corpus
     * is scanned once with the (small) probe side broadcast, ADC per
     * (corpus row, probe) pair, then a per-probe rank keeps the top k.
     * The corpus never shuffles and the floats are read only for the
     * probe rows. At 100 TB this is the evaluation/serving fan-in
     * shape: ~3 TB of codes stream through executors against an
-    * in-memory probe table. (Per-pair ADC recomputes the query's
-    * subspace distance table inside the kernel — the same contract as
-    * [[adcTopK]]'s per-row scan; a table-precompute variant is the
-    * next optimization if probe batches grow past ~10³.) */
+    * in-memory probe table.
+    *
+    * Size-adaptive ADC (the Ivf.batchTopK pattern): below
+    * [[TableMaxProbes]] each probe row carries its PRECOMPUTED M×Ks
+    * distance table through the broadcast (`graft_pq_adc_table`,
+    * computed once per probe) and the per-pair kernel is M integer
+    * lookups (`graft_pq_adc_lookup`) instead of M×SubDim fused
+    * multiply-adds — the classic PQ scan layout, bit-identical totals
+    * (same per-term arithmetic and round-then-sum order; PqSpec pins
+    * fused ≡ table on full rankings). Above the ceiling the fused
+    * form bounds the broadcast payload instead. */
   def batchAdcTopK(spark: SparkSession, embeddings: DataFrame,
                    probeMaxId: Long, k: Int): DataFrame = {
     VectorFunctions.register(spark)
-    val probes = embeddings.filter(col("vec_id") < probeMaxId)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    val useTable = sys.env.get("SPARK_GRAFT_PQ_TABLE") match {
+      case Some("0") => false
+      case Some("1") => true
+      case _ => probeMaxId <= TableMaxProbes
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("adc_micro"), col("nn_id"))
+    val probes0 = embeddings.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    val (probes, adc) =
+      if (useTable)
+        (probes0.select(col("probe_id"),
+          expr("graft_pq_adc_table(q_emb)").as("adc_tab")),
+          "graft_pq_adc_lookup(codes, adc_tab)")
+      else (probes0, "graft_pq_adc(codes, q_emb)")
     withCodes(embeddings).crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("nn_id"),
-        expr("graft_pq_adc(codes, q_emb)").as("adc_micro"))
+        expr(adc).as("adc_micro"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("nn_id"), col("adc_micro"))

@@ -195,6 +195,28 @@ object StreamingJobs {
       require(!names.exists(_.endsWith(".delta")),
         "checkpoint carries HDFS-provider .delta files — RocksDB was " +
           "not the active provider")
+      // state-store scale diagnostics on stderr (the sf100 probe reads
+      // these): snapshot/changelog counts and checkpointed state bytes
+      // — the numbers that say whether the backend's commit cost is
+      // O(changed keys) as configured, not just that it ran
+      try {
+        val s2 = java.nio.file.Files.walk(stateDir)
+        val (nZip, nLog, bytes) = try {
+          val it = s2.iterator()
+          var z = 0; var l = 0; var b = 0L
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.endsWith(".zip")) z += 1
+            if (n.endsWith(".changelog")) l += 1
+            if (java.nio.file.Files.isRegularFile(p))
+              b += java.nio.file.Files.size(p)
+          }
+          (z, l, b)
+        } finally s2.close()
+        System.err.println(s"[s21] rocksdb state: snapshots=$nZip " +
+          s"changelogs=$nLog state_bytes=$bytes")
+      } catch { case scala.util.control.NonFatal(_) => () }
       val out = spark.table(name)
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),

@@ -39,12 +39,13 @@ object TailScale {
       graft.operators.Backup.incremental(spark, s"$dir/events.parquet",
         out, java.time.Instant.parse("2024-01-25T00:00:00Z"))
 
-      val stream = new graft.sources.BackupMicroBatchStream(
-        out, new org.apache.spark.sql.types.StructType()
-          .add("event_type", "string").add("date_dir", "string"),
-        Seq("event_type"),
-        Array.empty[org.apache.spark.sql.sources.Filter], None,
-        Array.empty[org.apache.spark.sql.sources.Filter])
+      def newStream(filters: Array[org.apache.spark.sql.sources.Filter]) =
+        new graft.sources.BackupMicroBatchStream(
+          out, new org.apache.spark.sql.types.StructType()
+            .add("event_type", "string").add("date_dir", "string"),
+          Seq("event_type"),
+          filters, None,
+          Array.empty[org.apache.spark.sql.sources.Filter])
 
       // time the two per-trigger driver costs over several iterations
       // (min-of-N: first call pays FS metadata cache fill)
@@ -58,13 +59,42 @@ object TailScale {
         }
         (best, last)
       }
-      val (listMs, off) = timeMs(5)(
-        stream.latestOffset().asInstanceOf[graft.sources.BackupOffset])
+
+      // backdate dir mtimes so the leaf cache is immediately
+      // trustworthy — in production the backlog IS old; only the
+      // just-appended leaves carry fresh stamps
+      def backdate(f: java.io.File): Unit = {
+        f.setLastModified(System.currentTimeMillis() - 600000L)
+        if (f.isDirectory)
+          f.listFiles().filter(_.isDirectory).foreach(backdate)
+      }
+      backdate(new java.io.File(out))
+
+      // COLD: full listing, fresh stream per call (no cache) — the
+      // pre-r14 per-trigger cost, O(#files)
+      val (coldMs, off) = timeMs(5)(newStream(Array.empty)
+        .latestOffset().asInstanceOf[graft.sources.BackupOffset])
       val offJson = off.json()
-      val (planMs, parts) = timeMs(5)(
-        stream.planInputPartitions(stream.initialOffset(), off))
+
+      // WARM: one stream across triggers — the r14 steady-state cost:
+      // interior dirs re-walked, unchanged leaves served from the
+      // mtime cache, O(#dirs) not O(#files)
+      val warmStream = newStream(Array.empty)
+      warmStream.latestOffset() // populate cache
+      val (warmMs, off2) = timeMs(5)(warmStream
+        .latestOffset().asInstanceOf[graft.sources.BackupOffset])
+      require(off2.counts == off.counts, "warm offset diverged from cold")
+
+      // FILTERED COLD: subtree pruning before enumeration — a pushed
+      // partition filter's listing touches only matching leaves
+      val (filtMs, offF) = timeMs(5)(newStream(Array(
+        org.apache.spark.sql.sources.EqualTo("event_type", "click")))
+        .latestOffset().asInstanceOf[graft.sources.BackupOffset])
+
+      val (planMs, parts) = timeMs(5)(warmStream
+        .planInputPartitions(warmStream.initialOffset(), off))
       val nFiles = off.counts.values.map(_.toLong).sum
-      println(f"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"list_ms":$listMs%.1f,"plan_ms":$planMs%.1f,"n_partitions":${parts.length}}""")
+      println(f"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":$coldMs%.1f,"warm_list_ms":$warmMs%.1f,"filtered_list_ms":$filtMs%.1f,"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":$planMs%.1f,"n_partitions":${parts.length}}""")
     } finally {
       graft.util.Fs.deleteRecursively(scratch)
       spark.stop()

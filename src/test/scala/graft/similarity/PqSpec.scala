@@ -75,6 +75,68 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("table-precompute ADC is bit-identical to the fused form over " +
+    "FULL per-probe rankings, and the table kernel matches first " +
+    "principles") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    // full rankings (k = corpus) so any per-pair total diverging —
+    // not just a top-k boundary — fails the parity
+    def run(flag: String) = {
+      // batchAdcTopK reads the env at call time; tests can't set env,
+      // so exercise both variants through their expression forms
+      graft.functions.VectorFunctions.register(spark)
+      val probes0 = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"embedding".as("q_emb"))
+      val (probes, adc) =
+        if (flag == "table")
+          (probes0.select($"probe_id",
+            expr("graft_pq_adc_table(q_emb)").as("adc_tab")),
+            "graft_pq_adc_lookup(codes, adc_tab)")
+        else (probes0, "graft_pq_adc(codes, q_emb)")
+      Pq.withCodes(emb).crossJoin(broadcast(probes))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id".as("nn_id"), expr(adc).as("adc_micro"))
+        .orderBy($"probe_id", $"nn_id")
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val fused = run("fused")
+    val table = run("table")
+    assert(fused.length == 10 * (n - 1))
+    assert(table == fused, "table ADC diverged from fused ADC")
+
+    // the table itself equals first-principles L2² micro rounding
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head()
+    val tab = emb.filter($"vec_id" === 0)
+      .select(expr("graft_pq_adc_table(embedding)"))
+      .as[Array[Long]].head()
+    assert(tab.length == Pq.M * Pq.Ks)
+    for (j <- 0 until Pq.M; c <- 0 until Pq.Ks) {
+      val cent = Pq.codebooks(j)(c)
+      var acc = 0.0
+      for (i <- 0 until Pq.SubDim) {
+        val d = q(j * Pq.SubDim + i).toDouble - cent(i)
+        acc += d * d
+      }
+      assert(tab(j * Pq.Ks + c) == Math.round(acc * 1e6),
+        s"table[$j,$c] diverges from first principles")
+    }
+  }
+
+  test("batchAdcTopK auto-selects the table variant under the probe " +
+    "ceiling and ranks identically either way") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // default path (50 < TableMaxProbes → table) — the x62 shape
+    val viaDefault = Pq.batchAdcTopK(spark, emb, probeMaxId = 50, k = 10)
+    val plan = viaDefault.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_pq_adc_lookup") ||
+      plan.contains("pqadclookup") || plan.contains("PqAdcLookup"),
+      s"expected the lookup kernel in the default plan:\n$plan")
+    assert(!plan.contains("graft_pq_adc(") && !plan.contains("PqAdcExpr"),
+      "fused kernel present despite table selection")
+  }
+
   test("ADC top-10 recalls a real fraction of the exact L2 top-10") {
     val emb = Tables.embeddings(spark, sf0001)
     val adc = Pq.adcTopK(spark, emb, 0, 10).as[(Long, Long)].collect()

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.config.BackupConfig
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.StructType
+
+/** The stream-tail listing lever (r13 verdict #2): leaf pruning BEFORE
+  * file enumeration, per-leaf mtime caching so an unchanged leaf is
+  * never re-listed, and one tree walk per trigger shared between
+  * latestOffset and planInputPartitions.
+  */
+class TailListingSpec extends SparkTestBase {
+
+  private lazy val outDir: String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_tail_listing").toString
+    graft.operators.Backup.run(spark, BackupConfig(
+      inputPath = s"$sf0001/events.parquet", outputPath = out,
+      timeColumn = "ts", partitionColumn = "event_type",
+      from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      to = java.time.Instant.parse("2024-01-25T00:00:00Z")))
+    out
+  }
+
+  private def stream(filters: Array[Filter] = Array.empty) =
+    new BackupMicroBatchStream(outDir,
+      new StructType().add("event_type", "string").add("date_dir", "string"),
+      Seq("event_type", "date_dir"), filters, None, Array.empty)
+
+  test("pruned layout never descends into excluded subtrees") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val (_, leaves) = BackupSource.layout(outDir, { m =>
+      seen += m
+      m.get("event_type").forall(_ == "click")
+    })
+    // every surviving leaf is the kept partition...
+    assert(leaves.nonEmpty && leaves.forall(_.values("event_type") == "click"))
+    // ...and the walk never went BELOW an excluded event_type: any map
+    // carrying a second key (date_dir) under a non-click value would
+    // prove the subtree was listed despite the prune
+    val descended = seen.filter(m => m.size > 1 &&
+      m.get("event_type").exists(_ != "click"))
+    assert(descended.isEmpty,
+      s"walk descended into pruned subtrees: $descended")
+    // prune was still CONSULTED for the excluded top-level dirs
+    assert(seen.exists(m => m.size == 1 &&
+      m.get("event_type").exists(_ != "click")))
+  }
+
+  test("filtered tail lists only matching leaves and plans only their " +
+    "files") {
+    val s = stream(Array(EqualTo("event_type", "click")))
+    val off = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off.counts.nonEmpty &&
+      off.counts.keySet.forall(_.startsWith("event_type=click/")),
+      s"filtered offset leaked other partitions: ${off.counts.keySet}")
+    val parts = s.planInputPartitions(s.initialOffset(), off)
+    assert(parts.length == off.counts.values.sum)
+  }
+
+  /** Backdate every directory's mtime so cache entries are immediately
+    * trustworthy (listedAt - mtime > the safety window). */
+  private def backdate(root: String): Unit = {
+    def walk(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 60000L)
+      if (f.isDirectory) f.listFiles().filter(_.isDirectory).foreach(walk)
+    }
+    walk(new java.io.File(root))
+  }
+
+  test("unchanged leaves are served from the mtime cache; a touched " +
+    "leaf is re-listed") {
+    val s = stream()
+    backdate(outDir)
+    val off1 = s.latestOffset().asInstanceOf[BackupOffset] // lists, caches
+    val off2 = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off2.counts == off1.counts)
+
+    // prove the CACHE answered off2: plant a file in one leaf but
+    // restore the leaf's mtime to its cached stamp — a re-listing
+    // would see the file, the cache must not
+    val leafKey = off1.counts.keys.min
+    val leafDir = new java.io.File(s"$outDir/$leafKey")
+    val mtime = leafDir.lastModified()
+    val planted = new java.io.File(leafDir,
+      "99999999999999_99999999999999_deadbeef.json.gz")
+    assert(planted.createNewFile())
+    assert(leafDir.setLastModified(mtime))
+    val off3 = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off3.counts == off1.counts,
+      "cache was not used: the mtime-restored leaf was re-listed")
+
+    // now let the mtime move (a real append does this): re-listed,
+    // the planted file appears — and ONLY in that leaf
+    assert(leafDir.setLastModified(System.currentTimeMillis()))
+    val off4 = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off4.counts(leafKey) == off1.counts(leafKey) + 1)
+    assert((off4.counts - leafKey) == (off1.counts - leafKey))
+
+    // the new file is exactly what the next batch plans
+    val parts = s.planInputPartitions(BackupOffset(off1.counts), off4)
+    assert(parts.length == 1)
+    assert(parts.head.asInstanceOf[BackupFilePartition]
+      .file.endsWith("deadbeef.json.gz"))
+  }
+
+  test("a freshly-written leaf (mtime within the safety window) is " +
+    "re-listed, not trusted from cache") {
+    val s = stream()
+    val leafKey = s.latestOffset().asInstanceOf[BackupOffset].counts.keys.max
+    val leafDir = new java.io.File(s"$outDir/$leafKey")
+    // fresh write stamp: the next listing's cache entry has
+    // listedAt - mtime far inside the safety window → untrusted
+    assert(leafDir.setLastModified(System.currentTimeMillis()))
+    val m0 = leafDir.lastModified()
+    val off1 = s.latestOffset().asInstanceOf[BackupOffset]
+    val planted = new java.io.File(leafDir,
+      "99999999999999_99999999999998_cafebabe.json.gz")
+    assert(planted.createNewFile())
+    // even with the mtime pinned back to the cached stamp (the
+    // granularity-collision scenario), the unsafe window forces a
+    // re-list and the file is seen
+    assert(leafDir.setLastModified(m0))
+    val off2 = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off2.counts(leafKey) == off1.counts(leafKey) + 1,
+      "safety window failed: a same-stamp append went unseen")
+    planted.delete()
+  }
+}
