@@ -66,7 +66,12 @@ object Bench {
     // #8) — suite growth is ~7 queries/round, so total wall creeping up
     // is expected; COST PER QUERY creeping up is the regression class
     // the totals hide, now readable off the artifact itself.
-    val perQ = if (nQueries > 0) f""","n_queries":$nQueries,"sec_per_query":${total / nQueries}%.3f""" else ""
+    // through f3, NOT the f-interpolator: String.format under a
+    // comma-decimal default locale would break the one line that must
+    // always parse (the reason f3 exists)
+    val perQ = if (nQueries > 0)
+      s""","n_queries":$nQueries,"sec_per_query":${f3(total / nQueries)}"""
+    else ""
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"load_max":${f3(loadMax)},"other_max":${f3(otherMax)},"n_hot":$nHot,"n_retimed":$nRetimed,"n_regressed":${regressions.size},"regressions":$rg,"rows_only_by_design":$ro,"initial_partitions":$initialPartitions,"input_mib":$inputMib$perQ,"sf":"$sf"}"""
   }
 

@@ -1071,6 +1071,19 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     scala.collection.mutable.HashMap.empty[String, LeafSnap]
   private val MtimeSafetyMs = 5000L
 
+  /** The cache's correctness premise — "a child create/delete advances
+    * the directory's mtime" — holds for POSIX filesystems and HDFS but
+    * NOT for object stores (S3A/GCS "directories" are synthetic; their
+    * FileStatus mtime is constant or 0), where trusting it would make
+    * appended chunks permanently invisible. Gate by scheme: cache on
+    * the filesystems whose semantics are known, always re-list
+    * elsewhere (correct, just not accelerated). A zero/absent mtime is
+    * additionally never trusted regardless of scheme. */
+  private lazy val mtimeReliable: Boolean = {
+    val scheme = Option(new Path(path).toUri.getScheme).getOrElse("file")
+    scheme == "file" || scheme == "hdfs" || scheme == "viewfs"
+  }
+
   /** The trigger's listing, shared between latestOffset and
     * planInputPartitions (keyed by the offset counts it produced) so
     * one trigger pays ONE tree walk, not two. */
@@ -1090,7 +1103,7 @@ class BackupMicroBatchStream(val path: String, required: StructType,
         out += leafKeyFromDir(dir) -> Leaf(values, files)
     def walk(p: Path, mtime: Long, values: Map[String, String]): Unit = {
       leafCache.get(p.toString) match {
-        case Some(c) if c.mtime == mtime &&
+        case Some(c) if mtimeReliable && mtime > 0L && c.mtime == mtime &&
             c.listedAt - c.mtime > MtimeSafetyMs =>
           // unchanged since a comfortably-later listing: known leaf,
           // file set proven current — no listStatus

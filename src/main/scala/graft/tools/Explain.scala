@@ -11,6 +11,10 @@ object Explain {
     val re = pattern.r
     val spark = SparkSession.builder()
       .master("local[8]")
+      // the plan-audit tool must see the plans Verify/Bench EXECUTE —
+      // same session-build extension registration (a bare session
+      // would print the stock Window plan where they run GroupTopK)
+      .withExtensions(new graft.plans.GraftSparkExtensions())
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

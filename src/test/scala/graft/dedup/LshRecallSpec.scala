@@ -56,12 +56,19 @@ class LshRecallSpec extends SparkTestBase {
     // old per-row foreach asserted nothing), so the guarantee is
     // pinned on a CONSTRUCTED corpus with known exact-dup pairs,
     // running the same two generators x63 composes.
+    // texts are distinct by construction: the seed is PART of the text
+    // (the original arithmetic recipe collided — seed*7 mod 26 made
+    // text(55) == text(3), turning "distinct" docs into extra dup-pair
+    // members; asserted below so the fixture can't silently regress)
     val words = ('a' to 'z').map(_.toString)
     def text(seed: Int): String =
-      (0 until 12).map(i => words((seed * 7 + i * 3) % 26)).mkString(" ")
+      (s"s$seed" +: (0 until 12).map(i => words((seed * 7 + i * 3) % 26)))
+        .mkString(" ")
     val dups = (0 until 4).flatMap(i =>
       Seq((100L + 2 * i, text(i)), (101L + 2 * i, text(i))))
     val distincts = (0 until 12).map(i => (200L + i, text(40 + 5 * i)))
+    assert((dups.map(_._2) ++ distincts.map(_._2)).toSet.size == 16,
+      "constructed texts collided — dup pairs are not isolated")
     val docs = (dups ++ distincts).toDF("doc_id", "text")
 
     val maxOcc = Dedup.bandBuckets(docs)

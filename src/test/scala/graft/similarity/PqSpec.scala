@@ -133,7 +133,11 @@ class PqSpec extends SparkTestBase {
     assert(plan.contains("graft_pq_adc_lookup") ||
       plan.contains("pqadclookup") || plan.contains("PqAdcLookup"),
       s"expected the lookup kernel in the default plan:\n$plan")
-    assert(!plan.contains("graft_pq_adc(") && !plan.contains("PqAdcExpr"),
+    // the resolved expression prints LOWERCASE ("pqadcexpr(...)") in
+    // the optimized plan — match case-insensitively or the negative
+    // half of this test is vacuous
+    val lower = plan.toLowerCase
+    assert(!lower.contains("graft_pq_adc(") && !lower.contains("pqadcexpr"),
       "fused kernel present despite table selection")
   }
 

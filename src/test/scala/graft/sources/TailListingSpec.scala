@@ -59,6 +59,31 @@ class TailListingSpec extends SparkTestBase {
     assert(parts.length == off.counts.values.sum)
   }
 
+  test("streaming walk and batch layout agree leaf-for-leaf: same " +
+    "keys, same file counts") {
+    // the tail's incremental walk re-implements the Hive-tree decode
+    // (it needs per-dir mtimes the shared layout doesn't track); this
+    // pins the two walks to the SAME leaf contract so a future change
+    // to escaping / chunk recognition / null-partition handling
+    // applied to one cannot silently diverge the other
+    val off = stream().latestOffset().asInstanceOf[BackupOffset]
+    val rootStr = new org.apache.hadoop.fs.Path(outDir).toUri.getPath
+    val fromLayout = BackupSource.layout(outDir)._2
+      .filter(_.files.nonEmpty)
+      .map { l =>
+        val parent = new org.apache.hadoop.fs.Path(l.files.head)
+          .getParent.toString
+        val idx = parent.indexOf(rootStr)
+        val key = if (idx >= 0)
+          parent.substring(idx + rootStr.length).stripPrefix("/")
+        else parent
+        key -> l.files.length
+      }.toMap
+    assert(off.counts == fromLayout,
+      s"streaming walk diverged from batch layout:\n stream $off\n " +
+        s"batch $fromLayout")
+  }
+
   /** Backdate every directory's mtime so cache entries are immediately
     * trustworthy (listedAt - mtime > the safety window). */
   private def backdate(root: String): Unit = {
