@@ -390,6 +390,43 @@ object SimilarityQueries {
           Pq.ivfAdcTopK(s, Tables.embeddings(s, dir), queryVecId = 0, k = 10)
         },
 
+        // BATCH IVF-ADC — x54's FAISS-IVFPQ shape for a probe SET (the
+        // serving fan-in): each probe scans only its NProbe nearest
+        // cells, in CODED form, ranked by exact-integer ADC via the
+        // r14 precomputed lookup table (per-pair = M integer reads;
+        // floats never read for corpus rows). A corpus vector lives in
+        // exactly one cell, so no dedup is needed when several probes
+        // share cells. Oracle composes the x35 probe CTE with x52's
+        // per-subspace micro-unit ADC join, batched over the probe set.
+        "x68_batch_ivf_adc" -> QueryDef(
+          s"""WITH $duckIvfAssign,
+             |$duckPqAssign,
+             |probe AS (
+             |  SELECT vec_id AS probe_id, c AS cell FROM (
+             |    SELECT vec_id, c,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+             |    FROM d WHERE vec_id < 50) WHERE rn <= ${Ivf.NProbe}),
+             |qd AS (SELECT q.vec_id AS probe_id, ct.j, ct.c,
+             |         CAST(round(${duckPqL2("q.embedding", "ct.j", "ct.v")}
+             |           * 1e6, 0) AS BIGINT) AS dm
+             |       FROM embeddings q, pqc ct WHERE q.vec_id < 50),
+             |adc AS (SELECT pr.probe_id, code.vec_id AS nn_id,
+             |          sum(qd.dm)::BIGINT AS adc_micro
+             |        FROM probe pr
+             |        JOIN a ON a.cell = pr.cell
+             |        JOIN code ON code.vec_id = a.vec_id
+             |        JOIN qd ON qd.probe_id = pr.probe_id
+             |          AND qd.j = code.j AND qd.c = code.c
+             |        WHERE code.vec_id != pr.probe_id
+             |        GROUP BY pr.probe_id, code.vec_id)
+             |SELECT probe_id, nn_id, adc_micro FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY adc_micro, nn_id) AS rk
+             |  FROM adc) WHERE rk <= 10""".stripMargin) { (s, dir) =>
+          Pq.batchIvfAdcTopK(s, Tables.embeddings(s, dir),
+            probeMaxId = 50, k = 10)
+        },
+
         // PQ index QUALITY — recall@10 of the compressed-domain ADC
         // ranking against the exact squared-L2 ground truth (the
         // metric ADC estimates — measuring it against cosine would
@@ -507,6 +544,9 @@ object SimilarityQueries {
           "x54_ivf_adc_topk" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.ivfAdcTopK(s, Tables.embeddings(s, dir),
               queryVecId = 0, k = 10)),
+          "x68_batch_ivf_adc" -> QueryDef.rowsOnly((s, dir) =>
+            graft.similarity.Pq.batchIvfAdcTopK(s,
+              Tables.embeddings(s, dir), probeMaxId = 50, k = 10)),
           "x57_pq_adc_rerank" -> QueryDef.rowsOnly((s, dir) =>
             graft.similarity.Pq.adcRerankTopK(s, Tables.embeddings(s, dir),
               queryVecId = 0, kShort = PqRerankShortlist, k = 10)),

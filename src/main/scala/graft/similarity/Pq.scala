@@ -308,6 +308,47 @@ object Pq {
       .limit(k)
   }
 
+  /** BATCH IVF-ADC — [[ivfAdcTopK]] for a probe SET: the full FAISS
+    * IVFPQ serving shape, batched. One codegen pass assigns the corpus
+    * its cell AND its codes; each probe broadcasts its NProbe nearest
+    * cells WITH its precomputed ADC lookup table (the r14 table
+    * kernel), so the per-pair cost inside the probed cells is M
+    * integer reads — floats are never read for corpus rows at all.
+    * At 100 TB: cell = partition key bounding WHICH ~NProbe/K of the
+    * corpus each probe touches, codes = the 8 B/vector in-memory scan
+    * representation, the probe broadcast carries probes × NProbe rows
+    * of 2 KiB tables (the effective probe ceiling is therefore
+    * [[TableMaxProbes]]/NProbe before the fused form wins on payload).
+    * Ranking is exact-integer ADC — bit-identical to [[ivfAdcTopK]]
+    * per probe (PqSpec pins batch ≡ single-probe). */
+  def batchIvfAdcTopK(spark: SparkSession, embeddings: DataFrame,
+                      probeMaxId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigned = Ivf.withCell(embeddings)
+      .withColumn("codes", expr("graft_pq_encode(embedding)"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val probes = spread(embeddings).filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"),
+        expr("graft_pq_adc_table(embedding)").as("adc_tab"),
+        posexplode(expr("graft_ivf_dists(embedding)"))
+          .as(Seq("cell", "dist")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") <= Ivf.NProbe)
+      .select(col("probe_id"), col("cell"), col("adc_tab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc_micro"), col("nn_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("nn_id"),
+        expr("graft_pq_adc_lookup(codes, adc_tab)").as("adc_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("nn_id"), col("adc_micro"))
+  }
+
   /** Quantizer-quality view: per-subspace corpus distortion (the error
     * vectors incur by being coded — squared-L2 to the chosen centroid,
     * micro-units, exact BIGINT sums). The monitoring signal that says

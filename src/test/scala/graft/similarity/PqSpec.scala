@@ -210,6 +210,24 @@ class PqSpec extends SparkTestBase {
       s"re-rank recalled only $rRerank of the exact cosine top-10")
   }
 
+  test("batch IVF-ADC equals the single-probe IVF-ADC per probe") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val batch = Pq.batchIvfAdcTopK(spark, emb, probeMaxId = 5, k = 10)
+      .select($"probe_id", $"nn_id", $"adc_micro")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (p, rs) =>
+        p -> rs.map(r => (r._2, r._3)).toSet
+      }
+    assert(batch.keySet == (0L until 5L).toSet)
+    (0L until 5L).foreach { p =>
+      val single = Pq.ivfAdcTopK(spark, emb, queryVecId = p, k = 10)
+        .select($"vec_id", $"adc_micro")
+        .as[(Long, Long)].collect().toSet
+      assert(batch(p) == single,
+        s"probe $p: batch ${batch(p)} != single $single")
+    }
+  }
+
   test("IVF-ADC equals the full ADC ranking restricted to probed cells") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Pq.ivfAdcTopK(spark, emb, 0, 10)
