@@ -93,8 +93,23 @@ object TailScale {
 
       val (planMs, parts) = timeMs(5)(warmStream
         .planInputPartitions(warmStream.initialOffset(), off))
+
+      // APPEND: one new chunk lands in one leaf — the steady-state
+      // trigger that actually has work. Its mtime is fresh (inside the
+      // safety window), so the trigger re-walks interiors + re-lists
+      // exactly THAT leaf: the measured per-trigger cost with new
+      // files, which the O(new files) claim rests on.
+      val leafKey = off2.counts.keys.min
+      val planted = new java.io.File(new java.io.File(out, leafKey),
+        "99999999999999_99999999999999_deadbeef.json.gz")
+      require(planted.createNewFile(), "plant failed")
+      val (appendMs, offA) = timeMs(3)(warmStream
+        .latestOffset().asInstanceOf[graft.sources.BackupOffset])
+      require(offA.counts(leafKey) == off.counts(leafKey) + 1,
+        "planted append not observed by the tail")
+
       val nFiles = off.counts.values.map(_.toLong).sum
-      println(f"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":$coldMs%.1f,"warm_list_ms":$warmMs%.1f,"filtered_list_ms":$filtMs%.1f,"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":$planMs%.1f,"n_partitions":${parts.length}}""")
+      println(f"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":$coldMs%.1f,"warm_list_ms":$warmMs%.1f,"append_list_ms":$appendMs%.1f,"filtered_list_ms":$filtMs%.1f,"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":$planMs%.1f,"n_partitions":${parts.length}}""")
     } finally {
       graft.util.Fs.deleteRecursively(scratch)
       spark.stop()
