@@ -1055,21 +1055,40 @@ class BackupMicroBatchStream(val path: String, required: StructType,
   /** Leaf-listing cache: an unchanged leaf directory is not re-listed.
     * A chunk append/delete in a leaf updates THAT directory's mtime
     * (its direct children changed), so `mtime == cached.mtime` proves
-    * the file set is the one we listed — except within the clock's
-    * granularity window: a write landing in the same stamp as our
-    * listing would be invisible forever, so a cache entry is only
-    * trusted once the listing happened comfortably AFTER the last
-    * modification. Interior directories are always re-walked (a deep
-    * append does NOT touch ancestor mtimes) — per-trigger cost is
-    * O(#interior dirs) + O(files in CHANGED leaves), i.e. O(new files)
-    * for an appending backup, independent of backlog size (the r13
-    * PLANS lever: ~800 k chunks at the next decade would otherwise
-    * cost ~14 s of re-listing per trigger). */
+    * the file set is the one we listed — except for a write landing in
+    * the same mtime-granularity stamp as the one we cached, which would
+    * be invisible forever. The guard against that collision is
+    * AGE-BASED and deliberately clock-free across machines: an entry is
+    * trusted only once it is older than [[MtimeSafetyMs]] in DRIVER
+    * time (entry age compares driver clock to driver clock; mtime
+    * equality compares filesystem clock to filesystem clock — no
+    * driver-vs-NameNode comparison anywhere, so offset skew between the
+    * two cannot re-open the window). Soundness: the cached stamp M was
+    * already issued when we listed, so the filesystem clock at listing
+    * time was ≥ M; a write δ real-seconds after the listing is stamped
+    * ≥ M + δ (clock RATE ≈ 1 even under arbitrary offset skew), hence
+    * any write more than the granularity window after the listing must
+    * advance the observed mtime — an aged entry with an unchanged mtime
+    * proves no write slipped in. Interior directories are always
+    * re-walked (a deep append does NOT touch ancestor mtimes) —
+    * per-trigger cost is O(#interior dirs) + O(files in CHANGED
+    * leaves), i.e. O(new files) for an appending backup, independent of
+    * backlog size (the r13 PLANS lever: ~800 k chunks at the next
+    * decade would otherwise cost ~14 s of re-listing per trigger). */
   private case class LeafSnap(mtime: Long, listedAt: Long,
                               files: Seq[String])
   private val leafCache =
     scala.collection.mutable.HashMap.empty[String, LeafSnap]
+  /** ≥ any real filesystem's mtime granularity (FAT 2 s is the worst). */
   private val MtimeSafetyMs = 5000L
+
+  /** Test/probe hook: age the cache entries so the trust window is
+    * already open — the truthful steady state of a long-lived tail,
+    * where the backlog's entries are minutes-to-days old. Production
+    * code never calls this. */
+  private[graft] def ageCacheEntries(byMs: Long): Unit =
+    leafCache.mapValuesInPlace((_, c) =>
+      c.copy(listedAt = c.listedAt - byMs)): Unit
 
   /** The cache's correctness premise — "a child create/delete advances
     * the directory's mtime" — holds for POSIX filesystems and HDFS but
@@ -1090,13 +1109,102 @@ class BackupMicroBatchStream(val path: String, required: StructType,
   private var snapshot: Option[(Map[String, Int], Seq[(String, Leaf)])] =
     None
 
+  // ---- sink-published manifest serving (r14 verdict #1) -------------
+  //
+  // When the root carries a `_manifest/` record log (every sink commit
+  // appends one — see BackupSink.ManifestDir), the tail switches to it
+  // after ONE reconcile walk: the walk covers whatever predates the
+  // log, the records cover every commit since, and from then on a
+  // trigger costs ONE listStatus of `_manifest/` plus a read of the
+  // NEW record files — O(new commits), with no dependence on directory
+  // mtime semantics at all. This is the object-store lever: S3A/GCS
+  // directory mtimes are synthetic, the r14 leaf cache is soundly
+  // disabled there, and a manifest-less tail re-lists the whole tree
+  // every trigger (~14 s at the 800 k-chunk decade per PLANS.md);
+  // manifest-served triggers never list a data directory again. It
+  // also tightens exactly-once: a crashed streaming epoch's
+  // half-published chunks are INVISIBLE here until their epoch marker
+  // promotes (the walk could see them pre-rollback).
+  //
+  // State is per-leaf sorted chunk NAME sets — names, not full paths,
+  // so walk-seeded and record-fed entries dedup and order identically
+  // (full paths are re-derived as `<root>/<leafKey>/<name>`, which any
+  // FileSystem opens regardless of how the walk's listStatus qualified
+  // its URIs). Offsets stay the same (leafKey → count) JSON, so a
+  // checkpoint written in walk mode resumes in manifest mode and vice
+  // versa. Same single-appender/append-monotonicity contract as the
+  // offsets themselves; batch OVERWRITE resets the log with the data
+  // dirs, and mutating maintenance (retention / DELETE WHERE / merge)
+  // breaks a live tail's count-prefix offsets with or without the
+  // manifest.
+  private var manifestMode = false
+  private val manifestSeen = scala.collection.mutable.HashSet.empty[String]
+  private val manifestLeaves = scala.collection.mutable.HashMap
+    .empty[String, (Map[String, String],
+      scala.collection.mutable.TreeSet[String])]
+
+  /** Decode a leaf-relative dir path (`k=v/k2=v2/…`) into partition
+    * values, exactly as the walk does (unescape + null sentinel). */
+  private def decodeLeafValues(leafRel: String): Map[String, String] =
+    leafRel.split("/").filter(_.contains("=")).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      val dec = unescapePathName(v)
+      k -> (if (dec == HiveDefaultPartition) null else dec)
+    }.toMap
+
+  /** Read record files not seen before; union their entries into the
+    * per-leaf name sets. One listStatus + O(new records) opens. */
+  private def readNewManifestRecords(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path): Unit = {
+    BackupSink.manifestRecordFiles(fs, rootPath).foreach { st =>
+      val name = st.getPath.getName
+      if (!manifestSeen.contains(name)) {
+        manifestSeen += name
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty && line.contains("/")) {
+              val cut = line.lastIndexOf('/')
+              val leafRel = line.substring(0, cut)
+              val chunkName = line.substring(cut + 1)
+              val (_, names) = manifestLeaves.getOrElseUpdate(leafRel,
+                (decodeLeafValues(leafRel),
+                  scala.collection.mutable.TreeSet.empty[String]))
+              names += chunkName
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+      }
+    }
+  }
+
+  /** The manifest state as the tail's leaf view: pushed partition
+    * filters applied exactly like the walk's emit (keep), full paths
+    * re-derived from root + leafKey + name. */
+  private def serveManifest(): Seq[(String, Leaf)] =
+    manifestLeaves.toSeq.sortBy(_._1).collect {
+      case (leafRel, (values, names)) if keep(values) && names.nonEmpty =>
+        leafRel -> Leaf(values,
+          names.toSeq.map(n => new Path(s"$path/$leafRel/$n").toString))
+    }
+
   /** Walk the tree, pruning excluded subtrees via [[mayKeep]] BEFORE
-    * any listing and reusing cached file lists for unchanged leaves. */
+    * any listing and reusing cached file lists for unchanged leaves;
+    * or, once a sink manifest log exists, serve from it and never list
+    * a data directory again (see the manifest block above). */
   private def tailLeaves(): Seq[(String, Leaf)] = {
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(HadoopConfs.active())
+    if (manifestMode) {
+      readNewManifestRecords(fs, rootPath)
+      return serveManifest()
+    }
     if (!fs.exists(rootPath)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Leaf)]
+    val now = System.currentTimeMillis()
     def emit(dir: Path, values: Map[String, String],
              files: Seq[String]): Unit =
       if (keep(values) && files.nonEmpty)
@@ -1104,9 +1212,10 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     def walk(p: Path, mtime: Long, values: Map[String, String]): Unit = {
       leafCache.get(p.toString) match {
         case Some(c) if mtimeReliable && mtime > 0L && c.mtime == mtime &&
-            c.listedAt - c.mtime > MtimeSafetyMs =>
-          // unchanged since a comfortably-later listing: known leaf,
-          // file set proven current — no listStatus
+            now - c.listedAt > MtimeSafetyMs =>
+          // mtime unchanged AND the entry has aged past the granularity
+          // window (driver-clock age — see the cache doc for why this
+          // is skew-proof): file set proven current — no listStatus
           emit(p, values, c.files)
         case _ =>
           val children = fs.listStatus(p)
@@ -1134,6 +1243,22 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     }
     walk(rootPath, fs.getFileStatus(rootPath).getModificationTime,
       Map.empty)
+    // a sink manifest log exists → reconcile ONCE (this walk covers
+    // anything predating the log; the records cover every commit since
+    // — a commit racing this trigger lands in both, deduped by the
+    // name sets) and serve from the log for the rest of this stream's
+    // life: no data directory is ever listed again
+    if (fs.exists(new Path(rootPath, BackupSink.ManifestDir))) {
+      out.foreach { case (leafRel, leaf) =>
+        val (_, names) = manifestLeaves.getOrElseUpdate(leafRel,
+          (leaf.values, scala.collection.mutable.TreeSet.empty[String]))
+        leaf.files.foreach(f => names += new Path(f).getName)
+      }
+      readNewManifestRecords(fs, rootPath)
+      manifestMode = true
+      leafCache.clear() // mtime cache is dead weight from here on
+      return serveManifest()
+    }
     out.toSeq
   }
 

@@ -79,7 +79,10 @@ object PqScale {
       }
       val fusedS = run(table = false)
       val tableS = run(table = true)
-      println(f"""{"tool":"pqscale","sf":"$dir","n_corpus":$nCorpus,"n_probes":$probes,"fused_s":$fusedS%.2f,"table_s":$tableS%.2f,"speedup":${fusedS / tableS}%.2f}""")
+      // floats via Bench.f3 (Locale.ROOT): the f-interpolator honours the
+      // default locale, and a comma-decimal locale would emit invalid JSON
+      import graft.Bench.f3
+      println(s"""{"tool":"pqscale","sf":"$dir","n_corpus":$nCorpus,"n_probes":$probes,"fused_s":${f3(fusedS)},"table_s":${f3(tableS)},"speedup":${f3(fusedS / tableS)}}""")
     } finally {
       graft.util.Fs.deleteRecursively(scratch)
       spark.stop()

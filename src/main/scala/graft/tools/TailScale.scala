@@ -60,9 +60,9 @@ object TailScale {
         (best, last)
       }
 
-      // backdate dir mtimes so the leaf cache is immediately
-      // trustworthy — in production the backlog IS old; only the
-      // just-appended leaves carry fresh stamps
+      // backdate dir mtimes to the production shape (the backlog IS
+      // old; only just-appended leaves carry fresh stamps) — cache
+      // TRUST is age-based (ageCacheEntries below), not mtime-based
       def backdate(f: java.io.File): Unit = {
         f.setLastModified(System.currentTimeMillis() - 600000L)
         if (f.isDirectory)
@@ -81,6 +81,9 @@ object TailScale {
       // mtime cache, O(#dirs) not O(#files)
       val warmStream = newStream(Array.empty)
       warmStream.latestOffset() // populate cache
+      // open the age-based trust window (the steady state of a
+      // long-lived tail: backlog entries are minutes-to-days old)
+      warmStream.ageCacheEntries(60000L)
       val (warmMs, off2) = timeMs(5)(warmStream
         .latestOffset().asInstanceOf[graft.sources.BackupOffset])
       require(off2.counts == off.counts, "warm offset diverged from cold")
@@ -109,7 +112,10 @@ object TailScale {
         "planted append not observed by the tail")
 
       val nFiles = off.counts.values.map(_.toLong).sum
-      println(f"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":$coldMs%.1f,"warm_list_ms":$warmMs%.1f,"append_list_ms":$appendMs%.1f,"filtered_list_ms":$filtMs%.1f,"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":$planMs%.1f,"n_partitions":${parts.length}}""")
+      // floats via Bench.f3 (Locale.ROOT): the f-interpolator honours the
+      // default locale, and a comma-decimal locale would emit invalid JSON
+      import graft.Bench.f3
+      println(s"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":${f3(coldMs)},"warm_list_ms":${f3(warmMs)},"append_list_ms":${f3(appendMs)},"filtered_list_ms":${f3(filtMs)},"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":${f3(planMs)},"n_partitions":${parts.length}}""")
     } finally {
       graft.util.Fs.deleteRecursively(scratch)
       spark.stop()

@@ -50,7 +50,11 @@ class BackupSinkSpec extends SparkTestBase {
     val dir = freshDir()
     writeEvents(dir)
     val root = new java.io.File(dir)
+    // underscore-prefixed dirs are sink metadata (the manifest record
+    // log, streaming commit markers) — hidden-name convention, skipped
+    // by every reader
     val parts = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_"))
     assert(parts.nonEmpty && parts.forall(_.startsWith("event_type=")))
     val chunkName =
       raw"(\d{8}T\d{6}Z)_(\d{8}T\d{6}Z)_([0-9a-f]{8})(-\d+)?\.log\.gz".r

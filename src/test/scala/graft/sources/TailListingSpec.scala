@@ -20,6 +20,10 @@ class TailListingSpec extends SparkTestBase {
       timeColumn = "ts", partitionColumn = "event_type",
       from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
       to = java.time.Instant.parse("2024-01-25T00:00:00Z")))
+    // drop the sink's manifest log: this fixture exercises the WALK
+    // path (subtree pruning + mtime cache) — the pre-manifest shape.
+    // The manifest-serving tests below build their own root.
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(out, "_manifest"))
     out
   }
 
@@ -84,21 +88,13 @@ class TailListingSpec extends SparkTestBase {
         s"batch $fromLayout")
   }
 
-  /** Backdate every directory's mtime so cache entries are immediately
-    * trustworthy (listedAt - mtime > the safety window). */
-  private def backdate(root: String): Unit = {
-    def walk(f: java.io.File): Unit = {
-      f.setLastModified(System.currentTimeMillis() - 60000L)
-      if (f.isDirectory) f.listFiles().filter(_.isDirectory).foreach(walk)
-    }
-    walk(new java.io.File(root))
-  }
-
   test("unchanged leaves are served from the mtime cache; a touched " +
     "leaf is re-listed") {
     val s = stream()
-    backdate(outDir)
     val off1 = s.latestOffset().asInstanceOf[BackupOffset] // lists, caches
+    // age the entries past the safety window (the steady state of a
+    // long-lived tail — entries are minutes-to-days old in production)
+    s.ageCacheEntries(60000L)
     val off2 = s.latestOffset().asInstanceOf[BackupOffset]
     assert(off2.counts == off1.counts)
 
@@ -130,26 +126,145 @@ class TailListingSpec extends SparkTestBase {
       .file.endsWith("deadbeef.json.gz"))
   }
 
-  test("a freshly-written leaf (mtime within the safety window) is " +
-    "re-listed, not trusted from cache") {
+  test("a fresh cache entry (age within the safety window) is " +
+    "re-listed, not trusted") {
     val s = stream()
     val leafKey = s.latestOffset().asInstanceOf[BackupOffset].counts.keys.max
     val leafDir = new java.io.File(s"$outDir/$leafKey")
-    // fresh write stamp: the next listing's cache entry has
-    // listedAt - mtime far inside the safety window → untrusted
-    assert(leafDir.setLastModified(System.currentTimeMillis()))
     val m0 = leafDir.lastModified()
     val off1 = s.latestOffset().asInstanceOf[BackupOffset]
     val planted = new java.io.File(leafDir,
       "99999999999999_99999999999998_cafebabe.json.gz")
     assert(planted.createNewFile())
     // even with the mtime pinned back to the cached stamp (the
-    // granularity-collision scenario), the unsafe window forces a
-    // re-list and the file is seen
+    // granularity-collision scenario: a write landing in the same
+    // mtime stamp as the cached listing), the entry is younger than
+    // the safety window, so the trust condition fails and the leaf is
+    // re-listed — the file is seen. This is the exact hazard the
+    // age-based guard exists to close, and it needs no driver/namenode
+    // clock agreement (entry age is driver-vs-driver time).
     assert(leafDir.setLastModified(m0))
     val off2 = s.latestOffset().asInstanceOf[BackupOffset]
     assert(off2.counts(leafKey) == off1.counts(leafKey) + 1,
       "safety window failed: a same-stamp append went unseen")
     planted.delete()
+  }
+
+  // ---- sink-published manifest serving (r14 verdict #1) --------------
+
+  /** A root WITH the sink's `_manifest/` record log (every commit
+    * writes one), plus the frozen dir-mtime map for the constant-mtime
+    * simulation. */
+  private def manifestRoot(): String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_tail_manifest").toString
+    graft.operators.Backup.run(spark, BackupConfig(
+      inputPath = s"$sf0001/events.parquet", outputPath = out,
+      timeColumn = "ts", partitionColumn = "event_type",
+      from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      to = java.time.Instant.parse("2024-01-15T00:00:00Z")))
+    out
+  }
+
+  private def dirMtimes(root: String): Map[java.io.File, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f +: f.listFiles().toSeq.flatMap(walk)
+      else Seq.empty
+    walk(new java.io.File(root)).map(d => d -> d.lastModified()).toMap
+  }
+
+  test("manifest-served triggers consult no data-directory listing: " +
+    "an unrecorded planted file is invisible; sink appends are seen " +
+    "under constant directory mtimes") {
+    val out = manifestRoot()
+    assert(new java.io.File(out, "_manifest").isDirectory,
+      "sink commit did not write a manifest record")
+    val s = new BackupMicroBatchStream(out,
+      new StructType().add("event_type", "string").add("date_dir", "string"),
+      Seq("event_type", "date_dir"), Array.empty, None, Array.empty)
+    val off1 = s.latestOffset().asInstanceOf[BackupOffset] // reconcile walk
+    assert(off1.counts.nonEmpty)
+
+    // a file planted OUTSIDE the sink (no record, fresh leaf mtime — a
+    // tree walk would see it) must be invisible: manifest mode never
+    // lists a data directory again
+    val leafKey = off1.counts.keys.min
+    val planted = new java.io.File(new java.io.File(out, leafKey),
+      "99999999999999_99999999999999_deadbeef.log.gz")
+    assert(planted.createNewFile())
+    val off2 = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off2.counts == off1.counts,
+      "tail listed a data directory in manifest mode (planted file seen)")
+
+    // simulated constant-mtime filesystem (the object-store shape the
+    // r14 leaf cache is soundly disabled on): freeze every directory
+    // stamp across a real sink append — the appended chunks must still
+    // be served, from the commit's manifest record alone
+    val frozen = dirMtimes(out)
+    graft.operators.Backup.incremental(spark, s"$sf0001/events.parquet",
+      out, java.time.Instant.parse("2024-01-25T00:00:00Z"))
+    frozen.foreach { case (d, m) => d.setLastModified(m): Unit }
+    s.ageCacheEntries(60000L) // a cache fallback would trust stale lists
+    val off3 = s.latestOffset().asInstanceOf[BackupOffset]
+    val added = off3.counts.values.sum - off2.counts.values.sum
+    assert(added > 0,
+      "sink-appended chunks were not served from the manifest log")
+
+    // the increment plans exactly the recorded new chunks — never the
+    // planted file — and every planned path opens
+    val parts = s.planInputPartitions(off2, off3)
+      .map(_.asInstanceOf[BackupFilePartition])
+    assert(parts.length == added)
+    assert(!parts.exists(_.file.contains("deadbeef")))
+    parts.foreach(p => assert(
+      new java.io.File(p.file.stripPrefix("file:")).exists(),
+      s"planned path missing: ${p.file}"))
+    planted.delete()
+  }
+
+  test("walk-mode offsets resume seamlessly in manifest mode (same " +
+    "leaf keys and counts)") {
+    val out = manifestRoot()
+    // walk-only view of the same root: delete the log for stream A
+    val manifestDir = java.nio.file.Paths.get(out, "_manifest")
+    val saved = java.nio.file.Files.createTempDirectory("graft_mf_save")
+    val savedDir = saved.resolve("_manifest")
+    java.nio.file.Files.move(manifestDir, savedDir)
+    val offWalk = new BackupMicroBatchStream(out,
+      new StructType().add("event_type", "string"),
+      Seq("event_type", "date_dir"), Array.empty, None, Array.empty)
+      .latestOffset().asInstanceOf[BackupOffset]
+    java.nio.file.Files.move(savedDir, manifestDir)
+    val offManifest = new BackupMicroBatchStream(out,
+      new StructType().add("event_type", "string"),
+      Seq("event_type", "date_dir"), Array.empty, None, Array.empty)
+      .latestOffset().asInstanceOf[BackupOffset]
+    // identical keys AND counts: a checkpoint written before the log
+    // existed resumes against manifest-served counts with no shift
+    assert(offManifest.counts == offWalk.counts)
+  }
+
+  test("manifest log compaction folds records and preserves the union") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_mf_compact").toString
+    val rootPath = new org.apache.hadoop.fs.Path(out)
+    val fs = rootPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val n = BackupSink.ManifestCompactThreshold + 5
+    (1 to n).foreach { i =>
+      BackupSink.writeManifestRecord(fs, rootPath, f"b-$i%05d",
+        Seq(s"event_type=click/date_dir=20240101/chunk_$i.log.gz"))
+    }
+    assert(BackupSink.manifestRecordFiles(fs, rootPath).size == n)
+    BackupSink.maybeCompactManifest(fs, rootPath)
+    val after = BackupSink.manifestRecordFiles(fs, rootPath)
+    assert(after.size == 1, s"expected one compacted record, got $after")
+    val lines = scala.io.Source.fromInputStream(
+      fs.open(after.head.getPath)).getLines().toSet
+    assert(lines == (1 to n).map(i =>
+      s"event_type=click/date_dir=20240101/chunk_$i.log.gz").toSet)
+    // idempotent below threshold: a second call leaves it alone
+    BackupSink.maybeCompactManifest(fs, rootPath)
+    assert(BackupSink.manifestRecordFiles(fs, rootPath).size == 1)
   }
 }
