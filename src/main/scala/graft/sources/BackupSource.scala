@@ -1142,6 +1142,13 @@ class BackupMicroBatchStream(val path: String, required: StructType,
   private val manifestLeaves = scala.collection.mutable.HashMap
     .empty[String, (Map[String, String],
       scala.collection.mutable.TreeSet[String])]
+  // Served-view cache: rebuilding every leaf's path list per trigger
+  // would be O(#files) of driver string work (measured 161 ms at 69 k
+  // chunks — ~2 s at the 800 k decade); only leaves touched by new
+  // records rebuild, so a no-change trigger does O(#leaves) map reads.
+  private val manifestView =
+    scala.collection.mutable.HashMap.empty[String, Leaf]
+  private val manifestDirty = scala.collection.mutable.HashSet.empty[String]
 
   /** Decode a leaf-relative dir path (`k=v/k2=v2/…`) into partition
     * values, exactly as the walk does (unescape + null sentinel). */
@@ -1172,7 +1179,7 @@ class BackupMicroBatchStream(val path: String, required: StructType,
               val (_, names) = manifestLeaves.getOrElseUpdate(leafRel,
                 (decodeLeafValues(leafRel),
                   scala.collection.mutable.TreeSet.empty[String]))
-              names += chunkName
+              if (names.add(chunkName)) manifestDirty += leafRel
             }
             line = in.readLine()
           }
@@ -1183,13 +1190,19 @@ class BackupMicroBatchStream(val path: String, required: StructType,
 
   /** The manifest state as the tail's leaf view: pushed partition
     * filters applied exactly like the walk's emit (keep), full paths
-    * re-derived from root + leafKey + name. */
-  private def serveManifest(): Seq[(String, Leaf)] =
-    manifestLeaves.toSeq.sortBy(_._1).collect {
-      case (leafRel, (values, names)) if keep(values) && names.nonEmpty =>
-        leafRel -> Leaf(values,
-          names.toSeq.map(n => new Path(s"$path/$leafRel/$n").toString))
+    * re-derived from root + leafKey + name. Dirty leaves rebuild; the
+    * rest serve their cached Leaf. */
+  private def serveManifest(): Seq[(String, Leaf)] = {
+    manifestDirty.foreach { leafRel =>
+      manifestLeaves.get(leafRel).foreach { case (values, names) =>
+        if (keep(values) && names.nonEmpty)
+          manifestView(leafRel) =
+            Leaf(values, names.toSeq.map(n => s"$path/$leafRel/$n"))
+      }
     }
+    manifestDirty.clear()
+    manifestView.toSeq.sortBy(_._1)
+  }
 
   /** Walk the tree, pruning excluded subtrees via [[mayKeep]] BEFORE
     * any listing and reusing cached file lists for unchanged leaves;
@@ -1252,7 +1265,9 @@ class BackupMicroBatchStream(val path: String, required: StructType,
       out.foreach { case (leafRel, leaf) =>
         val (_, names) = manifestLeaves.getOrElseUpdate(leafRel,
           (leaf.values, scala.collection.mutable.TreeSet.empty[String]))
-        leaf.files.foreach(f => names += new Path(f).getName)
+        leaf.files.foreach { f =>
+          if (names.add(new Path(f).getName)) manifestDirty += leafRel
+        }
       }
       readNewManifestRecords(fs, rootPath)
       manifestMode = true

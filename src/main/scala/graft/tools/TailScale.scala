@@ -3,15 +3,26 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** One-shot diagnostic for the stream-tail's driver-side costs at probe
-  * scale (r12 verdict #4): the graftbackup micro-batch source keeps NO
-  * source-side log — each trigger re-lists the backup tree
-  * ([[graft.sources.BackupSource]] `layout`) and the checkpoint offset
-  * is a (leaf dir → sorted file count) JSON map. Both are driver-side
-  * metadata: the offset map is O(#leaves) — an int per PARTITION LEAF,
-  * NOT per chunk file — while the per-trigger listing walks O(#files).
-  * This main measures both against a real backup built at
-  * SPARK_GRAFT_SF_DIR's events table over s18's window, so the
-  * PLANS.md scale claim is a number, not an argument.
+  * scale (r12 verdict #4, extended for the r14 verdict #1 manifest):
+  * the graftbackup micro-batch source's checkpoint offset is a
+  * (leaf dir → sorted file count) JSON map — an int per PARTITION
+  * LEAF, NOT per chunk file. The per-trigger discovery cost comes in
+  * three generations, all measured here against a real backup built at
+  * SPARK_GRAFT_SF_DIR's events table over s18's window:
+  *
+  *  - WALK (pre-r14): every trigger re-lists the whole tree, O(#files).
+  *  - WALK + leaf mtime cache (r14): interiors re-walked, unchanged
+  *    leaves served from cache — O(#dirs); sound only where directory
+  *    mtimes advance on child create (file/hdfs/viewfs), so object
+  *    stores fall back to the full walk.
+  *  - MANIFEST (r15): every sink commit records what it published
+  *    under `_manifest/`; after one reconcile walk the tail reads ONLY
+  *    new record files — O(new commits) per trigger on ANY filesystem,
+  *    no directory listing, no mtime semantics involved.
+  *
+  * Walk-generation rows are measured with `_manifest` moved aside
+  * (pre-r15 roots look like that), manifest rows with it in place, so
+  * the JSON carries all three generations side by side.
   *
   * Run: SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 sbt "runMain graft.tools.TailScale"
   */
@@ -47,7 +58,7 @@ object TailScale {
           filters, None,
           Array.empty[org.apache.spark.sql.sources.Filter])
 
-      // time the two per-trigger driver costs over several iterations
+      // time the per-trigger driver costs over several iterations
       // (min-of-N: first call pays FS metadata cache fill)
       def timeMs[A](n: Int)(body: => A): (Double, A) = {
         var best = Double.MaxValue
@@ -69,6 +80,11 @@ object TailScale {
           f.listFiles().filter(_.isDirectory).foreach(backdate)
       }
       backdate(new java.io.File(out))
+
+      // ---- walk generation: pre-r15 root (no manifest log) ----------
+      val manifestDir = java.nio.file.Paths.get(out, "_manifest")
+      val manifestAside = scratch.resolve("_manifest_aside")
+      java.nio.file.Files.move(manifestDir, manifestAside)
 
       // COLD: full listing, fresh stream per call (no cache) — the
       // pre-r14 per-trigger cost, O(#files)
@@ -110,12 +126,56 @@ object TailScale {
         .latestOffset().asInstanceOf[graft.sources.BackupOffset])
       require(offA.counts(leafKey) == off.counts(leafKey) + 1,
         "planted append not observed by the tail")
+      require(planted.delete(), "unplant failed")
+
+      // ---- manifest generation: r15 root (record log in place) ------
+      java.nio.file.Files.move(manifestAside, manifestDir)
+
+      // COLD: one reconcile walk + the record read, then the switch —
+      // paid once per stream lifetime (≈ the walk cold cost)
+      val (mCold, offM) = timeMs(3)(newStream(Array.empty)
+        .latestOffset().asInstanceOf[graft.sources.BackupOffset])
+      require(offM.counts == off.counts,
+        "manifest reconcile diverged from the walk offset")
+
+      // WARM: steady state — ONE listStatus of _manifest, nothing new
+      // to read; no data directory is listed, no mtime consulted (this
+      // is the object-store row: same cost on S3A/GCS)
+      val mStream = newStream(Array.empty)
+      mStream.latestOffset()
+      val (mWarm, _) = timeMs(5)(mStream
+        .latestOffset().asInstanceOf[graft.sources.BackupOffset])
+
+      // APPEND: a real sink append (one commit → one manifest record);
+      // the trigger reads exactly that record — O(new commits),
+      // backlog-independent, mtime-independent. Three appends, min-of-3
+      // over the trigger that first observes each.
+      import org.apache.spark.sql.functions._
+      var mAppend = Double.MaxValue
+      var expect = offM.counts.values.map(_.toLong).sum
+      (1 to 3).foreach { i =>
+        spark.range(1).select(
+          lit("click").as("event_type"),
+          (lit(s"2099-0$i-01 00:00:00").cast("timestamp")).as("ts"),
+          lit(i.toLong).as("event_id"))
+          .write.format("graftbackup").mode("append")
+          .option("partitionColumns", "event_type")
+          .option("timeColumn", "ts")
+          .save(out)
+        expect += 1
+        val t0 = System.nanoTime()
+        val offI = mStream.latestOffset()
+          .asInstanceOf[graft.sources.BackupOffset]
+        mAppend = math.min(mAppend, (System.nanoTime() - t0) / 1e6)
+        require(offI.counts.values.map(_.toLong).sum == expect,
+          "sink append not observed through the manifest record")
+      }
 
       val nFiles = off.counts.values.map(_.toLong).sum
       // floats via Bench.f3 (Locale.ROOT): the f-interpolator honours the
       // default locale, and a comma-decimal locale would emit invalid JSON
       import graft.Bench.f3
-      println(s"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":${f3(coldMs)},"warm_list_ms":${f3(warmMs)},"append_list_ms":${f3(appendMs)},"filtered_list_ms":${f3(filtMs)},"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":${f3(planMs)},"n_partitions":${parts.length}}""")
+      println(s"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":${f3(coldMs)},"warm_list_ms":${f3(warmMs)},"append_list_ms":${f3(appendMs)},"filtered_list_ms":${f3(filtMs)},"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":${f3(planMs)},"n_partitions":${parts.length},"manifest_cold_ms":${f3(mCold)},"manifest_warm_ms":${f3(mWarm)},"manifest_append_ms":${f3(mAppend)}}""")
     } finally {
       graft.util.Fs.deleteRecursively(scratch)
       spark.stop()
