@@ -1289,6 +1289,22 @@ class BackupMicroBatchStream(val path: String, required: StructType,
   override def deserializeOffset(json: String): Offset =
     BackupOffset.fromJson(json)
 
+  /** Offsets count EVERY chunk in a kept leaf, deliberately ignoring
+    * the time-range zone maps ([[keepFile]]) that the per-batch slice
+    * below applies: an offset must be a property of the DIRECTORY
+    * STATE alone, because its counts are positions in the full sorted
+    * per-leaf name list — if they were post-filter, the index space
+    * would depend on which predicates Spark happened to push, and a
+    * resumed checkpoint whose query plans even slightly different
+    * residuals would silently re-read or skip chunks (filters are also
+    * seconds-floored best-effort, the wrong thing to bake into an
+    * exactly-once position). The pruning still happens where it
+    * matters: `filter(keepFile)` runs on the sliced batch BEFORE any
+    * partition is created, so a time-windowed tail never opens, plans,
+    * or ships a chunk whose name envelope can't match — the only cost
+    * of the unfiltered counts is integers counting skipped names.
+    * (TailListingSpec pins both halves: counts are filter-independent,
+    * planned partitions exclude every zone-map-pruned chunk.) */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[BackupOffset].counts

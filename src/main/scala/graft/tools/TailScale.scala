@@ -113,6 +113,24 @@ object TailScale {
       val (planMs, parts) = timeMs(5)(warmStream
         .planInputPartitions(warmStream.initialOffset(), off))
 
+      // TIME-WINDOWED TAIL: offsets count every chunk (positions must
+      // be filter-independent), but the batch slice zone-map-prunes by
+      // chunk-name envelope — a narrow window plans a fraction of the
+      // backlog without opening anything (r14 verdict #6 adjudication)
+      val winStream = new graft.sources.BackupMicroBatchStream(
+        out, new org.apache.spark.sql.types.StructType()
+          .add("event_type", "string").add("ts", "string"),
+        Seq("event_type"), Array.empty, Some("ts"),
+        Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.GreaterThan(
+            "ts", "2024-01-23 00:00:00")))
+      val winOff = winStream.latestOffset()
+        .asInstanceOf[graft.sources.BackupOffset]
+      require(winOff.counts == off.counts,
+        "time filters leaked into offset accounting")
+      val (winPlanMs, winParts) = timeMs(5)(winStream
+        .planInputPartitions(winStream.initialOffset(), winOff))
+
       // APPEND: one new chunk lands in one leaf — the steady-state
       // trigger that actually has work. Its mtime is fresh (inside the
       // safety window), so the trigger re-walks interiors + re-lists
@@ -175,7 +193,7 @@ object TailScale {
       // floats via Bench.f3 (Locale.ROOT): the f-interpolator honours the
       // default locale, and a comma-decimal locale would emit invalid JSON
       import graft.Bench.f3
-      println(s"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":${f3(coldMs)},"warm_list_ms":${f3(warmMs)},"append_list_ms":${f3(appendMs)},"filtered_list_ms":${f3(filtMs)},"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":${f3(planMs)},"n_partitions":${parts.length},"manifest_cold_ms":${f3(mCold)},"manifest_warm_ms":${f3(mWarm)},"manifest_append_ms":${f3(mAppend)}}""")
+      println(s"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":${f3(coldMs)},"warm_list_ms":${f3(warmMs)},"append_list_ms":${f3(appendMs)},"filtered_list_ms":${f3(filtMs)},"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":${f3(planMs)},"n_partitions":${parts.length},"window_plan_ms":${f3(winPlanMs)},"window_planned_files":${winParts.length},"manifest_cold_ms":${f3(mCold)},"manifest_warm_ms":${f3(mWarm)},"manifest_append_ms":${f3(mAppend)}}""")
     } finally {
       graft.util.Fs.deleteRecursively(scratch)
       spark.stop()
