@@ -177,48 +177,105 @@ object Pq {
     * stays ≤ ~32 MiB — comfortably a broadcast — and the per-pair cost
     * drops from M×SubDim fused multiply-adds to M integer lookups.
     * Past it the fused form keeps the broadcast 8× smaller (floats
-    * only); at that probe count the batch is no longer a broadcast
-    * workload anyway and wants a different join shape.
-    * `SPARK_GRAFT_PQ_TABLE=0|1` overrides for local A/B only. */
+    * only). `SPARK_GRAFT_PQ_TABLE=0|1` overrides for local A/B only. */
   val TableMaxProbes = 16384L
 
-  /** BATCH ADC top-k — [[adcTopK]] for a probe SET: the coded corpus
-    * is scanned once with the (small) probe side broadcast, ADC per
-    * (corpus row, probe) pair, then a per-probe rank keeps the top k.
-    * The corpus never shuffles and the floats are read only for the
-    * probe rows. At 100 TB this is the evaluation/serving fan-in
-    * shape: ~3 TB of codes stream through executors against an
-    * in-memory probe table.
+  /** Probe-side broadcast budget in BYTES (r14 verdict #2): a probe
+    * row costs ~2 KiB carrying its precomputed ADC table and ~280 B
+    * carrying raw floats, so the default 32 MiB admits ~16 k
+    * table-probes or ~120 k fused-probes. A million-probe batch is
+    * ~280 MB of floats — a driver/executor-memory hazard under the
+    * default broadcast limits and far past where a shuffle amortizes —
+    * so above the budget the batch paths switch join shape instead of
+    * broadcasting (see [[batchAdcTopK]] / [[batchIvfAdcTopK]]).
+    * Override per session via [[BroadcastBudgetKey]]. */
+  val DefaultBroadcastBudgetBytes: Long = 32L << 20
+  val BroadcastBudgetKey = "spark.graft.pq.broadcastBudgetBytes"
+  private def broadcastBudget(spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastBudgetKey).map(_.toLong)
+      .getOrElse(DefaultBroadcastBudgetBytes)
+  /** Approximate serialized probe-row payloads: M×Ks longs (+ ids/
+    * overhead) for a table row; Dim floats (+ ids/overhead) for raw. */
+  private val TableRowBytes: Long = M.toLong * Ks * 8 + 32
+  private val FusedRowBytes: Long = Ivf.Dim.toLong * 4 + 32
+
+  /** BATCH ADC top-k — [[adcTopK]] for a probe SET: ADC per
+    * (corpus row, probe) pair over the coded corpus, then a per-probe
+    * rank keeps the top k. The corpus never shuffles ITS CODES twice
+    * and the floats are read only for the probe rows. At 100 TB this
+    * is the evaluation/serving fan-in shape: ~3 TB of codes stream
+    * through executors against the probe set.
     *
-    * Size-adaptive ADC (the Ivf.batchTopK pattern): below
-    * [[TableMaxProbes]] each probe row carries its PRECOMPUTED M×Ks
-    * distance table through the broadcast (`graft_pq_adc_table`,
-    * computed once per probe) and the per-pair kernel is M integer
-    * lookups (`graft_pq_adc_lookup`) instead of M×SubDim fused
-    * multiply-adds — the classic PQ scan layout, bit-identical totals
-    * (same per-term arithmetic and round-then-sum order; PqSpec pins
-    * fused ≡ table on full rankings). Above the ceiling the fused
-    * form bounds the broadcast payload instead. */
+    * Size-adaptive in BOTH the kernel and the join shape
+    * (r14 verdict #2, completing the Ivf.batchTopK pattern):
+    *
+    *  - table-broadcast (≤ ~16 k probes under the default
+    *    [[DefaultBroadcastBudgetBytes]]): each probe row carries its
+    *    precomputed M×Ks table (`graft_pq_adc_table`, once per probe)
+    *    through a broadcast; per pair = M integer lookups
+    *    (`graft_pq_adc_lookup`) — the classic PQ scan layout,
+    *    bit-identical totals to the fused kernel (PqSpec pins it).
+    *  - fused-broadcast (≤ ~120 k probes): raw floats broadcast (8×
+    *    smaller rows), per pair = M×SubDim fused multiply-adds.
+    *  - bucketed shuffle (beyond): no broadcast anywhere — the corpus
+    *    takes a manufactured `pmod(vec_id, B)` bucket (ONE shuffle of
+    *    8 B codes + ids), probes replicate onto all B buckets and
+    *    shuffle as an equi-join — every (corpus row, probe) pair forms
+    *    exactly once because a corpus row lives in one bucket. Probe
+    *    replication is why this arm uses the FUSED kernel: floats
+    *    replicate B× at 8× fewer bytes than tables, and the kernel gap
+    *    (1.25× measured, r14) is small against the shuffle saved. B =
+    *    the session's shuffle partitions — the same dial that sizes
+    *    every other shuffle at a given deployment. Per-probe top-k
+    *    runs as GroupTopK partial heaps either way, so the post-join
+    *    shuffle stays ≤ k·probes·partitions winner rows.
+    *
+    * All three shapes rank identically (PqSpec pins broadcast ≡
+    * bucketed on full output). */
   def batchAdcTopK(spark: SparkSession, embeddings: DataFrame,
                    probeMaxId: Long, k: Int): DataFrame = {
+    val probes0 = embeddings.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
+    batchAdcTopKForProbes(spark, embeddings, probes0, probeMaxId, k)
+  }
+
+  /** [[batchAdcTopK]] against an explicit probe frame
+    * (`probe_id`, `q_emb`) with `nProbes` as the size estimate driving
+    * the shape selection — the entry point scale harnesses use to
+    * exercise the above-budget arm with synthesized probe sets. */
+  def batchAdcTopKForProbes(spark: SparkSession, embeddings: DataFrame,
+                            probes0: DataFrame, nProbes: Long,
+                            k: Int): DataFrame = {
     VectorFunctions.register(spark)
+    val budget = broadcastBudget(spark)
+    val canBroadcastFused = nProbes * FusedRowBytes <= budget
     val useTable = sys.env.get("SPARK_GRAFT_PQ_TABLE") match {
       case Some("0") => false
       case Some("1") => true
-      case _ => probeMaxId <= TableMaxProbes
+      case _ => nProbes * TableRowBytes <= budget
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("adc_micro"), col("nn_id"))
-    val probes0 = embeddings.filter(col("vec_id") < probeMaxId)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("q_emb"))
     val (probes, adc) =
-      if (useTable)
+      if (useTable && canBroadcastFused)
         (probes0.select(col("probe_id"),
           expr("graft_pq_adc_table(q_emb)").as("adc_tab")),
           "graft_pq_adc_lookup(codes, adc_tab)")
       else (probes0, "graft_pq_adc(codes, q_emb)")
-    withCodes(embeddings).crossJoin(broadcast(probes))
+    val pairs =
+      if (canBroadcastFused)
+        withCodes(embeddings).crossJoin(broadcast(probes))
+      else {
+        // above the broadcast budget: bucketed all-pairs equi-join
+        val b = spark.sessionState.conf.numShufflePartitions
+        val corpusB = withCodes(embeddings)
+          .withColumn("pq_bucket", pmod(col("vec_id"), lit(b)).cast("int"))
+        val probesB = probes
+          .withColumn("pq_bucket", explode(expr(s"sequence(0, ${b - 1})")))
+        corpusB.join(probesB, Seq("pq_bucket")).drop("pq_bucket")
+      }
+    pairs
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("nn_id"),
         expr(adc).as("adc_micro"))
@@ -316,19 +373,39 @@ object Pq {
     * integer reads — floats are never read for corpus rows at all.
     * At 100 TB: cell = partition key bounding WHICH ~NProbe/K of the
     * corpus each probe touches, codes = the 8 B/vector in-memory scan
-    * representation, the probe broadcast carries probes × NProbe rows
-    * of 2 KiB tables (the effective probe ceiling is therefore
-    * [[TableMaxProbes]]/NProbe before the fused form wins on payload).
-    * Ranking is exact-integer ADC — bit-identical to [[ivfAdcTopK]]
-    * per probe (PqSpec pins batch ≡ single-probe). */
+    * representation.
+    *
+    * Probe-side planning is SIZE-ADAPTIVE on the exploded
+    * (probe × NProbe) row count, table payload included (r14 verdict
+    * #2, the Ivf.batchTopK escape): within
+    * [[DefaultBroadcastBudgetBytes]] the probe rows broadcast; past it
+    * the hint is dropped and the same equi-join on `cell` plans as a
+    * shuffle join — `cell` is already a real join key here, so unlike
+    * [[batchAdcTopK]] no manufactured bucket or replication is needed,
+    * the table rows shuffle ONCE, and the table kernel stays (its 2 KiB
+    * payload only ever mattered as broadcast fan-out). Ranking is
+    * exact-integer ADC — bit-identical to [[ivfAdcTopK]] per probe and
+    * across both join shapes (PqSpec pins batch ≡ single-probe and
+    * broadcast ≡ shuffle). */
   def batchIvfAdcTopK(spark: SparkSession, embeddings: DataFrame,
                       probeMaxId: Long, k: Int): DataFrame = {
+    val probes0 = spread(embeddings).filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    batchIvfAdcTopKForProbes(spark, embeddings, probes0, probeMaxId, k)
+  }
+
+  /** [[batchIvfAdcTopK]] against an explicit probe frame
+    * (`probe_id`, `embedding`) with `nProbes` driving shape selection
+    * (the scale-harness entry point, like [[batchAdcTopKForProbes]]). */
+  def batchIvfAdcTopKForProbes(spark: SparkSession, embeddings: DataFrame,
+                               probes0: DataFrame, nProbes: Long,
+                               k: Int): DataFrame = {
     VectorFunctions.register(spark)
     val assigned = Ivf.withCell(embeddings)
       .withColumn("codes", expr("graft_pq_encode(embedding)"))
       .select(col("vec_id"), col("cell"), col("codes"))
-    val probes = spread(embeddings).filter(col("vec_id") < probeMaxId)
-      .select(col("vec_id").as("probe_id"),
+    val probes = probes0
+      .select(col("probe_id"),
         expr("graft_pq_adc_table(embedding)").as("adc_tab"),
         posexplode(expr("graft_ivf_dists(embedding)"))
           .as(Seq("cell", "dist")))
@@ -337,10 +414,14 @@ object Pq {
           .partitionBy(col("probe_id")).orderBy(col("dist"), col("cell"))))
       .filter(col("rn") <= Ivf.NProbe)
       .select(col("probe_id"), col("cell"), col("adc_tab"))
+    val probeSide =
+      if (nProbes * Ivf.NProbe * TableRowBytes <= broadcastBudget(spark))
+        broadcast(probes)
+      else probes
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("adc_micro"), col("nn_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    assigned.join(probeSide, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("nn_id"),
         expr("graft_pq_adc_lookup(codes, adc_tab)").as("adc_micro"))

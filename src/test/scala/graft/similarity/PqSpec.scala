@@ -141,6 +141,52 @@ class PqSpec extends SparkTestBase {
       "fused kernel present despite table selection")
   }
 
+  test("batchAdcTopK above the broadcast budget: bucketed all-pairs " +
+    "equi-join, no probe broadcast, identical ranking") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val broadcastArm = Pq.batchAdcTopK(spark, emb, probeMaxId = 20, k = 5)
+    val got = broadcastArm.as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // force the above-budget arm: 1-byte budget admits nothing
+    spark.conf.set(Pq.BroadcastBudgetKey, "1")
+    try {
+      val bucketed = Pq.batchAdcTopK(spark, emb, probeMaxId = 20, k = 5)
+      val plan = bucketed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("pq_bucket"),
+        s"above-budget arm did not bucket the corpus:\n$plan")
+      assert(!plan.toLowerCase.contains("pqadclookup"),
+        "bucketed arm must use the fused kernel (replication carries " +
+          "floats, not 2 KiB tables)")
+      // a corpus row lives in ONE bucket → every pair forms exactly
+      // once → full output identical to the broadcast shape
+      assert(bucketed.as[(Long, Long, Long)].collect().toSet == got,
+        "bucketed shape diverged from the broadcast shape")
+    } finally spark.conf.unset(Pq.BroadcastBudgetKey)
+  }
+
+  test("batchIvfAdcTopK above the broadcast budget drops the hint, " +
+    "keeps the table kernel, ranks identically") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Pq.batchIvfAdcTopK(spark, emb, probeMaxId = 20, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    spark.conf.set(Pq.BroadcastBudgetKey, "1")
+    try {
+      val shuffled = Pq.batchIvfAdcTopK(spark, emb, probeMaxId = 20, k = 5)
+      val plan = shuffled.queryExecution.optimizedPlan.toString
+      // cell is a real equi-key: the escape is just dropping the
+      // broadcast hint (the table kernel stays — its payload only
+      // mattered as broadcast fan-out)
+      assert(!plan.contains("UnresolvedHint") &&
+        !plan.contains("ResolvedHint"),
+        s"broadcast hint survived above the budget:\n$plan")
+      assert(plan.toLowerCase.contains("pqadclookup"),
+        "table kernel lost in the shuffle arm")
+      assert(shuffled.as[(Long, Long, Long)].collect().toSet == got,
+        "shuffle shape diverged from the broadcast shape")
+    } finally spark.conf.unset(Pq.BroadcastBudgetKey)
+  }
+
   test("ADC top-10 recalls a real fraction of the exact L2 top-10") {
     val emb = Tables.embeddings(spark, sf0001)
     val adc = Pq.adcTopK(spark, emb, 0, 10).as[(Long, Long)].collect()
