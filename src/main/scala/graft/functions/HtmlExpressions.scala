@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [EXT] Markup/HTML text extraction — the ingest stage a real web
+  * corpus needs BEFORE any of the x11/x12/x20 text analysis applies
+  * (the CCNet / trafilatura front-end position in the pipeline): strip
+  * script/style blocks, strip tags, decode the common entities, and
+  * drop boilerplate lines (nav bars, footers, titles) by a minimum
+  * visible-length rule.
+  *
+  * The CONTRACT is an exact, engine-neutral replace chain — every
+  * implementation (the compiled kernel here, the DuckDB oracle SQL,
+  * HtmlExtractSpec's java-regex reference) computes the same function:
+  *
+  *  1. remove `(?is)<script[^>]*>.*?</script>` (leftmost, non-greedy,
+  *     ASCII case-insensitive), then the same for `style`;
+  *  2. replace every remaining `<[^>]*>` with a newline (an unclosed
+  *     trailing `<…` stays literal text, exactly as the regex leaves
+  *     it);
+  *  3. decode entities by literal global replace, in this order:
+  *     `&lt; &gt; &quot; &apos; &nbsp;`(→ space) and `&amp;` LAST —
+  *     the order makes double-encoded input (`&amp;lt;`) decode one
+  *     level, never two;
+  *  4. split on newline; per line collapse runs of space/tab/CR/FF to
+  *     one space and trim; KEEP lines of ≥ [[HtmlKernels.MinLineChars]]
+  *     code points (code points, not UTF-16 units — DuckDB's `length`
+  *     semantics); join survivors with newline.
+  *
+  * The length rule is the CCNet-style boilerplate filter: nav rows,
+  * copyright footers and bare titles are short; body prose is not.
+  *
+  * Scale shape: one compiled pass per document inside whole-stage
+  * codegen (a [[HtmlExtractExpr]] call, no UDF, no java.util.regex at
+  * runtime — the chain is hand-scanned with indexOf/char loops), so
+  * extraction streams with the scan like every other text kernel. */
+object HtmlKernels extends Serializable {
+
+  /** Minimum collapsed-line length (code points) a line needs to
+    * survive the boilerplate filter. */
+  val MinLineChars = 30
+
+  def extract(s: UTF8String): UTF8String =
+    UTF8String.fromString(extractString(s.toString))
+
+  def extractString(html: String): String = {
+    val noScript = stripBlock(html, "script")
+    val noStyle = stripBlock(noScript, "style")
+    filterLines(decodeEntities(stripTags(noStyle)))
+  }
+
+  /** ASCII-only case fold — java regex `(?i)` semantics (DuckDB's RE2
+    * folds Unicode too, but the contract's tag names are ASCII and the
+    * java-regex reference is the tie-breaker). */
+  @inline private def low(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = s.length - target.length
+    while (i <= last) {
+      var j = 0
+      while (j < target.length && low(s.charAt(i + j)) == target.charAt(j)) j += 1
+      if (j == target.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Remove `(?is)<tag[^>]*>.*?</tag>` occurrences, leftmost and
+    * non-overlapping, exactly like a global regex replace: a candidate
+    * open is the literal `<tag` (ASCII-ci); its tag ends at the FIRST
+    * following `>` (that is what `[^>]*>` means); the block ends at the
+    * FIRST literal `</tag>` (ASCII-ci) after that. When either piece is
+    * missing there can be no further match anywhere (any later match
+    * would need the same missing `>`/close further right), so the rest
+    * of the string is kept verbatim — an unclosed block's content is
+    * NOT swallowed, matching the regex. */
+  private def stripBlock(s: String, tag: String): String = {
+    val open = "<" + tag
+    val close = "</" + tag + ">"
+    var from = 0
+    var sb: java.lang.StringBuilder = null
+    var search = 0
+    var done = false
+    while (!done) {
+      val idx = indexOfIgnoreCase(s, open, search)
+      if (idx < 0) done = true
+      else {
+        val gt = s.indexOf('>', idx + open.length)
+        if (gt < 0) done = true
+        else {
+          val cl = indexOfIgnoreCase(s, close, gt + 1)
+          if (cl < 0) done = true
+          else {
+            if (sb == null) sb = new java.lang.StringBuilder(s.length)
+            sb.append(s, from, idx)
+            from = cl + close.length
+            search = from
+          }
+        }
+      }
+    }
+    if (sb == null) s
+    else { sb.append(s, from, s.length); sb.toString }
+  }
+
+  /** `<[^>]*>` → newline, global; a trailing `<…` with no `>` stays. */
+  private def stripTags(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val gt = s.indexOf('>', i + 1)
+        if (gt < 0) { sb.append(s, i, s.length); i = s.length }
+        else { sb.append('\n'); i = gt + 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Literal global replaces; `&amp;` last (see class doc). */
+  private def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+
+  /** Per line: collapse space/tab/CR/FF runs to one space, trim, keep
+    * lines of ≥ [[MinLineChars]] CODE POINTS, join with newline. */
+  private def filterLines(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var first = true
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == '\n') {
+        val line = collapseTrim(s, start, i)
+        if (line.codePointCount(0, line.length) >= MinLineChars) {
+          if (!first) out.append('\n')
+          first = false
+          out.append(line)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\f'
+
+  private def collapseTrim(s: String, start: Int, end: Int): String = {
+    val sb = new java.lang.StringBuilder(end - start)
+    var pending = false
+    var started = false
+    var i = start
+    while (i < end) {
+      val c = s.charAt(i)
+      if (isWs(c)) pending = started // leading ws never pends
+      else {
+        if (pending) sb.append(' ')
+        pending = false
+        started = true
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString // trailing ws stays pending, never flushed
+  }
+}
+
+/** graft_html_extract(html): the compiled extraction chain (see
+  * [[HtmlKernels]]). One reference-object call inside whole-stage
+  * codegen — same pattern as the dedup/vector kernels. */
+case class HtmlExtractExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernels.extract(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("htmlKernels", HtmlKernels,
+      "graft.functions.HtmlKernels$")
+    defineCodeGen(ctx, ev, c => s"$k.extract($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HtmlFunctions {
+  /** (name, builder) pairs — shared by per-session [[register]] and the
+    * config-based [[graft.plans.GraftSparkExtensions]] injection. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_html_extract" -> (es => HtmlExtractExpr(es.head)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "scala_udf")
+    }
+  }
+}

@@ -296,7 +296,8 @@ class GraftSparkExtensions
     val families =
       graft.functions.DedupFunctions.builders ++
         graft.functions.VectorFunctions.builders ++
-        graft.functions.JsonFunctions.builders
+        graft.functions.JsonFunctions.builders ++
+        graft.functions.HtmlFunctions.builders
     families.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -24,6 +24,25 @@ object TextQueries {
   /** x65 per-source retention target: keep the best 30% by quality. */
   val PruneKeepPermille = 300
 
+  /** x69's synthetic HTML shell around each document — ONE SQL
+    * fragment evaluated verbatim by Spark and DuckDB (concat and CAST
+    * … AS STRING parse in both), so the extraction input is identical
+    * by construction. Shell parts exercise every contract feature:
+    * style + script bodies are LONGER than the boilerplate threshold
+    * (a block-elision bug becomes extra surviving lines, not silence),
+    * the nav/footer/title are shorter (a boilerplate-filter bug keeps
+    * them), and the entity paragraph covers all six entities including
+    * the decode-order-sensitive `&amp;`. */
+  val HtmlWrapFrag: String =
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), " +
+      "'</title><style>body { color: red; margin: 0 auto; padding: 12px; }</style>', " +
+      "'<script type=\"text/javascript\">var x = 1; if (x < 2) { x = 3; } run(x);</script>', " +
+      "'</head><body><div class=\"nav\">Home | About | Contact</div>', " +
+      "'<h1>Doc title ', CAST(doc_id AS STRING), '</h1>', " +
+      "'<p>', text, '</p>', " +
+      "'<p>Tom &amp; Jerry &lt;3 the &quot;daily&nbsp;menu&quot; &gt; yesterdays special at the cafe</p>', " +
+      "'<div class=\"footer\">(c) 2024 Example Corp</div></body></html>')"
+
   /** DuckDB mirror of langPred's score-and-argmax CASE chain. */
   private val duckLangPred: String = {
     val scores = LangMarkers.map { case (lang, markers) =>
@@ -739,6 +758,57 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
           coalesce(col("score"), lit(-1L)).cast("long").as("lm_score"))
+    },
+
+    // markup/HTML text extraction — the CCNet/trafilatura FRONT-END of
+    // the text pipeline (r14 verdict #3): the fixture's clean prose is
+    // wrapped in a deterministic HTML shell (title/style/script/nav/
+    // footer + an entity-laden paragraph — ONE SQL fragment evaluated
+    // by BOTH engines, so the inputs cannot drift), then the compiled
+    // graft_html_extract kernel strips script/style blocks and tags,
+    // decodes entities, and drops boilerplate lines under
+    // HtmlKernels.MinLineChars code points. The oracle re-implements
+    // the documented replace-chain contract in DuckDB string ops
+    // (regexp_replace + replace + list_filter) — a full second
+    // implementation, compared on the extracted TEXT itself plus the
+    // downstream x13-shape token count it feeds. Every wrapper feature
+    // is load-bearing: the script/style bodies are ≥ MinLineChars, so
+    // a block-elision bug surfaces as extra lines in the hash; the nav
+    // and footer sit under the threshold, so a boilerplate-filter bug
+    // does too.
+    "x69_markup_extract" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $HtmlWrapFrag AS html FROM documents),
+         |e AS (SELECT doc_id, array_to_string(list_filter(list_transform(
+         |    string_split(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(regexp_replace(regexp_replace(html,
+         |          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+         |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+         |          '<[^>]*>', chr(10), 'g'),
+         |      '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),
+         |      '&nbsp;',' '),'&amp;','&'),
+         |    chr(10)),
+         |    x -> trim(regexp_replace(x, '[ \\t\\r\\f]+', ' ', 'g'))),
+         |    x -> length(x) >= ${graft.functions.HtmlKernels.MinLineChars}),
+         |  chr(10)) AS extracted FROM w)
+         |SELECT doc_id,
+         |  CAST(len(string_split(extracted, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(length(extracted) AS BIGINT) AS extract_chars,
+         |  CAST(len(regexp_extract_all(extracted, '$TokenPattern')) AS BIGINT)
+         |    AS re_tokens,
+         |  extracted
+         |FROM e""".stripMargin) { (s, dir) =>
+      graft.functions.HtmlFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(HtmlWrapFrag).as("html"))
+        .select(col("doc_id"),
+          expr("graft_html_extract(html)").as("extracted"))
+        .select(col("doc_id"),
+          size(split(col("extracted"), "\n")).cast("long").as("n_lines"),
+          length(col("extracted")).cast("long").as("extract_chars"),
+          regexp_count(col("extracted"), lit(TokenPattern)).cast("long")
+            .as("re_tokens"),
+          col("extracted"))
     }
   )
 }

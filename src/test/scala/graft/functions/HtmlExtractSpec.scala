@@ -1,0 +1,116 @@
+package graft.functions
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** The markup-extraction contract (x69): the compiled kernel must
+  * equal a DRIVER-SIDE java-regex implementation of the documented
+  * replace chain — the chain IS the spec, the kernel is the fast
+  * hand-scanned form of it — on adversarial inputs (unclosed blocks,
+  * nested opens, case games, double-encoded entities, code-point
+  * lengths) and on the fixture's wrapped documents end-to-end. */
+class HtmlExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** The contract, written the obvious way (java.util.regex — `(?i)`
+    * without UNICODE_CASE is ASCII-only folding, like the kernel). */
+  private def reference(html: String): String = {
+    val a = java.util.regex.Pattern
+      .compile("(?is)<script[^>]*>.*?</script>").matcher(html).replaceAll("")
+    val b = java.util.regex.Pattern
+      .compile("(?is)<style[^>]*>.*?</style>").matcher(a).replaceAll("")
+    val c = java.util.regex.Pattern
+      .compile("<[^>]*>").matcher(b).replaceAll("\n")
+    val d = c.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+    d.split("\n", -1)
+      .map(_.replaceAll("[ \t\r\f]+", " ")
+        .stripPrefix(" ").stripSuffix(" "))
+      .filter(l => l.codePointCount(0, l.length) >= HtmlKernels.MinLineChars)
+      .mkString("\n")
+  }
+
+  private val longLine = "this body sentence is comfortably longer " +
+    "than the thirty character boilerplate threshold"
+
+  test("kernel equals the regex-chain reference on adversarial inputs") {
+    val cases = Seq(
+      "",
+      "plain text with no markup at all, long enough to survive the cut",
+      s"<p>$longLine</p>",
+      // unclosed script: the regex does NOT swallow to EOF — content
+      // survives with its tags stripped individually
+      s"<script>leaked $longLine",
+      s"<script>x</script >$longLine",           // ">"-suffixed close is no close
+      s"<SCRIPT a=b>drop me entirely</ScRiPt><p>$longLine</p>",
+      s"<scriptish>$longLine</scriptish>",       // regex treats <scriptish as an open
+      s"<script>a<script>b</script>$longLine</script>", // nested: first close wins
+      s"<script </script>$longLine</script>",    // '>' of the close ends the open tag
+      s"<style>p { $longLine }</style>after the style block $longLine",
+      s"$longLine &amp;lt; stays one-level decoded",
+      s"$longLine &amp;amp; decodes one level only",
+      s"a\tb\rc\fd  multiple   runs\t\tcollapse $longLine",
+      "x < 3 and y > 4 unclosed angle survives because no gt follows <",
+      s"<div>${"😀" * 20} emoji count as one code point each</div>",
+      s"<p>first $longLine</p><p>second $longLine</p>",
+      "&nbsp;&nbsp;&nbsp;only entities and whitespace&nbsp;&nbsp;",
+      s"<p>$longLine<", // trailing lone '<'
+      s"<!-- a > b --> comment splits at first gt $longLine")
+    cases.foreach { in =>
+      val got = HtmlKernels.extractString(in)
+      val want = reference(in)
+      assert(got == want,
+        s"kernel diverged from the regex contract\n in:   $in\n got:  " +
+          s"$got\n want: $want")
+    }
+  }
+
+  test("fixture domain: kernel equals the reference on every wrapped " +
+    "document, boilerplate dropped, body and entity paragraph kept") {
+    HtmlFunctions.register(spark)
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), expr(graft.queries.TextQueries.HtmlWrapFrag)
+        .as("html"))
+      .withColumn("extracted", expr("graft_html_extract(html)"))
+      .select($"html", $"extracted").as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (html, got) =>
+      assert(got == reference(html), s"fixture divergence on: $html")
+      assert(!got.contains("Home | About"), "nav boilerplate survived")
+      assert(!got.contains("Example Corp"), "footer boilerplate survived")
+      assert(!got.contains("var x = 1"), "script content survived")
+      assert(!got.contains("color: red"), "style content survived")
+      assert(got.contains("Tom & Jerry <3 the \"daily menu\" > " +
+        "yesterdays special at the cafe"), "entity paragraph lost")
+    }
+  }
+
+  test("boilerplate threshold is a code-point rule at the exact boundary") {
+    val at = "x" * HtmlKernels.MinLineChars
+    val under = "x" * (HtmlKernels.MinLineChars - 1)
+    assert(HtmlKernels.extractString(s"<p>$at</p>") == at)
+    assert(HtmlKernels.extractString(s"<p>$under</p>") == "")
+    // 30 emoji are 60 UTF-16 units but exactly MinLineChars code points
+    val emoji = "😀" * HtmlKernels.MinLineChars
+    assert(HtmlKernels.extractString(s"<p>$emoji</p>") == emoji)
+  }
+
+  test("null propagates, kernel stays inside whole-stage codegen") {
+    HtmlFunctions.register(spark)
+    // local relations constant-fold (ConvertToLocalRelation), which is
+    // itself proof the expression evaluates; null propagation:
+    val df = Seq(Some(s"<p>$longLine</p>"), None).toDF("html")
+      .select(expr("graft_html_extract(html)").as("e"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSet ==
+      Set(Some(longLine), None))
+    // codegen placement needs a real scan under it
+    val plan = Tables.documents(spark, sf0001)
+      .select(expr("graft_html_extract(text)").as("e"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("htmlextractexpr")),
+      s"extraction fell out of codegen:\n$plan")
+  }
+}
