@@ -152,6 +152,32 @@ object HtmlKernels extends Serializable {
     out.toString
   }
 
+  /** All `href="…"` attribute values, in document order — the link
+    * harvest a crawl-graph build runs on RAW html (before any tag
+    * stripping; contract = the regex `(?i)href="([^"]*)"`, group 1,
+    * global: the literal `href="` ASCII-ci, then everything up to the
+    * next `"`; an unclosed quote means no match, exactly as the regex
+    * behaves). */
+  def linkHrefs(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val html = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    var done = false
+    while (!done) {
+      val idx = indexOfIgnoreCase(html, "href=\"", i)
+      if (idx < 0) done = true
+      else {
+        val q = html.indexOf('"', idx + 6)
+        if (q < 0) done = true // no closing quote anywhere: no match
+        else {
+          out += UTF8String.fromString(html.substring(idx + 6, q))
+          i = q + 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\f'
 
@@ -191,11 +217,28 @@ case class HtmlExtractExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** graft_html_links(html): ordered `href="…"` values from RAW html
+  * (see [[HtmlKernels.linkHrefs]]) — the crawl-graph edge source. */
+case class HtmlLinksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernels.linkHrefs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("htmlKernels", HtmlKernels,
+      "graft.functions.HtmlKernels$")
+    defineCodeGen(ctx, ev, c => s"$k.linkHrefs($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HtmlFunctions {
   /** (name, builder) pairs — shared by per-session [[register]] and the
     * config-based [[graft.plans.GraftSparkExtensions]] injection. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_html_extract" -> (es => HtmlExtractExpr(es.head)))
+    "graft_html_extract" -> (es => HtmlExtractExpr(es.head)),
+    "graft_html_links" -> (es => HtmlLinksExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -33,6 +33,20 @@ object TextQueries {
     * the nav/footer/title are shorter (a boilerplate-filter bug keeps
     * them), and the entity paragraph covers all six entities including
     * the decode-order-sensitive `&amp;`. */
+  /** x70's anchor-laden shell: link counts VARY by doc (1–3 internal
+    * links, one duplicated, one mixed-case `HREF`, plus an external
+    * link the edge parse must exclude); targets are `(doc_id·a + b)
+    * mod n` with `n` = max(doc_id)+1 provided as a column, so every
+    * edge lands on a real document at any SF. One fragment, both
+    * engines. */
+  val LinkWrapFrag: String =
+    "concat('<html><body><p>', text, '</p>', " +
+      "'<a href=\"/doc/', CAST((doc_id * 7 + 1) % n AS STRING), '\">related article</a>', " +
+      "CASE WHEN doc_id % 2 = 0 THEN concat('<a class=\"side\" HREF=\"/doc/', CAST((doc_id * 13 + 5) % n AS STRING), '\">sidebar</a>') ELSE '' END, " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat('<a href=\"/doc/', CAST((doc_id * 7 + 1) % n AS STRING), '\">same target again</a>') ELSE '' END, " +
+      "'<a href=\"https://example.com/about\">external</a>', " +
+      "'</body></html>')"
+
   val HtmlWrapFrag: String =
     "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), " +
       "'</title><style>body { color: red; margin: 0 auto; padding: 12px; }</style>', " +
@@ -809,6 +823,39 @@ object TextQueries {
           regexp_count(col("extracted"), lit(TokenPattern)).cast("long")
             .as("re_tokens"),
           col("extracted"))
+    },
+
+    // link-graph extraction — the other half of the crawl front-end:
+    // harvest href values from RAW html (graft_html_links, contract =
+    // the global regex (?i)href="([^"]*)" group 1), keep the internal
+    // /doc/<id> targets, and aggregate the (src, dst) edge list with
+    // multiplicity — the input shape q94's integer PageRank and any
+    // link-based quality signal consume. The wrapper varies link count
+    // per doc, duplicates one edge (multiplicity must surface), mixes
+    // attribute case, and plants an external link the parse must drop.
+    "x70_link_graph" -> QueryDef(
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |w AS (SELECT doc_id, $LinkWrapFrag AS html FROM documents, nn),
+         |l AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(html, '(?i)href="([^"]*)"', 1)) AS href
+         |  FROM w)
+         |SELECT doc_id AS src_doc,
+         |  CAST(substr(href, 6) AS BIGINT) AS dst_doc,
+         |  count(*) AS n_links
+         |FROM l WHERE href LIKE '/doc/%'
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.functions.HtmlFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg((max(col("doc_id")) + lit(1L)).as("n"))
+      docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), expr(LinkWrapFrag).as("html"))
+        .select(col("doc_id").as("src_doc"),
+          explode(expr("graft_html_links(html)")).as("href"))
+        .filter(col("href").startsWith("/doc/"))
+        .select(col("src_doc"),
+          expr("CAST(substr(href, 6) AS BIGINT)").as("dst_doc"))
+        .groupBy(col("src_doc"), col("dst_doc"))
+        .agg(count(lit(1)).as("n_links"))
     }
   )
 }

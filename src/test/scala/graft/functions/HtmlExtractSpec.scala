@@ -96,6 +96,62 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(HtmlKernels.extractString(s"<p>$emoji</p>") == emoji)
   }
 
+  /** The link-harvest contract, written the obvious way. */
+  private def referenceLinks(html: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)href=\"([^\"]*)\"").matcher(html)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group(1)
+    out.toSeq
+  }
+
+  test("link kernel equals the regex reference, order and all") {
+    val cases = Seq(
+      "",
+      "no links at all here",
+      "<a href=\"/doc/1\">one</a>",
+      "<a HREF=\"/doc/2\" class=\"x\">case games</a>",
+      "<a href=\"/doc/3\">a</a><a href=\"/doc/3\">duplicate</a>",
+      "<a href=\"https://x.example/页面\">unicode path</a>",
+      "href=\"bare attribute outside any tag\"",
+      "<a href=\"unclosed quote never matches",
+      "<a href=\"\">empty value</a>",
+      "text href=\"a\" then href=\"b\" order preserved",
+      "hReF=\"mixed\" and HREF=\"upper\"")
+    cases.foreach { in =>
+      val got = kernelLinks(in)
+      val want = referenceLinks(in)
+      assert(got == want, s"links diverged on: $in\n got $got\n want $want")
+    }
+  }
+
+  private def kernelLinks(in: String): Seq[String] = {
+    val arr = HtmlKernels.linkHrefs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(in))
+    (0 until arr.numElements()).map(i =>
+      arr.getUTF8String(i).toString)
+  }
+
+  test("x70 fixture domain: every edge lands on a real document, the " +
+    "duplicate edge carries multiplicity 2, the external link is " +
+    "dropped") {
+    HtmlFunctions.register(spark)
+    val docs = Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val edges = graft.queries.TextQueries.defs("x70_link_graph")
+      .fn(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (s0, d, _) =>
+      assert(d >= 0 && d < nDocs, s"edge ($s0,$d) points off-corpus") }
+    // doc_id % 6 == 0 docs emit the same target twice (the %3 branch
+    // duplicates the first link) — multiplicity must be 2 there
+    val dup = edges.filter { case (s0, d, _) =>
+      s0 % 6 == 0 && d == (s0 * 7 + 1) % nDocs }
+    assert(dup.nonEmpty && dup.forall(_._3 == 2L),
+      s"duplicated edges lost multiplicity: ${dup.take(3).toSeq}")
+  }
+
   test("null propagates, kernel stays inside whole-stage codegen") {
     HtmlFunctions.register(spark)
     // local relations constant-fold (ConvertToLocalRelation), which is
