@@ -405,6 +405,13 @@ object Backup {
           fs.delete(dir, false): Unit
       }
     }
+    // deletions invalidate the append-only manifest record log (a
+    // future tail's reconcile would plan the pruned chunks); drop it —
+    // tails fall back to the walk and the next commit's record resumes
+    // the incremental stream (graft.sources.BackupSink.ManifestDir).
+    if (deleted > 0)
+      fs.delete(new Path(root, graft.sources.BackupSink.ManifestDir),
+        true): Unit
     deleted
   }
 }

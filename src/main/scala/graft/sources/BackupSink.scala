@@ -290,9 +290,15 @@ object BackupSink {
     * record write heals on the replay Structured Streaming guarantees
     * in that window). Chunks that predate the log are covered by the
     * tail's one-time reconcile walk, and a batch OVERWRITE deletes the
-    * log with the data directories it resets. Mutating maintenance
-    * (retention, DELETE WHERE, merge) breaks a LIVE tail's count-prefix
-    * offsets with or without the manifest — that contract is unchanged.
+    * log with the data directories it resets.
+    *
+    * DELETIONS invalidate an append-only log, so every mutating
+    * maintenance path (retention pruning, DELETE WHERE / TRUNCATE)
+    * DROPS the whole log after removing chunks — a future tail then
+    * reconciles from the walk (directory truth) and the next commit's
+    * record resumes the incremental stream. A LIVE tail across a
+    * mutation stays unsupported with or without the manifest (the
+    * count-prefix offsets shift) — that contract is unchanged.
     *
     * Records are written to a dot-prefixed temp name and renamed in
     * (readers skip dot/underscore names), so a half-written record is
@@ -622,6 +628,9 @@ class BackupStreamingWrite(cfg: BackupSink.Config, schema: StructType)
       // the replayed commit's repair path above
       writeManifestRecord(fs, rootPath, s"epoch-$epochId",
         chunks.zip(dests).map { case (c, d) => s"${c.relDir}/${d.getName}" })
+      // streaming-only roots must fold their record log too, or a
+      // long-lived stream grows it one file per epoch forever
+      maybeCompactManifest(fs, rootPath)
     }
   }
 

@@ -486,6 +486,7 @@ class BackupTable(path: String, tableSchema: StructType,
     }
     val flat = filters.flatMap(flatten)
     val fs = new Path(path).getFileSystem(HadoopConfs.active())
+    var removedAny = false
     val (_, leaves) = layout(path)
     leaves.foreach { leaf =>
       val matches = flat.forall {
@@ -504,6 +505,7 @@ class BackupTable(path: String, tableSchema: StructType,
       if (matches && leaf.files.nonEmpty) {
         // the leaf dir itself (…/partCol=v/date_dir=d)
         fs.delete(new Path(leaf.files.head).getParent, true): Unit
+        removedAny = true
       }
     }
     // drop partition dirs emptied by the leaf deletes (walk bottom-up
@@ -514,6 +516,13 @@ class BackupTable(path: String, tableSchema: StructType,
         if (Option(fs.listStatus(st.getPath)).forall(_.isEmpty))
           fs.delete(st.getPath, false): Unit
       }
+    // the manifest record log is APPEND-ONLY truth about publishes; a
+    // delete invalidates it, and a FUTURE tail's reconcile would union
+    // the stale records and plan vanished files. Drop the log: tails
+    // fall back to the walk, and the next commit's record resumes the
+    // incremental stream (BackupSink.ManifestDir doc).
+    if (removedAny)
+      fs.delete(new Path(path, BackupSink.ManifestDir), true): Unit
   }
   // ACCEPT_ANY_SCHEMA: the write schema is the DataFrame's, validated
   // by BackupWriteBuilder itself (partition/time columns, encodable

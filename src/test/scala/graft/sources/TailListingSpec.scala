@@ -288,6 +288,35 @@ class TailListingSpec extends SparkTestBase {
     }
   }
 
+  test("mutating maintenance drops the manifest log: a tail started " +
+    "after retention plans only files that exist") {
+    val out = manifestRoot()
+    assert(new java.io.File(out, "_manifest").isDirectory)
+    // prune the first half of the window — chunks vanish, and an
+    // append-only record log about them would poison every future
+    // tail's reconcile
+    val n = graft.operators.Backup.retentionPrune(spark, out,
+      java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    assert(n > 0, "retention deleted nothing — fixture window wrong")
+    assert(!new java.io.File(out, "_manifest").exists(),
+      "retention left the stale manifest log behind")
+    val s = new BackupMicroBatchStream(out,
+      new StructType().add("event_type", "string"),
+      Seq("event_type", "date_dir"), Array.empty, None, Array.empty)
+    val off = s.latestOffset().asInstanceOf[BackupOffset]
+    val parts = s.planInputPartitions(s.initialOffset(), off)
+      .map(_.asInstanceOf[BackupFilePartition])
+    assert(parts.nonEmpty)
+    parts.foreach(p => assert(
+      new java.io.File(p.file.stripPrefix("file:")).exists(),
+      s"tail planned a pruned chunk: ${p.file}"))
+    // and the next sink append restores incremental manifest serving
+    graft.operators.Backup.incremental(spark, s"$sf0001/events.parquet",
+      out, java.time.Instant.parse("2024-01-25T00:00:00Z"))
+    assert(new java.io.File(out, "_manifest").isDirectory,
+      "post-mutation commit did not resume the record stream")
+  }
+
   test("manifest log compaction folds records and preserves the union") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_mf_compact").toString
