@@ -83,22 +83,28 @@ object BackupSink {
     sb.toString
   }
 
-  /** One published chunk: where it was staged and where it belongs. */
+  /** One published chunk: where it was staged and where it belongs.
+    * `bytes` is the final on-disk size, counted by the task writer at
+    * the lowest stream level — it rides the manifest record so batch
+    * planning can size a scan without a per-file stat. */
   final case class StagedChunk(stagedPath: String, relDir: String,
-                               baseName: String, rows: Long)
+                               baseName: String, rows: Long,
+                               bytes: Long)
       extends Serializable
 
   final case class TaskChunks(chunks: Seq[StagedChunk])
       extends WriterCommitMessage
 
   /** A chunk after publish: its final path plus what the task already
-    * knew (leaf dir, `<from>_<to>_<crc>` base name, row count). This is
+    * knew (leaf dir, `<from>_<to>_<crc>` base name, row count, bytes).
+    * This is
     * how the batch operator ([[graft.operators.Backup.run]]) learns its
     * [[graft.operators.Backup.ChunkInfo]] result WITHOUT re-reading a
     * single written byte — the DSv2 write API has no result channel, so
     * the batch commit parks the list in [[takePublished]]'s registry. */
   final case class PublishedChunk(path: String, relDir: String,
-                                  baseName: String, rows: Long)
+                                  baseName: String, rows: Long,
+                                  bytes: Long)
 
   private val publishedByRoot =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[PublishedChunk]]()
@@ -187,7 +193,7 @@ object BackupSink {
       }
     }
     pairs.map { case (c, dst) =>
-      PublishedChunk(dst.toString, c.relDir, c.baseName, c.rows)
+      PublishedChunk(dst.toString, c.relDir, c.baseName, c.rows, c.bytes)
     }
   }
 
@@ -308,6 +314,48 @@ object BackupSink {
     * two sees duplicates, which the tail's per-leaf name sets absorb). */
   val ManifestDir = "_manifest"
   val ManifestCompactThreshold = 256
+
+  /** Record line format: `<relDir>/<chunkName>` optionally followed by
+    * a TAB and the chunk's on-disk byte size (v2, written by every sink
+    * commit — sizes let batch planning and scan statistics run with NO
+    * per-file stat; the replay-repair path, which only has the marker's
+    * path list, writes -1 = unknown and readers stat exactly those). */
+  def manifestLine(rel: String, bytes: Long): String = s"$rel\t$bytes"
+
+  /** (relPath, bytes or -1) of a record line; tolerates v1 lines. */
+  def parseManifestLine(line: String): (String, Long) = {
+    val t = line.indexOf('\t')
+    if (t < 0) (line, -1L)
+    else (line.substring(0, t),
+      try line.substring(t + 1).toLong catch { case _: NumberFormatException => -1L })
+  }
+
+  /** Completeness stamp: present iff the record log has existed since
+    * the root last became empty (fresh target or truncate), i.e. EVERY
+    * chunk on disk has a record. Batch planning may serve from the log
+    * alone only under this stamp; the streaming tail doesn't need it
+    * (its one-time reconcile walk covers pre-log chunks). Dropped with
+    * the log by every mutating maintenance path. */
+  val ManifestCompleteStamp = "_COMPLETE"
+
+  def writeCompleteStamp(fs: FileSystem, rootPath: Path): Unit = {
+    val p = new Path(new Path(rootPath, ManifestDir), ManifestCompleteStamp)
+    fs.mkdirs(p.getParent)
+    if (!fs.exists(p)) { val o = fs.create(p, true); o.close() }
+  }
+
+  def hasCompleteStamp(fs: FileSystem, rootPath: Path): Boolean =
+    try fs.exists(new Path(new Path(rootPath, ManifestDir),
+      ManifestCompleteStamp))
+    catch { case _: java.io.IOException => false }
+
+  /** Does the root hold any partition data directory yet? (One
+    * listStatus — the freshness test for the completeness stamp,
+    * checked BEFORE a commit publishes.) */
+  def rootHasData(fs: FileSystem, rootPath: Path): Boolean =
+    try Option(fs.listStatus(rootPath)).getOrElse(Array.empty)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    catch { case _: java.io.FileNotFoundException => false }
 
   def manifestRecordFiles(fs: FileSystem, rootPath: Path)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -499,12 +547,19 @@ class BackupBatchWrite(cfg: BackupSink.Config, schema: StructType)
           fs.delete(st.getPath, true): Unit
       }
     }
+    // completeness test BEFORE publish creates the data dirs: a fresh
+    // or just-truncated root means the record log covers everything
+    // from here on, so batch planning may trust it alone
+    val fresh = cfg.truncate || !BackupSink.rootHasData(fs, rootPath)
     val published = BackupSink.publish(fs, rootPath, cfg, messages)
     // manifest record: what this commit published, as relative paths
-    // (the streaming tail serves offsets from these — see ManifestDir)
+    // with sizes (the streaming tail serves offsets from these, batch
+    // planning serves files AND statistics — see ManifestDir)
     BackupSink.writeManifestRecord(fs, rootPath,
       s"b-${System.currentTimeMillis()}-${cfg.queryId}",
-      published.map(p => s"${p.relDir}/${new Path(p.path).getName}"))
+      published.map(p => BackupSink.manifestLine(
+        s"${p.relDir}/${new Path(p.path).getName}", p.bytes)))
+    if (fresh) BackupSink.writeCompleteStamp(fs, rootPath)
     BackupSink.maybeCompactManifest(fs, rootPath)
     BackupSink.recordPublished(cfg.root, published)
     BackupSink.writeMeta(fs, rootPath, cfg)
@@ -582,7 +637,8 @@ class BackupStreamingWrite(cfg: BackupSink.Config, schema: StructType)
           }
         } finally in.close()
         writeManifestRecord(fs, rootPath, s"epoch-$epochId",
-          paths.toSeq.flatMap(p => relativizeChunk(rootPath, p)))
+          paths.toSeq.flatMap(p => relativizeChunk(rootPath, p))
+            .map(manifestLine(_, -1L))) // sizes unknown from the marker
       }
       messages.foreach {
         case TaskChunks(chunks) => chunks.foreach(c =>
@@ -590,6 +646,12 @@ class BackupStreamingWrite(cfg: BackupSink.Config, schema: StructType)
         case _ => ()
       }
     } else {
+      // freshness test BEFORE any rename of this epoch (see the batch
+      // commit): first-epoch-into-empty-root stamps completeness. A
+      // crashed first epoch leaves its half-published dirs behind and
+      // conservatively skips the stamp — batch planning then walks,
+      // which is correct, just not accelerated.
+      val freshRoot = !rootHasData(fs, rootPath)
       if (fs.exists(intent)) {
         // a previous attempt crashed mid-publish: roll back exactly the
         // chunks it planned (those renamed before the crash exist; the
@@ -627,7 +689,9 @@ class BackupStreamingWrite(cfg: BackupSink.Config, schema: StructType)
       // does); a crash after the promote but before this write heals in
       // the replayed commit's repair path above
       writeManifestRecord(fs, rootPath, s"epoch-$epochId",
-        chunks.zip(dests).map { case (c, d) => s"${c.relDir}/${d.getName}" })
+        chunks.zip(dests).map { case (c, d) =>
+          manifestLine(s"${c.relDir}/${d.getName}", c.bytes) })
+      if (freshRoot) writeCompleteStamp(fs, rootPath)
       // streaming-only roots must fold their record log too, or a
       // long-lived stream grows it one file per epoch forever
       maybeCompactManifest(fs, rootPath)
@@ -686,12 +750,24 @@ class BackupDataWriter(cfg: BackupSink.Config, schema: StructType,
   private val lineFmt = java.time.format.DateTimeFormatter
     .ofPattern(LineTsFmt).withZone(zone)
 
+  /** Counts final on-disk bytes below the CRC/gzip chain, so the
+    * manifest record can carry sizes and batch planning never needs a
+    * per-file stat. */
+  private final class CountingOutputStream(under: java.io.OutputStream)
+      extends java.io.FilterOutputStream(under) {
+    var count = 0L
+    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); count += len
+    }
+  }
+
   private final class Chunk(val relDir: String) {
     val staged = new Path(
       s"${cfg.stagingDir}/t${partitionId}_${taskId}_$chunkSeq")
     private val crc = new CRC32()
-    private val checked =
-      new CheckedOutputStream(fs.create(staged, true), crc)
+    private val counter = new CountingOutputStream(fs.create(staged, true))
+    private val checked = new CheckedOutputStream(counter, crc)
     private val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(
         if (cfg.gzip) new GZIPOutputStream(checked) else checked,
@@ -712,7 +788,8 @@ class BackupDataWriter(cfg: BackupSink.Config, schema: StructType,
       def fmt(us: Long) =
         nameFmt.format(java.time.Instant.EPOCH.plusNanos(us * 1000L))
       StagedChunk(staged.toString, relDir,
-        s"${fmt(minTs)}_${fmt(maxTs)}_${f"${crc.getValue}%08x"}", rows)
+        s"${fmt(minTs)}_${fmt(maxTs)}_${f"${crc.getValue}%08x"}", rows,
+        counter.count)
     }
   }
 

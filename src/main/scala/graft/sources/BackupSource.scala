@@ -65,7 +65,9 @@ class BackupSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = requirePath(options)
-    val (partCols, leaves) = layout(path)
+    // complete-manifest roots never pay a tree listing for inference:
+    // the leaves (and the sampled head/tail chunks) come off the log
+    val (partCols, leaves) = layoutOrManifest(path)
     val dataFields = sampleDataFields(leaves)
     StructType(dataFields ++ partCols.map(StructField(_, StringType)))
   }
@@ -74,7 +76,7 @@ class BackupSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graftbackup requires a path"))
-    val (partCols, _) = layout(path)
+    val (partCols, _) = layoutOrManifest(path)
     new BackupTable(path, schema, partCols)
   }
 
@@ -230,6 +232,69 @@ object BackupSource {
   }
 
   final case class Leaf(values: Map[String, String], files: Seq[String])
+
+  /** Decode a leaf-relative dir path (`k=v/k2=v2/…`) into partition
+    * values, exactly as the walk does (unescape + null sentinel). */
+  def decodeLeafValues(leafRel: String): Map[String, String] =
+    leafRel.split("/").filter(_.contains("=")).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      val dec = unescapePathName(v)
+      k -> (if (dec == HiveDefaultPartition) null else dec)
+    }.toMap
+
+  /** The COMPLETE manifest view of a root — partition columns
+    * (outermost first), leaves with absolute sorted file paths, and
+    * the known on-disk sizes keyed by relative path. Present only
+    * under the sink's completeness stamp
+    * ([[BackupSink.ManifestCompleteStamp]]: the record log has existed
+    * since the root last became empty, so every chunk has a record);
+    * otherwise None and callers fall back to the directory walk. This
+    * is what lets BATCH planning — schema inference, partition/file
+    * planning, scan statistics — run from a handful of small record
+    * files instead of listing the whole tree (the walk is O(#files) of
+    * driver metadata RPCs, brutal on object stores; the record log is
+    * O(#commits) reads, one after self-compaction). */
+  def manifestView(root: String): Option[(Seq[String], Seq[Leaf],
+      Map[String, Long])] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(HadoopConfs.active())
+    if (!BackupSink.hasCompleteStamp(fs, rootPath)) return None
+    val byLeaf = mutable.HashMap.empty[String, mutable.TreeSet[String]]
+    val sizes = mutable.HashMap.empty[String, Long]
+    var partCols: Seq[String] = Seq.empty
+    BackupSink.manifestRecordFiles(fs, rootPath).foreach { st =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty && line.contains("/")) {
+            val (rel, bytes) = BackupSink.parseManifestLine(line)
+            val cut = rel.lastIndexOf('/')
+            val leafRel = rel.substring(0, cut)
+            if (partCols.isEmpty)
+              partCols = leafRel.split("/").filter(_.contains("="))
+                .map(_.split("=", 2)(0)).toSeq
+            byLeaf.getOrElseUpdate(leafRel,
+              mutable.TreeSet.empty[String]) += rel.substring(cut + 1)
+            if (bytes >= 0) sizes(rel) = bytes
+          }
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+    val leaves = byLeaf.toSeq.sortBy(_._1).map { case (leafRel, names) =>
+      Leaf(decodeLeafValues(leafRel),
+        names.toSeq.map(n => s"$root/$leafRel/$n"))
+    }
+    Some((partCols, leaves, sizes.toMap))
+  }
+
+  /** Layout via the complete manifest when present, else the tree
+    * walk — the batch-side discovery entry point. */
+  def layoutOrManifest(root: String): (Seq[String], Seq[Leaf]) =
+    manifestView(root).map { case (pc, leaves, _) => (pc, leaves) }
+      .getOrElse(layout(root))
 
   /** Time column recorded in the backup's `_GRAFT_META.json` stamp
     * (written by both the batch Backup and the DSv2 sink). Absent or
@@ -810,12 +875,25 @@ trait BackupPlanning { self: Scan =>
         chunkMayMatch(r, timeCol.get, timeFilters.toSeq))
     }
 
+  /** The complete-manifest view, read once per Scan instance; batch
+    * planning and statistics serve from it when present (no tree
+    * listing, no per-file stat), else from the pruned walk. Lazy:
+    * runtime (DPP) filters arrive after construction, and both paths
+    * apply the filters at [[plannedFiles]] call time. */
+  protected lazy val manifestForPlanning
+      : Option[(Seq[String], Seq[BackupSource.Leaf], Map[String, Long])] =
+    BackupSource.manifestView(path)
+
   protected def plannedFiles(): Seq[BackupFilePartition] = {
-    // mayKeep prunes excluded subtrees DURING the walk (no listing
-    // cost for them); keep on the full leaf values stays as the exact
-    // decision — identical where both keys are bound, and keep is the
-    // one that (deliberately) drops leaves missing a filtered column
-    val (_, leaves) = layout(path, mayKeep)
+    val leaves = manifestForPlanning match {
+      // complete record log: leaves come off it — zero directory RPCs
+      case Some((_, ls, _)) => ls
+      // mayKeep prunes excluded subtrees DURING the walk (no listing
+      // cost for them); keep on the full leaf values stays as the exact
+      // decision — identical where both keys are bound, and keep is the
+      // one that (deliberately) drops leaves missing a filtered column
+      case None => BackupSource.layout(path, mayKeep)._2
+    }
     leaves.filter(l => keep(l.values))
       .flatMap(l => l.files.filter(keepFile)
         .map(f => BackupFilePartition(f, l.values)))
@@ -868,14 +946,25 @@ class BackupScan(val path: String, required: StructType,
   /** Post-pruning size: sum of the surviving chunk files' on-disk
     * bytes (compressed). Spark's join planning sees a number that
     * shrinks with pruning, so a filtered backup side can qualify for
-    * broadcast. */
+    * broadcast. Sizes come from the manifest records when the log is
+    * complete (the sink counted them at write time) — a per-file stat
+    * here would be O(#files) driver RPCs, WORSE than the listing the
+    * manifest planning just avoided; only record lines written by the
+    * replay-repair path (size unknown, -1) fall back to a stat. */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val bytes: Long = {
       val conf = HadoopConfs.active()
+      val sizes: Map[String, Long] =
+        manifestForPlanning.map(_._3).getOrElse(Map.empty)
+      val rootPath = new Path(path)
       plannedFiles().map { p =>
-        val hp = new Path(p.file)
-        try hp.getFileSystem(conf).getFileStatus(hp).getLen
-        catch { case _: java.io.IOException => 0L }
+        BackupSink.relativizeChunk(rootPath, p.file)
+          .flatMap(sizes.get)
+          .getOrElse {
+            val hp = new Path(p.file)
+            try hp.getFileSystem(conf).getFileStatus(hp).getLen
+            catch { case _: java.io.IOException => 0L }
+          }
       }.sum
     }
     override def sizeInBytes(): java.util.OptionalLong =
@@ -1159,15 +1248,6 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     scala.collection.mutable.HashMap.empty[String, Leaf]
   private val manifestDirty = scala.collection.mutable.HashSet.empty[String]
 
-  /** Decode a leaf-relative dir path (`k=v/k2=v2/…`) into partition
-    * values, exactly as the walk does (unescape + null sentinel). */
-  private def decodeLeafValues(leafRel: String): Map[String, String] =
-    leafRel.split("/").filter(_.contains("=")).map { seg =>
-      val Array(k, v) = seg.split("=", 2)
-      val dec = unescapePathName(v)
-      k -> (if (dec == HiveDefaultPartition) null else dec)
-    }.toMap
-
   /** Read record files not seen before; union their entries into the
     * per-leaf name sets. One listStatus + O(new records) opens. */
   private def readNewManifestRecords(
@@ -1182,9 +1262,10 @@ class BackupMicroBatchStream(val path: String, required: StructType,
           var line = in.readLine()
           while (line != null) {
             if (line.nonEmpty && line.contains("/")) {
-              val cut = line.lastIndexOf('/')
-              val leafRel = line.substring(0, cut)
-              val chunkName = line.substring(cut + 1)
+              val (rel, _) = BackupSink.parseManifestLine(line)
+              val cut = rel.lastIndexOf('/')
+              val leafRel = rel.substring(0, cut)
+              val chunkName = rel.substring(cut + 1)
               val (_, names) = manifestLeaves.getOrElseUpdate(leafRel,
                 (decodeLeafValues(leafRel),
                   scala.collection.mutable.TreeSet.empty[String]))
@@ -1222,6 +1303,16 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     val fs = rootPath.getFileSystem(HadoopConfs.active())
     if (manifestMode) {
       readNewManifestRecords(fs, rootPath)
+      return serveManifest()
+    }
+    // completeness stamp: the record log covers EVERY chunk (the root
+    // was empty when the log started), so even the first trigger can
+    // skip the reconcile walk entirely — the cold cost drops from a
+    // full tree listing to reading the (self-compacted) record files
+    if (BackupSink.hasCompleteStamp(fs, rootPath)) {
+      readNewManifestRecords(fs, rootPath)
+      manifestMode = true
+      leafCache.clear()
       return serveManifest()
     }
     if (!fs.exists(rootPath)) return Seq.empty

@@ -81,6 +81,20 @@ object TailScale {
       }
       backdate(new java.io.File(out))
 
+      // BATCH discovery: the primitive every batch scan/inference calls
+      // — the complete-manifest view vs the full tree walk. Sizes ride
+      // the records, so the manifest side also subsumes the per-file
+      // stats a scan's statistics would otherwise pay.
+      val (bWalkMs, layoutRes) =
+        timeMs(5)(graft.sources.BackupSource.layout(out))
+      val (bManMs, mview) =
+        timeMs(5)(graft.sources.BackupSource.manifestView(out).get)
+      require(mview._2.map(_.files.size).sum ==
+        layoutRes._2.map(_.files.size).sum,
+        "manifest batch view diverged from the walk")
+      require(mview._3.size == mview._2.map(_.files.size).sum,
+        "manifest records missing sizes")
+
       // ---- walk generation: pre-r15 root (no manifest log) ----------
       val manifestDir = java.nio.file.Paths.get(out, "_manifest")
       val manifestAside = scratch.resolve("_manifest_aside")
@@ -193,7 +207,7 @@ object TailScale {
       // floats via Bench.f3 (Locale.ROOT): the f-interpolator honours the
       // default locale, and a comma-decimal locale would emit invalid JSON
       import graft.Bench.f3
-      println(s"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":${f3(coldMs)},"warm_list_ms":${f3(warmMs)},"append_list_ms":${f3(appendMs)},"filtered_list_ms":${f3(filtMs)},"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":${f3(planMs)},"n_partitions":${parts.length},"window_plan_ms":${f3(winPlanMs)},"window_planned_files":${winParts.length},"manifest_cold_ms":${f3(mCold)},"manifest_warm_ms":${f3(mWarm)},"manifest_append_ms":${f3(mAppend)}}""")
+      println(s"""{"tool":"tailscale","sf":"$dir","n_leaves":${off.counts.size},"n_files":$nFiles,"offset_json_bytes":${offJson.getBytes("UTF-8").length},"cold_list_ms":${f3(coldMs)},"warm_list_ms":${f3(warmMs)},"append_list_ms":${f3(appendMs)},"filtered_list_ms":${f3(filtMs)},"filtered_files":${offF.counts.values.map(_.toLong).sum},"plan_ms":${f3(planMs)},"n_partitions":${parts.length},"window_plan_ms":${f3(winPlanMs)},"window_planned_files":${winParts.length},"manifest_cold_ms":${f3(mCold)},"manifest_warm_ms":${f3(mWarm)},"manifest_append_ms":${f3(mAppend)},"batch_walk_ms":${f3(bWalkMs)},"batch_manifest_ms":${f3(bManMs)}}""")
     } finally {
       graft.util.Fs.deleteRecursively(scratch)
       spark.stop()

@@ -372,6 +372,63 @@ class BackupSourceSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("complete-manifest batch planning: recorded sizes are exact, " +
+    "planning consults no listing, walk equivalence holds") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_batch").toString
+    graft.operators.Backup.run(spark, BackupConfig(
+      inputPath = s"$sf0001/events.parquet", outputPath = dir,
+      timeColumn = "ts", partitionColumn = "event_type",
+      from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      to = java.time.Instant.parse("2024-01-25T00:00:00Z")))
+    // fresh-root commit stamped completeness
+    assert(BackupSink.hasCompleteStamp(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dir)))
+    val (partCols, leaves, sizes) = BackupSource.manifestView(dir).get
+    assert(partCols == Seq("event_type", "date_dir"))
+    // every chunk on disk has a record with its EXACT on-disk size
+    // (counted by the task writer — statistics never stat a file)
+    val onDisk = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_"))
+      .flatMap(_.listFiles()).filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    assert(onDisk.nonEmpty &&
+      onDisk.length == leaves.map(_.files.size).sum)
+    onDisk.foreach { f =>
+      val rel = f.getPath.stripPrefix(dir).stripPrefix("/")
+      assert(sizes.get(rel).contains(f.length()),
+        s"recorded size diverges for $rel: ${sizes.get(rel)} vs ${f.length()}")
+    }
+    // the scan's size estimate = the true byte sum, from records alone
+    val df = spark.read.format("graftbackup").load(dir)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est == BigInt(onDisk.map(_.length()).sum),
+      s"stats $est != on-disk ${onDisk.map(_.length()).sum}")
+    val viaManifest = df.count()
+    // a chunk COPIED in out-of-band (no record) is invisible — batch
+    // planning reads the log, never a directory
+    val src = onDisk.head
+    val planted = new java.io.File(src.getParentFile,
+      "99999999999999_99999999999999_deadbeef.log.gz")
+    java.nio.file.Files.copy(src.toPath, planted.toPath)
+    assert(spark.read.format("graftbackup").load(dir).count() == viaManifest,
+      "batch planning listed a directory in manifest mode")
+    // the walk is directory truth: with the log aside, the duplicate
+    // chunk's rows appear — and the two discoveries agree otherwise
+    val manifestDir = java.nio.file.Paths.get(dir, "_manifest")
+    val aside = java.nio.file.Paths.get(dir, "_manifest_aside")
+    java.nio.file.Files.move(manifestDir, aside)
+    val viaWalk = spark.read.format("graftbackup").load(dir).count()
+    java.nio.file.Files.move(aside, manifestDir)
+    val dupRows = spark.read.schema("event_id STRING")
+      .json(planted.getPath).count()
+    assert(viaWalk == viaManifest + dupRows,
+      s"walk $viaWalk != manifest $viaManifest + planted $dupRows")
+    assert(planted.delete())
+  }
+
   test("malformed chunk name: zone maps keep the file (conservative), " +
     "rows still read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badname").toString
@@ -381,12 +438,16 @@ class BackupSourceSpec extends SparkTestBase {
       from = java.time.Instant.parse("2024-01-05T00:00:00Z"),
       to = java.time.Instant.parse("2024-01-25T00:00:00Z"))
     graft.operators.Backup.run(spark, cfg)
-    // strip the time envelope from one chunk's name
+    // strip the time envelope from one chunk's name — an OUT-OF-BAND
+    // mutation, which invalidates the sink's manifest log by contract
+    // (single appender); a damaged/legacy root reads via the walk, so
+    // drop the log like any mutating maintenance would
     val victim = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).filter(_.isDirectory)
       .flatMap(_.listFiles()).find(_.getName.endsWith(".log.gz")).get
     val renamed = new java.io.File(victim.getParentFile, "oddly_named.log.gz")
     assert(victim.renameTo(renamed))
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir, "_manifest"))
     val all = spark.read.format("graftbackup").load(dir).count()
     // a time filter cannot zone-map-skip the unparseable name: its rows
     // must still be evaluated (and survive the residual filter exactly)
