@@ -249,6 +249,7 @@ object Pq {
     VectorFunctions.register(spark)
     val budget = broadcastBudget(spark)
     val canBroadcastFused = nProbes * FusedRowBytes <= budget
+    val forcedTable = sys.env.get("SPARK_GRAFT_PQ_TABLE").contains("1")
     val useTable = sys.env.get("SPARK_GRAFT_PQ_TABLE") match {
       case Some("0") => false
       case Some("1") => true
@@ -257,8 +258,14 @@ object Pq {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("adc_micro"), col("nn_id"))
+    // the auto choice only picks the table kernel when the (bigger)
+    // table rows fit the budget, which implies the fused rows do too;
+    // an EXPLICIT SPARK_GRAFT_PQ_TABLE=1 is an A/B ask and is honored
+    // even in the bucketed arm (table rows replicate B× — that cost is
+    // exactly what the A/B measures) instead of silently downgrading
+    // to the fused kernel above the budget
     val (probes, adc) =
-      if (useTable && canBroadcastFused)
+      if (useTable && (canBroadcastFused || forcedTable))
         (probes0.select(col("probe_id"),
           expr("graft_pq_adc_table(q_emb)").as("adc_tab")),
           "graft_pq_adc_lookup(codes, adc_tab)")

@@ -372,11 +372,12 @@ object BackupSink {
     * the path is not under the root (never written by this sink —
     * skipped rather than poisoning the record). */
   def relativizeChunk(rootPath: Path, absolute: String): Option[String] = {
-    val rootStr = rootPath.toUri.getPath
+    val rootStr = rootPath.toUri.getPath.stripSuffix("/")
     val pathPart = new Path(absolute).toUri.getPath
-    val idx = pathPart.indexOf(rootStr)
-    if (idx >= 0) {
-      val rel = pathPart.substring(idx + rootStr.length).stripPrefix("/")
+    // prefix match only: "/other/data/x" is NOT under root "/data",
+    // and "/data2/x" is not either (the separator check below)
+    if (pathPart.startsWith(rootStr + "/")) {
+      val rel = pathPart.substring(rootStr.length).stripPrefix("/")
       if (rel.nonEmpty) Some(rel) else None
     } else None
   }

@@ -262,26 +262,53 @@ object BackupSource {
     val byLeaf = mutable.HashMap.empty[String, mutable.TreeSet[String]]
     val sizes = mutable.HashMap.empty[String, Long]
     var partCols: Seq[String] = Seq.empty
-    BackupSink.manifestRecordFiles(fs, rootPath).foreach { st =>
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
-      try {
-        var line = in.readLine()
-        while (line != null) {
-          if (line.nonEmpty && line.contains("/")) {
-            val (rel, bytes) = BackupSink.parseManifestLine(line)
-            val cut = rel.lastIndexOf('/')
-            val leafRel = rel.substring(0, cut)
-            if (partCols.isEmpty)
-              partCols = leafRel.split("/").filter(_.contains("="))
-                .map(_.split("=", 2)(0)).toSeq
-            byLeaf.getOrElseUpdate(leafRel,
-              mutable.TreeSet.empty[String]) += rel.substring(cut + 1)
-            if (bytes >= 0) sizes(rel) = bytes
+    def ingest(line: String): Unit =
+      if (line.nonEmpty && line.contains("/")) {
+        val (rel, bytes) = BackupSink.parseManifestLine(line)
+        val cut = rel.lastIndexOf('/')
+        val leafRel = rel.substring(0, cut)
+        if (partCols.isEmpty)
+          partCols = leafRel.split("/").filter(_.contains("="))
+            .map(_.split("=", 2)(0)).toSeq
+        byLeaf.getOrElseUpdate(leafRel,
+          mutable.TreeSet.empty[String]) += rel.substring(cut + 1)
+        if (bytes >= 0) sizes(rel) = bytes
+      }
+    // A record can vanish between the listing and its open when a
+    // concurrent sink commit compacts the log (the union record is
+    // durable BEFORE the inputs are deleted). This view is one-shot —
+    // there is no "next trigger" to pick the union up — so on a
+    // vanished record we RE-LIST and read whatever we haven't yet
+    // (the union has a fresh name; entry dedup is by name sets). Each
+    // retry needs a fresh compaction to trigger again, so the loop is
+    // bounded in practice; the attempt cap turns a pathological
+    // commit storm into a loud error instead of a silent partial view.
+    val processed = mutable.HashSet.empty[String]
+    var attempt = 0
+    var sawVanished = true
+    while (sawVanished) {
+      sawVanished = false
+      attempt += 1
+      BackupSink.manifestRecordFiles(fs, rootPath).foreach { st =>
+        val name = st.getPath.getName
+        if (!processed.contains(name)) {
+          val in = try {
+            new java.io.BufferedReader(new java.io.InputStreamReader(
+              fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+          } catch {
+            case e: java.io.FileNotFoundException =>
+              if (attempt >= 10) throw e
+              sawVanished = true; null
           }
-          line = in.readLine()
+          if (in != null) {
+            processed += name
+            try {
+              var line = in.readLine()
+              while (line != null) { ingest(line); line = in.readLine() }
+            } finally in.close()
+          }
         }
-      } finally in.close()
+      }
     }
     val leaves = byLeaf.toSeq.sortBy(_._1).map { case (leafRel, names) =>
       Leaf(decodeLeafValues(leafRel),
@@ -1154,39 +1181,56 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     * A chunk append/delete in a leaf updates THAT directory's mtime
     * (its direct children changed), so `mtime == cached.mtime` proves
     * the file set is the one we listed — except for a write landing in
-    * the same mtime-granularity stamp as the one we cached, which would
-    * be invisible forever. The guard against that collision is
-    * AGE-BASED and deliberately clock-free across machines: an entry is
-    * trusted only once it is older than [[MtimeSafetyMs]] in DRIVER
-    * time (entry age compares driver clock to driver clock; mtime
-    * equality compares filesystem clock to filesystem clock — no
-    * driver-vs-NameNode comparison anywhere, so offset skew between the
-    * two cannot re-open the window). Soundness: the cached stamp M was
-    * already issued when we listed, so the filesystem clock at listing
-    * time was ≥ M; a write δ real-seconds after the listing is stamped
-    * ≥ M + δ (clock RATE ≈ 1 even under arbitrary offset skew), hence
-    * any write more than the granularity window after the listing must
-    * advance the observed mtime — an aged entry with an unchanged mtime
-    * proves no write slipped in. Interior directories are always
-    * re-walked (a deep append does NOT touch ancestor mtimes) —
-    * per-trigger cost is O(#interior dirs) + O(files in CHANGED
-    * leaves), i.e. O(new files) for an appending backup, independent of
-    * backlog size (the r13 PLANS lever: ~800 k chunks at the next
-    * decade would otherwise cost ~14 s of re-listing per trigger). */
-  private case class LeafSnap(mtime: Long, listedAt: Long,
-                              files: Seq[String])
+    * the same mtime-granularity stamp as the listing we cached, which
+    * would be invisible forever. The guard against that collision: a
+    * cached listing is trusted only if it was taken at least
+    * [[MtimeSafetyMs]] of DRIVER time after this (leaf, mtime) value
+    * was FIRST observed — i.e. `listedAt − firstObservedAt >
+    * MtimeSafetyMs`. Soundness: when we first observed stamp M (driver
+    * time F), the filesystem clock had already reached M; any write
+    * stamped M must happen while the filesystem clock is still inside
+    * M's granule, which (clock RATE ≈ 1 even under arbitrary offset
+    * skew) ends no later than driver time F + granularity. A listing
+    * taken after F + MtimeSafetyMs therefore contains EVERY write that
+    * will ever carry stamp M, and can be trusted for as long as the
+    * observed mtime stays M. Entry AGE proves nothing (a same-granule
+    * write landing just after a fresh listing would otherwise become
+    * trusted — and invisible — once the entry aged); only the
+    * listing-after-window-closed property does. Both comparisons stay
+    * single-clock (driver-vs-driver for the window, fs-vs-fs for mtime
+    * equality), so driver/NameNode offset skew cannot re-open the
+    * window. A same-mtime re-list inside the window PRESERVES
+    * firstObservedAt, so at most one extra listing per leaf per stamp
+    * is paid before trust. Interior directories are always re-walked
+    * (a deep append does NOT touch ancestor mtimes) — per-trigger cost
+    * is O(#interior dirs) + O(files in CHANGED leaves), i.e. O(new
+    * files) for an appending backup, independent of backlog size (the
+    * r13 PLANS lever: ~800 k chunks at the next decade would otherwise
+    * cost ~14 s of re-listing per trigger). */
+  private case class LeafSnap(mtime: Long, firstObservedAt: Long,
+                              listedAt: Long, files: Seq[String])
   private val leafCache =
     scala.collection.mutable.HashMap.empty[String, LeafSnap]
   /** ≥ any real filesystem's mtime granularity (FAT 2 s is the worst). */
   private val MtimeSafetyMs = 5000L
 
-  /** Test/probe hook: age the cache entries so the trust window is
-    * already open — the truthful steady state of a long-lived tail,
-    * where the backlog's entries are minutes-to-days old. Production
-    * code never calls this. */
+  /** Test/probe hook: back-date when each entry's mtime was first
+    * observed, so the trust window is already closed — the truthful
+    * steady state of a long-lived tail, where the backlog's stamps
+    * were first seen minutes-to-days before the latest listing.
+    * Production code never calls this. */
   private[graft] def ageCacheEntries(byMs: Long): Unit =
     leafCache.mapValuesInPlace((_, c) =>
-      c.copy(listedAt = c.listedAt - byMs)): Unit
+      c.copy(firstObservedAt = c.firstObservedAt - byMs)): Unit
+
+  /** Test hook for the r15-advice hazard: shift WHOLE entries into the
+    * past (both stamps) — the entry is old, but its listing happened at
+    * window-open (listedAt == firstObservedAt), so it must NOT be
+    * trusted no matter how old it gets. Production never calls this. */
+  private[graft] def backdateCacheEntries(byMs: Long): Unit =
+    leafCache.mapValuesInPlace((_, c) =>
+      c.copy(firstObservedAt = c.firstObservedAt - byMs,
+        listedAt = c.listedAt - byMs)): Unit
 
   /** The cache's correctness premise — "a child create/delete advances
     * the directory's mtime" — holds for POSIX filesystems and HDFS but
@@ -1249,15 +1293,24 @@ class BackupMicroBatchStream(val path: String, required: StructType,
   private val manifestDirty = scala.collection.mutable.HashSet.empty[String]
 
   /** Read record files not seen before; union their entries into the
-    * per-leaf name sets. One listStatus + O(new records) opens. */
+    * per-leaf name sets. One listStatus + O(new records) opens. A
+    * record that vanishes between the listing and its open (a
+    * concurrent [[BackupSink.maybeCompactManifest]] deleted it after
+    * folding it into a union record) is skipped, not fatal: the union
+    * is durable BEFORE the inputs are deleted, so its entries are in
+    * this same listing or the next trigger's — and the per-leaf name
+    * sets dedup either way. */
   private def readNewManifestRecords(
       fs: org.apache.hadoop.fs.FileSystem, rootPath: Path): Unit = {
     BackupSink.manifestRecordFiles(fs, rootPath).foreach { st =>
       val name = st.getPath.getName
       if (!manifestSeen.contains(name)) {
+        val in = try {
+          new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case _: java.io.FileNotFoundException => null }
+        if (in == null) () else {
         manifestSeen += name
-        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-          fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
         try {
           var line = in.readLine()
           while (line != null) {
@@ -1274,6 +1327,7 @@ class BackupMicroBatchStream(val path: String, required: StructType,
             line = in.readLine()
           }
         } finally in.close()
+        }
       }
     }
   }
@@ -1325,20 +1379,27 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     def walk(p: Path, mtime: Long, values: Map[String, String]): Unit = {
       leafCache.get(p.toString) match {
         case Some(c) if mtimeReliable && mtime > 0L && c.mtime == mtime &&
-            now - c.listedAt > MtimeSafetyMs =>
-          // mtime unchanged AND the entry has aged past the granularity
-          // window (driver-clock age — see the cache doc for why this
-          // is skew-proof): file set proven current — no listStatus
+            c.listedAt - c.firstObservedAt > MtimeSafetyMs =>
+          // mtime unchanged AND the cached listing was taken after the
+          // stamp's granularity window had provably closed (driver
+          // clock both sides — see the cache doc for why this is
+          // skew-proof): file set proven current — no listStatus
           emit(p, values, c.files)
-        case _ =>
+        case cached =>
           val children = fs.listStatus(p)
           val dirs = children.filter(c => c.isDirectory &&
             c.getPath.getName.contains("="))
           if (dirs.isEmpty) {
             val files = children.filter(isChunkFile)
               .map(_.getPath.toString).sorted.toSeq
+            // same stamp as the cached entry → keep its first-observed
+            // time (this listing may be the one that closes the window)
+            val first = cached match {
+              case Some(c) if c.mtime == mtime => c.firstObservedAt
+              case _ => now
+            }
             leafCache(p.toString) =
-              LeafSnap(mtime, System.currentTimeMillis(), files)
+              LeafSnap(mtime, first, System.currentTimeMillis(), files)
             emit(p, values, files)
           } else {
             // interior: never cached (child changes don't touch p's

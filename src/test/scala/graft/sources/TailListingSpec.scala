@@ -150,6 +150,43 @@ class TailListingSpec extends SparkTestBase {
     planted.delete()
   }
 
+  test("an OLD entry whose listing happened at window-open is still " +
+    "re-listed (r15-advice hazard: entry age proves nothing)") {
+    val s = stream()
+    val off1 = s.latestOffset().asInstanceOf[BackupOffset]
+    val leafKey = off1.counts.keys.min
+    val leafDir = new java.io.File(s"$outDir/$leafKey")
+    val mtime = leafDir.lastModified()
+    // a write landing in the SAME mtime granule right after the cached
+    // listing: mtime unchanged, file not in the cached list
+    val planted = new java.io.File(leafDir,
+      "99999999999999_99999999999997_feedface.json.gz")
+    assert(planted.createNewFile())
+    assert(leafDir.setLastModified(mtime))
+    // time passes: the entry becomes arbitrarily old, but its listing
+    // was taken when the stamp was FIRST observed (window not closed),
+    // so age must not create trust — the pre-fix `now - listedAt`
+    // condition would trust here and hide the chunk forever
+    s.backdateCacheEntries(60000L)
+    val off2 = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off2.counts(leafKey) == off1.counts(leafKey) + 1,
+      "aged window-open entry was trusted: same-granule append unseen")
+    // and once a listing HAS been taken after the window closed
+    // (re-list above preserved firstObservedAt; backdate ages it),
+    // the entry is trusted — plant again with the stamp pinned to
+    // prove the cache (not a listing) answers
+    s.ageCacheEntries(60000L)
+    val planted2 = new java.io.File(leafDir,
+      "99999999999999_99999999999996_feedfffe.json.gz")
+    assert(planted2.createNewFile())
+    assert(leafDir.setLastModified(mtime))
+    val off3 = s.latestOffset().asInstanceOf[BackupOffset]
+    assert(off3.counts == off2.counts,
+      "window-closed listing was not trusted (cache miss expected hit)")
+    planted.delete()
+    planted2.delete()
+  }
+
   // ---- sink-published manifest serving (r14 verdict #1) --------------
 
   /** A root WITH the sink's `_manifest/` record log (every commit
