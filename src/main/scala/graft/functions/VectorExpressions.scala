@@ -235,6 +235,53 @@ object IvfKernels extends Serializable {
     }
     best
   }
+
+  /** Two-level product cell (the inverted multi-index layout, Babenko
+    * & Lempitsky, "The Inverted Multi-Index", CVPR 2012): the vector's
+    * FIRST `a(0).length` dims argmin against codebook `a`, the rest
+    * against codebook `b`; cell = c1·|b| + c2. One fused pass, no
+    * array slicing/allocation — |a|+|b| centroid scans buy |a|·|b|
+    * cells, which is what keeps K ∝ N assignable (a flat argmin over
+    * K ∝ N centroids would itself be quadratic in the corpus). Ties
+    * break to the lower index in each half, like [[cell]]. */
+  def imiCell(emb: ArrayData, a: Array[Array[Double]],
+              b: Array[Array[Double]]): Int = {
+    val half = if (a.length > 0) a(0).length else 0
+    val n = emb.numElements()
+    var best1 = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < a.length) {
+      val cent = a(c)
+      val m = math.min(cent.length, n)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val d = emb.getFloat(i).toDouble - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best1 = c }
+      c += 1
+    }
+    var best2 = 0
+    bestD = Double.MaxValue
+    c = 0
+    while (c < b.length) {
+      val cent = b(c)
+      val m = math.min(cent.length, math.max(0, n - half))
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val d = emb.getFloat(half + i).toDouble - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best2 = c }
+      c += 1
+    }
+    best1 * b.length + best2
+  }
 }
 
 /** Product-quantization kernels shared by eval and generated code.
@@ -521,6 +568,28 @@ case class IvfCellExpr(child: Expression, cents: Array[Array[Double]])
       "graft.functions.IvfKernels$")
     val cref = ctx.addReferenceObj("cents", cents, "double[][]")
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.cell($c, $cref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Two-level product cell assignment (see [[IvfKernels.imiCell]]) —
+  * the K ∝ N scale path's kernel: both half-space argmins fused in one
+  * codegen call, codebooks carried as reference objects. */
+case class IvfImiCellExpr(child: Expression,
+                          a: Array[Array[Double]],
+                          b: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    IvfKernels.imiCell(v.asInstanceOf[ArrayData], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("ivfKernels", IvfKernels,
+      "graft.functions.IvfKernels$")
+    val aref = ctx.addReferenceObj("imiA", a, "double[][]")
+    val bref = ctx.addReferenceObj("imiB", b, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $k.imiCell($c, $aref, $bref);")
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -119,6 +119,127 @@ object Ivf {
     spread(embeddings).withColumn("cell", expr(s"graft_ivf_cell($embCol)"))
   }
 
+  // ---- scaled codebook: the K ∝ N contract, exercised (r15 verdict #1)
+  //
+  // The fixture codebook is FROZEN at K=16 (its centroid doubles are
+  // oracle literals — the determinism contract above), which is exactly
+  // right for the correctness gate and exactly wrong for a corpus 100×
+  // the fixture: within-cell membership grows ∝ N, so [[semDedup]]'s
+  // pair fan-out grows ∝ N²/K (measured 218.9 s at the sf10 decade
+  // under frozen K). The documented sizing — K ≈ N / targetCellSize —
+  // keeps per-cell membership, and with it both pair fan-out and
+  // per-key join skew, bounded by a constant.
+  //
+  // Making K ∝ N *assignable* is the real design point: a flat argmin
+  // over K ∝ N centroids is itself O(N·K·d) = quadratic. The scaled
+  // codebook is therefore a TWO-LEVEL PRODUCT (the inverted multi-index
+  // layout, Babenko & Lempitsky, CVPR 2012): two half-space codebooks
+  // of ~√K centroids each; cell = c1·K2 + c2. Assignment costs
+  // N·(K1+K2)·(d/2) ≈ N·√K·d — √K centroid scans buy K cells — in one
+  // fused codegen kernel ([[graft.functions.IvfImiCellExpr]], no
+  // slicing/allocation). Training runs the DISTRIBUTED Lloyd's trainer
+  // ([[KMeans.train]]) on a bounded deterministic sample (≤
+  // [[ScaledTrainMaxRows]] rows picked by hash(vec_id) — no RNG), so
+  // driver state stays (K1+K2)·(d/2) doubles no matter the corpus:
+  // k·d grows only with K, never with N.
+  //
+  // Activation is EXPLICIT: the `spark.graft.ivf.targetCellSize` conf
+  // (env SPARK_GRAFT_IVF_CELL_SIZE for harnesses) switches
+  // [[semDedup]]/[[cellStats]]/[[semDedupRecall]] — the cell-CONSUMING
+  // operators whose cost scales with occupancy — onto the scaled
+  // codebook. Unset (the default, and the correctness gate's state)
+  // everything uses the fixture literals and the oracle parity is
+  // untouched. The probe-bounded paths ([[topK]]/[[batchTopK]]/
+  // [[outlierScores]]) stay on the fixture codebook: their decade cost
+  // is probe-bounded, and NProbe-of-K probing over a product codebook
+  // is a different (multi-sequence) algorithm the corpus sizes here
+  // don't need.
+
+  /** Target mean cell occupancy for the scaled codebook; unset/0 keeps
+    * the fixture codebook everywhere. */
+  val TargetCellSizeKey = "spark.graft.ivf.targetCellSize"
+
+  /** Training-sample cap: K ≈ N/t needs ~√(N/t) centroids per half, so
+    * even the 2M-row sf100 replica trains from 100 k sampled rows with
+    * hundreds of members per centroid. */
+  val ScaledTrainMaxRows = 100000L
+
+  /** Lloyd iterations for the scaled halves (the fixture's [[Iters]]). */
+  val ScaledIters = 5
+
+  def targetCellSize(spark: SparkSession): Long =
+    spark.conf.getOption(TargetCellSizeKey)
+      .orElse(sys.env.get("SPARK_GRAFT_IVF_CELL_SIZE"))
+      .map(_.toLong).getOrElse(0L)
+
+  /** Two half-space codebooks; cell = c1·|b| + c2, k = |a|·|b|. */
+  final case class ScaledCodebook(a: Array[Array[Double]],
+                                  b: Array[Array[Double]]) {
+    def k: Int = a.length * b.length
+  }
+
+  /** One training per (corpus size, target) per JVM — x18/x39/x66 in
+    * one bench run share the codebook instead of retraining. */
+  private val scaledCache =
+    scala.collection.mutable.HashMap.empty[(Long, Long), ScaledCodebook]
+
+  /** Test hook: retraining determinism needs a cold cache. */
+  private[graft] def clearScaledCache(): Unit =
+    synchronized { scaledCache.clear() }
+
+  /** Train the scaled product codebook for a corpus of `n` vectors at
+    * `t` target occupancy. Deterministic end to end: hash-picked
+    * sample, [[KMeans]]' RNG-free seeds, fixed iteration count. */
+  def scaledCodebook(embeddings: DataFrame, n: Long,
+                     t: Long): ScaledCodebook = synchronized {
+    scaledCache.getOrElseUpdate((n, t), {
+      val k = math.max(1L, (n + t - 1) / t)
+      val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+      val half = Dim / 2
+      val base = embeddings.select(col("vec_id"), col("embedding"))
+      val sample =
+        (if (n <= ScaledTrainMaxRows) base
+         else base.filter(pmod(hash(col("vec_id")), lit(1000000)) <
+           lit((ScaledTrainMaxRows * 1000000.0 / n).toLong)))
+          .cache()
+      try {
+        val lo = sample.select(col("vec_id"),
+          slice(col("embedding"), 1, half).as("embedding"))
+        val hi = sample.select(col("vec_id"),
+          slice(col("embedding"), half + 1, Dim - half).as("embedding"))
+        ScaledCodebook(
+          KMeans.train(lo, k1, ScaledIters).centroids,
+          KMeans.train(hi, k2, ScaledIters).centroids)
+      } finally sample.unpersist(): Unit
+    })
+  }
+
+  /** Corpus with the SCALED product-cell assignment. */
+  def withScaledCell(embeddings: DataFrame,
+                     cb: ScaledCodebook): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_imi_cell",
+      es => graft.functions.IvfImiCellExpr(es.head, cb.a, cb.b),
+      "scala_udf")
+    spread(embeddings)
+      .withColumn("cell", expr("graft_ivf_imi_cell(embedding)"))
+  }
+
+  /** Cell assignment honoring [[TargetCellSizeKey]]: the scaled product
+    * codebook when a target occupancy is set (one count action to size
+    * K — parquet metadata, no scan), else the fixture literals. */
+  private def withCellAuto(embeddings: DataFrame): DataFrame = {
+    val t = targetCellSize(embeddings.sparkSession)
+    if (t <= 0) withCell(embeddings)
+    else {
+      val n = embeddings.count()
+      withScaledCell(embeddings, scaledCodebook(embeddings, n, t))
+    }
+  }
+
   /** ANN top-k: probe the NProbe cells nearest the query vector, rank
     * candidates by exact cosine within the probed cells only. */
   def topK(spark: SparkSession, embeddings: DataFrame,
@@ -221,10 +342,13 @@ object Ivf {
     * (K ≈ N / targetCellSize, the standard IVF sizing), which keeps
     * per-cell membership — and therefore both the pair fan-out and the
     * join's per-key skew — bounded by the same constant that bounds
-    * probe cost. */
+    * probe cost. That sizing is EXERCISED, not just documented: set
+    * [[TargetCellSizeKey]] and the cells come from the scaled product
+    * codebook (see the scaled-codebook block above) — the r16 decade
+    * rows measure it. */
   def semDedup(embeddings: DataFrame, minCosine: Double): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
-    val a = withCell(embeddings).select(col("vec_id"), col("cell"),
+    val a = withCellAuto(embeddings).select(col("vec_id"), col("cell"),
       col("embedding"))
     val x = a.select(col("vec_id").as("x_id"), col("cell"),
       col("embedding").as("x_emb"))
@@ -261,7 +385,7 @@ object Ivf {
   def semDedupRecall(spark: SparkSession, embeddings: DataFrame,
                      probeMaxId: Long, minCosine: Double): DataFrame = {
     VectorFunctions.register(spark)
-    val withC = withCell(embeddings)
+    val withC = withCellAuto(embeddings)
     val probes = withC.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         sqrt(expr("graft_dot(embedding, embedding)")).as("p_norm"),
@@ -284,9 +408,10 @@ object Ivf {
           .cast("bigint").as("n_cell_hits"))
   }
 
-  /** Cell occupancy — the quantizer-balance tuning view. */
+  /** Cell occupancy — the quantizer-balance tuning view (scaled
+    * codebook when [[TargetCellSizeKey]] is set, like [[semDedup]]). */
   def cellStats(embeddings: DataFrame): DataFrame =
-    withCell(embeddings)
+    withCellAuto(embeddings)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
 
   /** [EXT] Embedding-quality outlier score — the curation filter for
