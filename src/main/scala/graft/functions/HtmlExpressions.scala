@@ -22,9 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  2. replace every remaining `<[^>]*>` with a newline (an unclosed
   *     trailing `<…` stays literal text, exactly as the regex leaves
   *     it);
-  *  3. decode entities by literal global replace, in this order:
-  *     `&lt; &gt; &quot; &apos; &nbsp;`(→ space) and `&amp;` LAST —
-  *     the order makes double-encoded input (`&amp;lt;`) decode one
+  *  3. decode entities: FIRST numeric character references (`&#NNN;`
+  *     decimal / `&#xHH;` hex, valid code points only — see
+  *     [[HtmlKernels.decodeNumericRefs]]), then the named six by
+  *     literal global replace, in this order: `&lt; &gt; &quot;
+  *     &apos; &nbsp;`(→ space) and `&amp;` LAST — the ordering makes
+  *     double-encoded input (`&amp;lt;`, `&amp;#65;`) decode one
   *     level, never two;
   *  4. split on newline; per line collapse runs of space/tab/CR/FF to
   *     one space and trim; KEEP lines of ≥ [[HtmlKernels.MinLineChars]]
@@ -124,10 +127,72 @@ object HtmlKernels extends Serializable {
     sb.toString
   }
 
-  /** Literal global replaces; `&amp;` last (see class doc). */
+  /** Literal global replaces; numeric refs first, `&amp;` last (see
+    * class doc). */
   private def decodeEntities(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+    decodeNumericRefs(s)
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+
+  @inline private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  @inline private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else (low(c) - 'a') + 10
+
+  /** Numeric character references — `&#NNN;` decimal and `&#xHH;` hex
+    * (`x` ASCII-ci) — decoded in ONE left-to-right pass BEFORE the
+    * named replaces, so `&amp;#65;` stays one-level decoded: the
+    * named-last ordering rule's numeric analogue (r15 verdict #3 —
+    * real pages carry `&#39;`/`&#x27;` at least as often as the named
+    * six). Contract = a global java-regex replace of
+    * `&#(?:([0-9]+)|[xX]([0-9a-fA-F]+));` with the code point when it
+    * is VALID — in [1, 0x10FFFF] and not a surrogate — and the match
+    * text kept verbatim otherwise; `&#;`, `&#x;`, an unterminated
+    * `&#12`, an overflow (`&#1114112;`, any digit run past the
+    * saturation point) all stay literal. The hand scan below is that
+    * regex: a failed candidate resumes searching after its `&#`
+    * (nothing a regex could match starts inside `#dd` without a fresh
+    * `&#`), a decoded one resumes after its `;`. */
+  private def decodeNumericRefs(s: String): String = {
+    var i = s.indexOf("&#")
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var from = 0
+    while (i >= 0) {
+      var j = i + 2
+      var hex = false
+      if (j < s.length && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
+        hex = true; j += 1
+      }
+      var cp = 0L
+      var any = false
+      if (hex) {
+        while (j < s.length && isHexDigit(s.charAt(j))) {
+          any = true
+          if (cp <= 0x10FFFFL) cp = cp * 16 + hexVal(s.charAt(j))
+          j += 1
+        }
+      } else {
+        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+          any = true
+          if (cp <= 0x10FFFFL) cp = cp * 10 + (s.charAt(j) - '0')
+          j += 1
+        }
+      }
+      val ok = any && j < s.length && s.charAt(j) == ';' &&
+        cp >= 1L && cp <= 0x10FFFFL && !(cp >= 0xD800L && cp <= 0xDFFFL)
+      if (ok) {
+        sb.append(s, from, i)
+        sb.appendCodePoint(cp.toInt)
+        from = j + 1
+        i = s.indexOf("&#", from)
+      } else {
+        i = s.indexOf("&#", i + 2)
+      }
+    }
+    sb.append(s, from, s.length)
+    sb.toString
+  }
 
   /** Per line: collapse space/tab/CR/FF runs to one space, trim, keep
     * lines of ≥ [[MinLineChars]] CODE POINTS, join with newline. */
@@ -152,26 +217,68 @@ object HtmlKernels extends Serializable {
     out.toString
   }
 
-  /** All `href="…"` attribute values, in document order — the link
-    * harvest a crawl-graph build runs on RAW html (before any tag
-    * stripping; contract = the regex `(?i)href="([^"]*)"`, group 1,
-    * global: the literal `href="` ASCII-ci, then everything up to the
-    * next `"`; an unclosed quote means no match, exactly as the regex
-    * behaves). */
+  /** The attribute-whitespace class shared by the contract's three
+    * implementations: space/tab/LF/CR/FF — the java `\s` ∩ RE2 `\s`
+    * intersection (java adds \x0B, RE2 doesn't; pinning the five keeps
+    * the kernel, the java-regex spec reference and the DuckDB oracle
+    * character-identical). */
+  @inline private def isAttrWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** HTML5's excluded set for UNQUOTED attribute values (whitespace,
+    * both quotes, `=`, `<`, `>`, backtick). */
+  @inline private def isUnquotedEnd(c: Char): Boolean =
+    isAttrWs(c) || c == '"' || c == '\'' || c == '=' || c == '<' ||
+      c == '>' || c == '`'
+
+  /** All `href` attribute values, in document order — the link harvest
+    * a crawl-graph build runs on RAW html (before any tag stripping).
+    * Contract = the global regex (r15 verdict #3 widened it from the
+    * double-quote-only form to the three forms real crawls carry):
+    *
+    *   {{{ (?i)href[WS]*=[WS]*("[^"]*"|'[^']*'|[^WS"'=<>`]+) }}}
+    *
+    * with WS the 5-char class above; the harvested value is group 1
+    * minus its surrounding quotes. Double-quoted, single-quoted and
+    * HTML5-unquoted values all match (the unquoted run must be
+    * non-empty — `href=>` harvests nothing); whitespace is allowed
+    * around `=`; an UNCLOSED quote means no match at that candidate,
+    * and the scan resumes at the next `href` literal, exactly where
+    * the regex engine's retry would land (no later alternative can
+    * match at the failed position: backing off `[WS]*` only puts a
+    * WS char — excluded everywhere — in front of the value). */
   def linkHrefs(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val html = s.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     var done = false
     while (!done) {
-      val idx = indexOfIgnoreCase(html, "href=\"", i)
+      val idx = indexOfIgnoreCase(html, "href", i)
       if (idx < 0) done = true
       else {
-        val q = html.indexOf('"', idx + 6)
-        if (q < 0) done = true // no closing quote anywhere: no match
+        var j = idx + 4
+        while (j < html.length && isAttrWs(html.charAt(j))) j += 1
+        if (j >= html.length || html.charAt(j) != '=') i = idx + 1
         else {
-          out += UTF8String.fromString(html.substring(idx + 6, q))
-          i = q + 1
+          j += 1
+          while (j < html.length && isAttrWs(html.charAt(j))) j += 1
+          if (j < html.length &&
+              (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+            val quote = html.charAt(j)
+            val q = html.indexOf(quote, j + 1)
+            if (q < 0) i = idx + 1 // unclosed: no match at this candidate
+            else {
+              out += UTF8String.fromString(html.substring(j + 1, q))
+              i = q + 1
+            }
+          } else {
+            var k = j
+            while (k < html.length && !isUnquotedEnd(html.charAt(k))) k += 1
+            if (k > j) {
+              out += UTF8String.fromString(html.substring(j, k))
+              i = k
+            } else i = idx + 1 // empty unquoted value: no match
+          }
         }
       }
     }

@@ -24,6 +24,15 @@ object TextQueries {
   /** x65 per-source retention target: keep the best 30% by quality. */
   val PruneKeepPermille = 300
 
+  /** x71 link-rank constants — the q94 integer-PageRank discipline
+    * (ranks in 10⁻¹² units, damping 85/100, base (1−d)·scale) applied
+    * to the REAL crawl graph x70 extracts. 3 iterations: enough for
+    * in-link mass to propagate two hops, and the oracle unrolls one
+    * CTE join per iteration. */
+  private val LrIters = 3
+  private val LrScale = 1000000000000L
+  private val LrBase = 150000000000L
+
   /** x69's synthetic HTML shell around each document — ONE SQL
     * fragment evaluated verbatim by Spark and DuckDB (concat and CAST
     * … AS STRING parse in both), so the extraction input is identical
@@ -31,19 +40,25 @@ object TextQueries {
     * style + script bodies are LONGER than the boilerplate threshold
     * (a block-elision bug becomes extra surviving lines, not silence),
     * the nav/footer/title are shorter (a boilerplate-filter bug keeps
-    * them), and the entity paragraph covers all six entities including
-    * the decode-order-sensitive `&amp;`. */
-  /** x70's anchor-laden shell: link counts VARY by doc (1–3 internal
-    * links, one duplicated, one mixed-case `HREF`, plus an external
-    * link the edge parse must exclude); targets are `(doc_id·a + b)
-    * mod n` with `n` = max(doc_id)+1 provided as a column, so every
-    * edge lands on a real document at any SF. One fragment, both
-    * engines. */
+    * them), the entity paragraph covers all six named entities
+    * including the decode-order-sensitive `&amp;`, and the numeric
+    * paragraph (r16) covers decimal/hex/em-dash refs, the one-level
+    * `&amp;#88;` rule, and the invalid forms (`&#;`, `&#x;`, overflow,
+    * surrogate, NUL, unterminated) that must stay literal. */
+  /** x70's anchor-laden shell: link counts VARY by doc (2–5 internal
+    * links, one duplicated, one mixed-case `HREF`, one SINGLE-QUOTED,
+    * one UNQUOTED with spaces around `=` (the r16 contract widening),
+    * plus an external link the edge parse must exclude); targets are
+    * `(doc_id·a + b) mod n` with `n` = max(doc_id)+1 provided as a
+    * column, so every edge lands on a real document at any SF. One
+    * fragment, both engines (both parse `''` as an escaped quote). */
   val LinkWrapFrag: String =
     "concat('<html><body><p>', text, '</p>', " +
       "'<a href=\"/doc/', CAST((doc_id * 7 + 1) % n AS STRING), '\">related article</a>', " +
       "CASE WHEN doc_id % 2 = 0 THEN concat('<a class=\"side\" HREF=\"/doc/', CAST((doc_id * 13 + 5) % n AS STRING), '\">sidebar</a>') ELSE '' END, " +
       "CASE WHEN doc_id % 3 = 0 THEN concat('<a href=\"/doc/', CAST((doc_id * 7 + 1) % n AS STRING), '\">same target again</a>') ELSE '' END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN concat('<a href=''/doc/', CAST((doc_id * 3 + 2) % n AS STRING), '''>single quoted</a>') ELSE '' END, " +
+      "'<a href = /doc/', CAST((doc_id * 11 + 4) % n AS STRING), '>unquoted spaced</a>', " +
       "'<a href=\"https://example.com/about\">external</a>', " +
       "'</body></html>')"
 
@@ -55,6 +70,7 @@ object TextQueries {
       "'<h1>Doc title ', CAST(doc_id AS STRING), '</h1>', " +
       "'<p>', text, '</p>', " +
       "'<p>Tom &amp; Jerry &lt;3 the &quot;daily&nbsp;menu&quot; &gt; yesterdays special at the cafe</p>', " +
+      "'<p>Numeric refs: &#84;om and &#x4A;erry&#8212;it&#39;s decoded; &amp;#88; stays one level; invalid &#; &#x; &#1114112; &#xD800; &#0; &#12 forms stay literal</p>', " +
       "'<div class=\"footer\">(c) 2024 Example Corp</div></body></html>')"
 
   /** DuckDB mirror of langPred's score-and-argmax CASE chain. */
@@ -792,19 +808,45 @@ object TextQueries {
     // does too.
     "x69_markup_extract" -> QueryDef(
       s"""WITH w AS (SELECT doc_id, $HtmlWrapFrag AS html FROM documents),
+         |s1 AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(html,
+         |      '(?is)<script[^>]*>.*?</script>', '', 'g'),
+         |      '(?is)<style[^>]*>.*?</style>', '', 'g'),
+         |      '<[^>]*>', chr(10), 'g') AS t FROM w),
+         |-- numeric character references FIRST (the named-last rule's
+         |-- numeric analogue): split on the literal '&#'; each tail
+         |-- either starts with a valid terminated code point (decode,
+         |-- keep the rest) or gets its '&#' back verbatim
+         |s2 AS (SELECT doc_id, string_split(t, '&#') AS ps FROM s1),
+         |s3 AS (SELECT doc_id, concat(ps[1], array_to_string(
+         |    list_transform(ps[2:], p -> CASE
+         |      WHEN regexp_matches(p, '^[0-9]+;')
+         |        AND try_cast(regexp_extract(p, '^([0-9]+);', 1) AS BIGINT)
+         |          BETWEEN 1 AND 1114111
+         |        AND NOT try_cast(regexp_extract(p, '^([0-9]+);', 1) AS BIGINT)
+         |          BETWEEN 55296 AND 57343
+         |      THEN concat(chr(CAST(regexp_extract(p, '^([0-9]+);', 1) AS INT)),
+         |        regexp_replace(p, '^[0-9]+;', ''))
+         |      WHEN regexp_matches(p, '^[xX][0-9a-fA-F]+;')
+         |        AND try_cast(concat('0x',
+         |          regexp_extract(p, '^[xX]([0-9a-fA-F]+);', 1)) AS BIGINT)
+         |          BETWEEN 1 AND 1114111
+         |        AND NOT try_cast(concat('0x',
+         |          regexp_extract(p, '^[xX]([0-9a-fA-F]+);', 1)) AS BIGINT)
+         |          BETWEEN 55296 AND 57343
+         |      THEN concat(chr(CAST(concat('0x',
+         |          regexp_extract(p, '^[xX]([0-9a-fA-F]+);', 1)) AS INT)),
+         |        regexp_replace(p, '^[xX][0-9a-fA-F]+;', ''))
+         |      ELSE concat('&#', p) END), '')) AS t FROM s2),
          |e AS (SELECT doc_id, array_to_string(list_filter(list_transform(
          |    string_split(
-         |      replace(replace(replace(replace(replace(replace(
-         |        regexp_replace(regexp_replace(regexp_replace(html,
-         |          '(?is)<script[^>]*>.*?</script>', '', 'g'),
-         |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
-         |          '<[^>]*>', chr(10), 'g'),
+         |      replace(replace(replace(replace(replace(replace(t,
          |      '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),
          |      '&nbsp;',' '),'&amp;','&'),
          |    chr(10)),
          |    x -> trim(regexp_replace(x, '[ \\t\\r\\f]+', ' ', 'g'))),
          |    x -> length(x) >= ${graft.functions.HtmlKernels.MinLineChars}),
-         |  chr(10)) AS extracted FROM w)
+         |  chr(10)) AS extracted FROM s3)
          |SELECT doc_id,
          |  CAST(len(string_split(extracted, chr(10))) AS BIGINT) AS n_lines,
          |  CAST(length(extracted) AS BIGINT) AS extract_chars,
@@ -837,7 +879,11 @@ object TextQueries {
       s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
          |w AS (SELECT doc_id, $LinkWrapFrag AS html FROM documents, nn),
          |l AS (SELECT doc_id,
-         |    unnest(regexp_extract_all(html, '(?i)href="([^"]*)"', 1)) AS href
+         |    unnest(list_transform(regexp_extract_all(html,
+         |      '(?i)href[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*("[^"]*"|''[^'']*''|[^ \\t\\n\\r\\f"''=<>`]+)',
+         |      1),
+         |      v -> CASE WHEN substr(v, 1, 1) = '"' OR substr(v, 1, 1) = ''''
+         |        THEN substr(v, 2, length(v) - 2) ELSE v END)) AS href
          |  FROM w)
          |SELECT doc_id AS src_doc,
          |  CAST(substr(href, 6) AS BIGINT) AS dst_doc,
@@ -856,6 +902,98 @@ object TextQueries {
           expr("CAST(substr(href, 6) AS BIGINT)").as("dst_doc"))
         .groupBy(col("src_doc"), col("dst_doc"))
         .agg(count(lit(1)).as("n_links"))
+    },
+
+    // crawl-graph capstone (r15 verdict #4): raw HTML → x70's edge
+    // harvest → per-document PageRank, ONE declarative pipeline — the
+    // link-based quality signal a curation stack feeds alongside
+    // x12/x65, now computed from the engine's own front-end instead of
+    // q94's synthetic transition graph. Arithmetic follows the q94
+    // discipline exactly (integer 10⁻¹² ranks, damping 85/100,
+    // integer division everywhere, dangling docs get base rank via
+    // LEFT JOIN) so both engines are bit-identical; the oracle unrolls
+    // the same LrIters iterations as CTEs over the same widened href
+    // parse. Scale shape: the harvest is x70's (scan + explode + one
+    // edge aggregate, linear in docs); each iteration is ONE shuffle
+    // join of ranks into the out-weighted edge list plus one dst-keyed
+    // aggregate, with per-round persist truncating the lineage chain
+    // (the standard Spark iterative discipline; checkpoint every ~10
+    // rounds at web scale). Driver fan-in is the rank VECTOR (one row
+    // per doc — collected, like q94, to free the loop's caches before
+    // returning; at true web scale the collect goes and the final
+    // round stays distributed).
+    "x71_linkrank" -> QueryDef({
+      val iters = (1 to LrIters).map { i =>
+        s"""r$i AS (
+           |  SELECT v.node,
+           |    ($LrBase // (SELECT n FROM nv)) +
+           |    (85 * COALESCE(s.contrib, 0)) // 100 AS rank
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS contrib
+           |    FROM e JOIN r${i - 1} r ON e.src = r.node
+           |           JOIN o ON e.src = o.src
+           |    GROUP BY e.dst) s ON v.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |h AS (SELECT doc_id, $LinkWrapFrag AS html FROM documents, nn),
+         |l AS (SELECT doc_id,
+         |    unnest(list_transform(regexp_extract_all(html,
+         |      '(?i)href[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*("[^"]*"|''[^'']*''|[^ \\t\\n\\r\\f"''=<>`]+)',
+         |      1),
+         |      v -> CASE WHEN substr(v, 1, 1) = '"' OR substr(v, 1, 1) = ''''
+         |        THEN substr(v, 2, length(v) - 2) ELSE v END)) AS href
+         |  FROM h),
+         |e AS (SELECT doc_id AS src, CAST(substr(href, 6) AS BIGINT) AS dst,
+         |      count(*) AS w
+         |  FROM l WHERE href LIKE '/doc/%' GROUP BY 1, 2),
+         |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+         |v AS (SELECT doc_id AS node FROM documents),
+         |nv AS (SELECT count(*) AS n FROM v),
+         |r0 AS (SELECT node, $LrScale // (SELECT n FROM nv) AS rank FROM v),
+         |$iters
+         |SELECT node AS doc_id, rank AS rank_e12 FROM r$LrIters"""
+        .stripMargin
+    }) { (s, dir) =>
+      graft.functions.HtmlFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val nRow = docs.agg((max(col("doc_id")) + lit(1L)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .select(col("doc_id"), expr(LinkWrapFrag).as("html"))
+        .select(col("doc_id").as("src"),
+          explode(expr("graft_html_links(html)")).as("href"))
+        .filter(col("href").startsWith("/doc/"))
+        .select(col("src"),
+          expr("CAST(substr(href, 6) AS BIGINT)").as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      val out = edges.groupBy(col("src"))
+        .agg(sum(col("w")).cast("bigint").as("outw"))
+      val nodes = docs.select(col("doc_id").as("node"))
+      val n = docs.count() // |docs|: sizes the uniform start rank
+      val ew = edges.join(out, "src").persist()
+      var ranks = nodes.withColumn("rank", lit(LrScale / n)).persist()
+      (1 to LrIters).foreach { _ =>
+        val contrib = ew
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .withColumn("c", expr("(rank * w) div outw"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).cast("bigint").as("contrib"))
+        val next = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), (lit(LrBase / n) +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+          .persist()
+        next.count() // materialize before dropping the previous round
+        ranks.unpersist()
+        ranks = next
+      }
+      val res = ranks
+        .select(col("node").as("doc_id"), col("rank").as("rank_e12"))
+      val collected = res.collect() // one row per doc; frees the caches
+      ranks.unpersist(); ew.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
     }
   )
 }

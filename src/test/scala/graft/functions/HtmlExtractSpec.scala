@@ -21,7 +21,7 @@ class HtmlExtractSpec extends SparkTestBase {
       .compile("(?is)<style[^>]*>.*?</style>").matcher(a).replaceAll("")
     val c = java.util.regex.Pattern
       .compile("<[^>]*>").matcher(b).replaceAll("\n")
-    val d = c.replace("&lt;", "<").replace("&gt;", ">")
+    val d = decodeNumericRefs(c).replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&apos;", "'")
       .replace("&nbsp;", " ").replace("&amp;", "&")
     d.split("\n", -1)
@@ -29,6 +29,31 @@ class HtmlExtractSpec extends SparkTestBase {
         .stripPrefix(" ").stripSuffix(" "))
       .filter(l => l.codePointCount(0, l.length) >= HtmlKernels.MinLineChars)
       .mkString("\n")
+  }
+
+  /** The numeric-reference contract as the global regex replace the
+    * kernel's hand scan must equal: every `&#(?:dec|[xX]hex);` match
+    * becomes its code point when valid (1..0x10FFFF, no surrogates),
+    * and stays verbatim otherwise. BigInteger so a thousand-digit run
+    * still compares against the range instead of overflowing. */
+  private def decodeNumericRefs(s: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("&#(?:([0-9]+)|[xX]([0-9a-fA-F]+));").matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val v =
+        if (m.group(1) != null) BigInt(m.group(1))
+        else BigInt(m.group(2), 16)
+      val rep =
+        if (v >= 1 && v <= 0x10FFFF &&
+            !(v >= 0xD800 && v <= 0xDFFF))
+          new String(Character.toChars(v.toInt))
+        else m.group(0)
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
   }
 
   private val longLine = "this body sentence is comfortably longer " +
@@ -56,7 +81,22 @@ class HtmlExtractSpec extends SparkTestBase {
       s"<p>first $longLine</p><p>second $longLine</p>",
       "&nbsp;&nbsp;&nbsp;only entities and whitespace&nbsp;&nbsp;",
       s"<p>$longLine<", // trailing lone '<'
-      s"<!-- a > b --> comment splits at first gt $longLine")
+      s"<!-- a > b --> comment splits at first gt $longLine",
+      // numeric character references (r16 widening)
+      s"$longLine &#84;&#101;&#115;&#116; decimal refs decode",
+      s"$longLine &#x54;&#X65;&#x73;&#X74; hex refs decode either case",
+      s"$longLine em&#8212;dash and astral &#128512; both decode",
+      s"$longLine &amp;#65; double-encoded numeric decodes ONE level",
+      s"$longLine invalid forms &#; &#x; &#xG1; stay literal",
+      s"$longLine overflow &#1114112; &#x110000; stays literal",
+      s"$longLine huge digit runs &#${"9" * 40}; &#x${"f" * 40}; stay",
+      s"$longLine surrogates &#55296; &#xD800; &#xdfff; stay literal",
+      s"$longLine NUL &#0; &#x0; &#000; stays literal",
+      s"$longLine leading zeros &#00065; &#x00041; still decode",
+      s"$longLine unterminated &#12 and &#x1F tails stay literal",
+      s"$longLine chained &#38;lt; decodes to & then the named pass",
+      s"$longLine back-to-back &#65;&#66;&#67; and mixed &#65;&#x42;",
+      s"$longLine &#&#65; a failed candidate does not eat the next")
     cases.foreach { in =>
       val got = HtmlKernels.extractString(in)
       val want = reference(in)
@@ -96,12 +136,22 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(HtmlKernels.extractString(s"<p>$emoji</p>") == emoji)
   }
 
-  /** The link-harvest contract, written the obvious way. */
+  /** The link-harvest contract, written the obvious way: the widened
+    * three-form value (double-quoted / single-quoted / HTML5
+    * unquoted), whitespace allowed around `=` — WS is the explicit
+    * 5-char class (java `\s` would add \x0B, which RE2's `\s` — the
+    * oracle side — does not have). */
   private def referenceLinks(html: String): Seq[String] = {
     val m = java.util.regex.Pattern
-      .compile("(?i)href=\"([^\"]*)\"").matcher(html)
+      .compile("(?i)href[ \t\n\r\f]*=[ \t\n\r\f]*" +
+        "(?:\"([^\"]*)\"|'([^']*)'|([^ \t\n\r\f\"'=<>`]+))")
+      .matcher(html)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (m.find()) out += m.group(1)
+    while (m.find()) {
+      out += (if (m.group(1) != null) m.group(1)
+        else if (m.group(2) != null) m.group(2)
+        else m.group(3))
+    }
     out.toSeq
   }
 
@@ -117,7 +167,24 @@ class HtmlExtractSpec extends SparkTestBase {
       "<a href=\"unclosed quote never matches",
       "<a href=\"\">empty value</a>",
       "text href=\"a\" then href=\"b\" order preserved",
-      "hReF=\"mixed\" and HREF=\"upper\"")
+      "hReF=\"mixed\" and HREF=\"upper\"",
+      // widened forms (r16)
+      "<a href='/doc/4'>single quoted</a>",
+      "<a href=''>empty single quoted</a>",
+      "<a href='unclosed single never matches",
+      "<a href=/doc/5>unquoted</a>",
+      "<a href = /doc/6 >spaces around equals</a>",
+      "<a href\t=\n\"/doc/7\">tab and newline whitespace</a>",
+      "<a href=>no value at all is no match</a>",
+      "<a href= >whitespace then gt is no match</a>",
+      "<a href='it\"s'>double quote inside single</a>",
+      "<a href=\"it's\">single quote inside double</a>",
+      "<a href=a=b>unquoted stops at equals</a>",
+      "<a href=/x`y>unquoted stops at backtick</a>",
+      "href=href=x chained unquoted harvests the literal href",
+      "<a href = '/mix'>then<a href=bare then<a href=\"dq\">all three</a>",
+      "<a href='a'href=\"b\"href=c>back to back, no separators</a>",
+      "HREF  =  'upper spaced'")
     cases.foreach { in =>
       val got = kernelLinks(in)
       val want = referenceLinks(in)
