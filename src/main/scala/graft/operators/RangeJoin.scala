@@ -35,6 +35,37 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Stats-derived bin width (r15 verdict #5): the MEDIAN interval
+    * span in whole seconds (≥ 1), from ONE column-pruned aggregate
+    * pre-pass — `approx_percentile` is a GK sketch with map-side
+    * partials, so the pre-pass shuffles sketch summaries (not rows)
+    * and the scan reads only the two endpoint columns. The cost model
+    * in the class doc says "pick binWidth near the TYPICAL interval
+    * span"; the median IS that statistic: half the intervals replicate
+    * onto ≤ 2 bins, and bins stay tight enough that the exact
+    * predicate does the residual work. A caller with domain knowledge
+    * (or a skewed span distribution worth a fatter quantile) keeps the
+    * explicit-width overloads. */
+  def derivedBinSeconds(intervals: DataFrame, sCol: String,
+                        eCol: String): Long = {
+    val r = intervals.select(expr(
+      s"approx_percentile(unix_micros($eCol) - unix_micros($sCol), 0.5)")
+      .as("p")).head()
+    if (r.isNullAt(0)) 1L
+    else math.max(1L, (r.getLong(0) + 999999L) / 1000000L)
+  }
+
+  /** [[binnedIntervalJoin]] with the bin width derived from the
+    * interval-side median span. */
+  def binnedIntervalJoin(
+      intervals: DataFrame,
+      points: DataFrame,
+      sCol: String,
+      eCol: String,
+      tCol: String): DataFrame =
+    binnedIntervalJoin(intervals, points, sCol, eCol, tCol,
+      derivedBinSeconds(intervals, sCol, eCol))
+
   /** Join `intervals` (columns `sCol`,`eCol`: timestamp, half-open
     * [s, e)) with `points` (column `tCol`: timestamp) on containment.
     * Column sets must be disjoint. Returns the joined frame with
@@ -60,6 +91,21 @@ object RangeJoin {
       .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))
       .drop("__bin")
   }
+
+  /** [[binnedOverlapJoin]] with the bin width derived from the LARGER
+    * of the two sides' median spans: with w ≥ both medians, a typical
+    * interval on either side overlaps ≤ 2 bins, bounding replication
+    * at ~2× while keeping bins as tight as that bound allows (a width
+    * under the larger median would replicate that side ∝ span/w for
+    * half its rows). */
+  def binnedOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      s1: String, e1: String,
+      s2: String, e2: String): DataFrame =
+    binnedOverlapJoin(left, right, s1, e1, s2, e2,
+      math.max(derivedBinSeconds(left, s1, e1),
+        derivedBinSeconds(right, s2, e2)))
 
   /** Interval×interval overlap join ([s1,e1) ∩ [s2,e2) ≠ ∅), both
     * sides large. Both sides replicate onto their bins, so a

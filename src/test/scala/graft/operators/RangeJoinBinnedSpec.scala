@@ -120,4 +120,47 @@ class RangeJoinBinnedSpec extends SparkTestBase {
     assert(overlapCounts.values.toSet.size == 1,
       s"overlap pair count varies with bin width: $overlapCounts")
   }
+
+  test("derived bin width: the median-span statistic lands in-range " +
+    "and the no-width overloads join identically (r15 verdict #5)") {
+    val (iv, pt) = sides()
+    // fixture spans are uniform-ish over [60s, 3600s] (value clamp
+    // 1..60 min): the median must sit strictly inside, nowhere near
+    // either degenerate end
+    val w = RangeJoin.derivedBinSeconds(iv, "s", "e")
+    assert(w >= 60L && w <= 3600L, s"derived width $w outside the " +
+      "fixture's span range [60, 3600]")
+    assert(w > 300L && w < 3400L,
+      s"derived width $w is not a central statistic of 1..60 min spans")
+    // the derived-width overload is the same join, bit for bit
+    val derived = RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t")
+      .select(col("ivl_id"), col("pt_id"))
+    val explicit = RangeJoin.binnedIntervalJoin(iv, pt, "s", "e", "t", 3600)
+      .select(col("ivl_id"), col("pt_id"))
+    assert(derived.exceptAll(explicit).isEmpty &&
+      explicit.exceptAll(derived).isEmpty,
+      "derived-width interval join differs from explicit-width result")
+
+    val ev = Tables.events(spark, sf0001)
+    def ivls(id: String, sN: String, eN: String, parity: Int) =
+      ev.filter(col("event_id") % 2 === parity)
+        .select(col("event_id").as(id), col("ts").as(sN),
+          expr("ts + make_interval(0, 0, 0, 0, 0, " +
+            "CAST(floor(least(greatest(value, 1), 60)) AS INT), 0)").as(eN))
+    val a = ivls("a_id", "s1", "e1", 0)
+    val b = ivls("b_id", "s2", "e2", 1)
+    val dOv = RangeJoin.binnedOverlapJoin(a, b, "s1", "e1", "s2", "e2")
+      .select(col("a_id"), col("b_id"))
+    val eOv = RangeJoin.binnedOverlapJoin(a, b, "s1", "e1", "s2", "e2", 3600)
+      .select(col("a_id"), col("b_id"))
+    assert(dOv.exceptAll(eOv).isEmpty && eOv.exceptAll(dOv).isEmpty,
+      "derived-width overlap join differs from explicit-width result")
+
+    // degenerate inputs: empty interval side and zero-length spans
+    // derive the 1-second floor instead of failing
+    val empty = iv.filter(lit(false))
+    assert(RangeJoin.derivedBinSeconds(empty, "s", "e") == 1L)
+    val zero = iv.withColumn("e", col("s"))
+    assert(RangeJoin.derivedBinSeconds(zero, "s", "e") == 1L)
+  }
 }
