@@ -1393,13 +1393,19 @@ class BackupMicroBatchStream(val path: String, required: StructType,
             val files = children.filter(isChunkFile)
               .map(_.getPath.toString).sorted.toSeq
             // same stamp as the cached entry → keep its first-observed
-            // time (this listing may be the one that closes the window)
+            // time (this listing may be the one that closes the window).
+            // A NEW stamp's firstObservedAt must be THIS listing's own
+            // time — the walk-start clock would be earlier by however
+            // long the walk took to reach this leaf, silently aging the
+            // first observation and opening the trust window early on
+            // cold walks longer than the granularity.
+            val listedNow = System.currentTimeMillis()
             val first = cached match {
               case Some(c) if c.mtime == mtime => c.firstObservedAt
-              case _ => now
+              case _ => listedNow
             }
             leafCache(p.toString) =
-              LeafSnap(mtime, first, System.currentTimeMillis(), files)
+              LeafSnap(mtime, first, listedNow, files)
             emit(p, values, files)
           } else {
             // interior: never cached (child changes don't touch p's
