@@ -285,6 +285,116 @@ object HtmlKernels extends Serializable {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
   }
 
+  /** First href value in an attribute region per the [[linkHrefs]]
+    * three-form contract, or null when none matches. */
+  private def firstHref(s: String): String = {
+    var i = 0
+    while (true) {
+      val idx = indexOfIgnoreCase(s, "href", i)
+      if (idx < 0) return null
+      var j = idx + 4
+      while (j < s.length && isAttrWs(s.charAt(j))) j += 1
+      if (j >= s.length || s.charAt(j) != '=') i = idx + 1
+      else {
+        j += 1
+        while (j < s.length && isAttrWs(s.charAt(j))) j += 1
+        if (j < s.length && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+          val q = s.indexOf(s.charAt(j), j + 1)
+          if (q < 0) i = idx + 1
+          else return s.substring(j + 1, q)
+        } else {
+          var k = j
+          while (k < s.length && !isUnquotedEnd(s.charAt(k))) k += 1
+          if (k > j) return s.substring(j, k) else i = idx + 1
+        }
+      }
+    }
+    null // unreachable
+  }
+
+  /** Anchor text from an `<a>` body: inner tags → one space (`<[^>]*>`
+    * global, unclosed `<…` stays), entities decoded (numeric first,
+    * the x69 order), ALL whitespace runs (incl. newlines) collapsed to
+    * one space, trimmed. */
+  private def cleanAnchor(inner: String): String = {
+    val sb = new java.lang.StringBuilder(inner.length)
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (c == '<') {
+        val gt = inner.indexOf('>', i + 1)
+        if (gt < 0) { sb.append(inner, i, inner.length); i = inner.length }
+        else { sb.append(' '); i = gt + 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    val decoded = decodeEntities(sb.toString)
+    val out = new java.lang.StringBuilder(decoded.length)
+    var pending = false
+    var started = false
+    var j = 0
+    while (j < decoded.length) {
+      val c = decoded.charAt(j)
+      if (isWs(c) || c == '\n') pending = started
+      else {
+        if (pending) out.append(' ')
+        pending = false
+        started = true
+        out.append(c)
+      }
+      j += 1
+    }
+    out.toString
+  }
+
+  /** All (href, anchor_text) pairs from RAW html, in document order —
+    * the edge ATTRIBUTE a link-graph quality pipeline consumes (anchor
+    * text is a weak label for the target document). Contract = the
+    * global regex
+    *
+    *   {{{ (?is)<a[WS]([^>]*)>(.*?)</a> }}}
+    *
+    * (WS = the 5-char class; the open tag is `<a` + one whitespace so
+    * `<abbr>` never matches, attrs end at the FIRST `>`, the non-greedy
+    * body ends at the FIRST `</a>` ASCII-ci — an unclosed tag or
+    * anchor means no match there or anywhere later, exactly as the
+    * regex behaves); per match, the href is the FIRST [[linkHrefs]]
+    * three-form value inside the attr region (an anchor with no href
+    * emits nothing but its matched region is still consumed, like the
+    * regex's global scan), and the text is [[cleanAnchor]] of the
+    * body. Returns array<struct<href, anchor>>. */
+  def anchorLinks(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val html = s.toString
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var i = 0
+    var done = false
+    while (!done) {
+      val idx = indexOfIgnoreCase(html, "<a", i)
+      if (idx < 0) done = true
+      else if (idx + 2 >= html.length || !isAttrWs(html.charAt(idx + 2))) {
+        i = idx + 1
+      } else {
+        val gt = html.indexOf('>', idx + 3)
+        if (gt < 0) done = true // no '>' left: nothing can match later
+        else {
+          val close = indexOfIgnoreCase(html, "</a>", gt + 1)
+          if (close < 0) done = true // no close left: same
+          else {
+            val href = firstHref(html.substring(idx + 2, gt))
+            if (href != null)
+              out += new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](
+                  UTF8String.fromString(href),
+                  UTF8String.fromString(
+                    cleanAnchor(html.substring(gt + 1, close)))))
+            i = close + 4
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\f'
 
@@ -340,12 +450,36 @@ case class HtmlLinksExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** graft_html_anchors(html): ordered (href, anchor) structs from RAW
+  * html (see [[HtmlKernels.anchorLinks]]) — the attributed-edge source
+  * for link-graph quality signals. */
+case class HtmlAnchorsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("href", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("anchor", StringType,
+          nullable = false))),
+      containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernels.anchorLinks(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("htmlKernels", HtmlKernels,
+      "graft.functions.HtmlKernels$")
+    defineCodeGen(ctx, ev, c => s"$k.anchorLinks($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HtmlFunctions {
   /** (name, builder) pairs — shared by per-session [[register]] and the
     * config-based [[graft.plans.GraftSparkExtensions]] injection. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_html_extract" -> (es => HtmlExtractExpr(es.head)),
-    "graft_html_links" -> (es => HtmlLinksExpr(es.head)))
+    "graft_html_links" -> (es => HtmlLinksExpr(es.head)),
+    "graft_html_anchors" -> (es => HtmlAnchorsExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -55,7 +55,8 @@ object TextQueries {
   val LinkWrapFrag: String =
     "concat('<html><body><p>', text, '</p>', " +
       "'<a href=\"/doc/', CAST((doc_id * 7 + 1) % n AS STRING), '\">related article</a>', " +
-      "CASE WHEN doc_id % 2 = 0 THEN concat('<a class=\"side\" HREF=\"/doc/', CAST((doc_id * 13 + 5) % n AS STRING), '\">sidebar</a>') ELSE '' END, " +
+      "CASE WHEN doc_id % 2 = 0 THEN concat('<a class=\"side\" HREF=\"/doc/', CAST((doc_id * 13 + 5) % n AS STRING), '\">side <b>bar</b> &amp; more &#38; co</a>') ELSE '' END, " +
+      "'<a name=\"bk\">plain bookmark anchor with no href at all</a>', " +
       "CASE WHEN doc_id % 3 = 0 THEN concat('<a href=\"/doc/', CAST((doc_id * 7 + 1) % n AS STRING), '\">same target again</a>') ELSE '' END, " +
       "CASE WHEN doc_id % 5 = 0 THEN concat('<a href=''/doc/', CAST((doc_id * 3 + 2) % n AS STRING), '''>single quoted</a>') ELSE '' END, " +
       "'<a href = /doc/', CAST((doc_id * 11 + 4) % n AS STRING), '>unquoted spaced</a>', " +
@@ -994,6 +995,86 @@ object TextQueries {
       ranks.unpersist(); ew.unpersist()
       s.createDataFrame(
         s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
+    },
+
+    // anchor-text edge attributes (r16) — the third crawl-front-end
+    // harvest: every <a …href…>…</a> yields (href, cleaned anchor
+    // text), the weak-label signal link-graph quality pipelines attach
+    // to edges (anchor text describes the TARGET document). Contract =
+    // the global regex (?is)<a[WS]([^>]*)>(.*?)</a> composed with the
+    // x70 three-form href parse (FIRST match inside the attr region)
+    // and the x69 entity discipline on the body (tags → space, numeric
+    // refs then named entities, whitespace collapsed). href-less
+    // anchors (the wrapper's bookmark) emit nothing but their matched
+    // region is consumed, exactly like the regex's global scan. Same
+    // linear scan shape as x70: one kernel pass + one edge aggregate.
+    "x72_anchor_text" -> QueryDef({
+      val anchorP = "(?is)<a[ \\t\\n\\r\\f]([^>]*)>(.*?)</a>"
+      val hrefP = "(?i)href[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*" +
+        "(\"[^\"]*\"|''[^'']*''|[^ \\t\\n\\r\\f\"''=<>`]+)"
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |h AS (SELECT doc_id, $LinkWrapFrag AS html FROM documents, nn),
+         |m AS (SELECT doc_id,
+         |    regexp_extract_all(html, '$anchorP', 1) AS attrs,
+         |    regexp_extract_all(html, '$anchorP', 2) AS inners FROM h),
+         |z AS (SELECT doc_id, unnest(list_zip(attrs, inners)) AS pair
+         |  FROM m),
+         |p AS (SELECT doc_id, regexp_extract(pair[1], '$hrefP', 1) AS v,
+         |    regexp_replace(pair[2], '<[^>]*>', ' ', 'g') AS t0 FROM z),
+         |-- v = '' iff no href matched: a matched empty value keeps its
+         |-- quotes in group 1 and an unquoted value is non-empty
+         |q AS (SELECT doc_id,
+         |    CASE WHEN substr(v, 1, 1) = '"' OR substr(v, 1, 1) = ''''
+         |      THEN substr(v, 2, length(v) - 2) ELSE v END AS href,
+         |    t0 FROM p WHERE v <> ''),
+         |n1 AS (SELECT doc_id, href, string_split(t0, '&#') AS ps FROM q),
+         |n2 AS (SELECT doc_id, href, concat(ps[1], array_to_string(
+         |    list_transform(ps[2:], u -> CASE
+         |      WHEN regexp_matches(u, '^[0-9]+;')
+         |        AND try_cast(regexp_extract(u, '^([0-9]+);', 1) AS BIGINT)
+         |          BETWEEN 1 AND 1114111
+         |        AND NOT try_cast(regexp_extract(u, '^([0-9]+);', 1) AS BIGINT)
+         |          BETWEEN 55296 AND 57343
+         |      THEN concat(chr(CAST(regexp_extract(u, '^([0-9]+);', 1) AS INT)),
+         |        regexp_replace(u, '^[0-9]+;', ''))
+         |      WHEN regexp_matches(u, '^[xX][0-9a-fA-F]+;')
+         |        AND try_cast(concat('0x',
+         |          regexp_extract(u, '^[xX]([0-9a-fA-F]+);', 1)) AS BIGINT)
+         |          BETWEEN 1 AND 1114111
+         |        AND NOT try_cast(concat('0x',
+         |          regexp_extract(u, '^[xX]([0-9a-fA-F]+);', 1)) AS BIGINT)
+         |          BETWEEN 55296 AND 57343
+         |      THEN concat(chr(CAST(concat('0x',
+         |          regexp_extract(u, '^[xX]([0-9a-fA-F]+);', 1)) AS INT)),
+         |        regexp_replace(u, '^[xX][0-9a-fA-F]+;', ''))
+         |      ELSE concat('&#', u) END), '')) AS t1 FROM n1),
+         |a AS (SELECT doc_id, href,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(t1,
+         |        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),
+         |        '&nbsp;',' '),'&amp;','&'),
+         |      '[ \\t\\n\\r\\f]+', ' ', 'g')) AS anchor_text FROM n2)
+         |SELECT doc_id AS src_doc,
+         |  CAST(substr(href, 6) AS BIGINT) AS dst_doc,
+         |  anchor_text, count(*) AS n_links
+         |FROM a WHERE href LIKE '/doc/%'
+         |GROUP BY 1, 2, 3""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.HtmlFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg((max(col("doc_id")) + lit(1L)).as("n"))
+      docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), expr(LinkWrapFrag).as("html"))
+        .select(col("doc_id").as("src_doc"),
+          explode(expr("graft_html_anchors(html)")).as("a"))
+        .select(col("src_doc"), col("a.href").as("href"),
+          col("a.anchor").as("anchor_text"))
+        .filter(col("href").startsWith("/doc/"))
+        .select(col("src_doc"),
+          expr("CAST(substr(href, 6) AS BIGINT)").as("dst_doc"),
+          col("anchor_text"))
+        .groupBy(col("src_doc"), col("dst_doc"), col("anchor_text"))
+        .agg(count(lit(1)).as("n_links"))
     }
   )
 }

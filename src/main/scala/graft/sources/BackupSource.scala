@@ -1371,7 +1371,6 @@ class BackupMicroBatchStream(val path: String, required: StructType,
     }
     if (!fs.exists(rootPath)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Leaf)]
-    val now = System.currentTimeMillis()
     def emit(dir: Path, values: Map[String, String],
              files: Seq[String]): Unit =
       if (keep(values) && files.nonEmpty)

@@ -219,6 +219,93 @@ class HtmlExtractSpec extends SparkTestBase {
       s"duplicated edges lost multiplicity: ${dup.take(3).toSeq}")
   }
 
+  /** The anchor-pair contract, written the obvious way: the DOTALL
+    * anchor regex, the FIRST three-form href inside the attr region,
+    * the x69 entity discipline on the tag-stripped body. */
+  private def referenceAnchors(html: String): Seq[(String, String)] = {
+    val tag = java.util.regex.Pattern
+      .compile("(?is)<a[ \t\n\r\f]([^>]*)>(.*?)</a>").matcher(html)
+    val href = java.util.regex.Pattern
+      .compile("(?i)href[ \t\n\r\f]*=[ \t\n\r\f]*" +
+        "(?:\"([^\"]*)\"|'([^']*)'|([^ \t\n\r\f\"'=<>`]+))")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (tag.find()) {
+      val m = href.matcher(tag.group(1))
+      if (m.find()) {
+        val v = if (m.group(1) != null) m.group(1)
+          else if (m.group(2) != null) m.group(2) else m.group(3)
+        val cleaned = decodeNumericRefs(
+          tag.group(2).replaceAll("<[^>]*>", " "))
+          .replace("&lt;", "<").replace("&gt;", ">")
+          .replace("&quot;", "\"").replace("&apos;", "'")
+          .replace("&nbsp;", " ").replace("&amp;", "&")
+          .replaceAll("[ \t\n\r\f]+", " ")
+          .stripPrefix(" ").stripSuffix(" ")
+        out += ((v, cleaned))
+      }
+    }
+    out.toSeq
+  }
+
+  private def kernelAnchors(in: String): Seq[(String, String)] = {
+    val arr = HtmlKernels.anchorLinks(
+      org.apache.spark.unsafe.types.UTF8String.fromString(in))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("anchor kernel equals the regex reference: pairing, entity " +
+    "discipline, consumed regions") {
+    val cases = Seq(
+      "",
+      "no anchors at all in this text",
+      "<a href=\"/doc/1\">plain anchor</a>",
+      "<a href='/doc/2'>single quoted href</a>",
+      "<a href=/doc/3>unquoted href</a>",
+      "<A HREF=\"/doc/4\">case games</A>",
+      "<a name=\"bk\">bookmark with no href emits nothing</a>",
+      "<a href=\"/x\">nested <b>bold</b> and <i>italic</i> text</a>",
+      "<a href=\"/x\">Tom &amp; Jerry &#38; co&#8212;dash</a>",
+      "<a href=\"/x\">  runs \t of\n whitespace  collapse  </a>",
+      "<a href=\"/x\">unclosed anchor never matches",
+      "<a href=\"/x\" unclosed tag never matches </a>text",
+      "<abbr title=\"x\">not an anchor</abbr><a href=\"/y\">real</a>",
+      "<a href=\"/a\">first</a> then <a href=\"/b\">second</a>",
+      "<a href=\"/x\"><a href=\"/inner\">nested open consumed</a></a>",
+      "<a\thref=\"/t\">tab separated</a>",
+      "<a class=\"c\" href=\"/late\" id=\"i\">href not first attr</a>",
+      "<a href=\"\">empty href still pairs</a>",
+      "<a href=\"/x\">body crossing\nnewlines\nstays one match</a>")
+    cases.foreach { in =>
+      val got = kernelAnchors(in)
+      val want = referenceAnchors(in)
+      assert(got == want,
+        s"anchors diverged on: $in\n got  $got\n want $want")
+    }
+  }
+
+  test("x72 fixture domain: every attributed edge lands on a real " +
+    "document with a non-empty cleaned anchor, and the bookmark " +
+    "anchor emits nothing") {
+    HtmlFunctions.register(spark)
+    val rows = graft.queries.TextQueries.defs("x72_anchor_text")
+      .fn(spark, sf0001)
+      .as[(Long, Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    rows.foreach { case (s0, d, a, _) =>
+      assert(d >= 0 && d < nDocs, s"edge ($s0,$d) points off-corpus")
+      assert(a.nonEmpty && a == a.trim, s"anchor not cleaned: '$a'")
+      assert(!a.contains("bookmark"), "href-less anchor leaked an edge")
+    }
+    // the entity-laden sidebar anchor decodes both the named and the
+    // numeric ampersand (doc_id % 2 == 0 docs)
+    assert(rows.exists(_._3 == "side bar & more & co"),
+      s"entity anchor missing: ${rows.map(_._3).distinct.take(8).toSeq}")
+  }
+
   test("null propagates, kernel stays inside whole-stage codegen") {
     HtmlFunctions.register(spark)
     // local relations constant-fold (ConvertToLocalRelation), which is
