@@ -322,5 +322,16 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(plan.linesIterator.exists(l =>
       l.contains("*(") && l.contains("htmlextractexpr")),
       s"extraction fell out of codegen:\n$plan")
+    // the anchor kernel rides the same mechanism; null propagates too
+    val adf = Seq(Some("<a href=\"/x\">t</a>"), None).toDF("html")
+      .select(expr("graft_html_anchors(html)").as("a"))
+    assert(adf.collect().map(r => Option(r.get(0)).isDefined).sorted
+      .toSeq == Seq(false, true))
+    val aplan = Tables.documents(spark, sf0001)
+      .select(expr("graft_html_anchors(text)").as("a"))
+      .queryExecution.executedPlan.toString
+    assert(aplan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("htmlanchorsexpr")),
+      s"anchor harvest fell out of codegen:\n$aplan")
   }
 }
