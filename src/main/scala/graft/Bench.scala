@@ -458,11 +458,15 @@ object Bench {
       if (load > loadMaxSeen) loadMaxSeen = load
       val (busy0, io0, self0) = cpuJiffies()
       val (r0, c0, g0) = (taskRunMs.get, taskCpuNs.get, taskGcMs.get)
+      // Label the query's jobs (guide §1.5): UI/eventlog attribution for
+      // per-stage analysis. Thread-local, cleared after the action.
+      spark.sparkContext.setJobDescription(key)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case t: Throwable =>
         System.err.println(s"BENCH FAIL $name: ${t.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       val (busy1, io1, self1) = cpuJiffies()
       val otherCores =
         if (busy0 < 0 || busy1 < 0 || sec <= 0) -1.0

@@ -514,6 +514,13 @@ object Dedup {
         .filter(col("pfx"))
         .groupBy(col("h"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        // explicit-N barrier BEFORE the explode too (r16 opt): the
+        // posting-list rows are few bytes, so AQE coalesced the
+        // aggregate's reader to 1-2 tasks and the pair expansion +
+        // distinct partial ran near-serially (eventlog: a 1-task
+        // 0.45 s stage inside x06/x28/x63) — the same rule the count
+        // regime and lshCandidatePairs already apply
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(explode(expr(s"graft_pairs(ids, $pairCap)")).as("p"))
         .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
         .distinct()

@@ -1230,29 +1230,42 @@ object SqlSurfaceQueries {
         .agg(count(lit(1)).as("w"))
       val out = edges.groupBy(col("src"))
         .agg(sum(col("w")).cast("bigint").as("outw"))
-      val nodes = events.select(col("event_type").as("node")).distinct()
-      val n = nodes.count() // one scalar: |node types|, metadata-sized
-      val ew = edges.join(out, "src").persist()
-      var ranks = nodes.withColumn("rank", lit(PrScale / n)).persist()
+      // r16 opt: the per-iteration persist + count() loop spent its
+      // wall on JOBS, not data — 5 rounds × (cache-materialize job +
+      // planning) over a 5-node graph ran 49 stages / 793 tasks
+      // (eventlog), ~3 s of pure scheduling. PrIters is a small fixed
+      // constant (the oracle unrolls the SAME 5 iterations as CTEs), so
+      // the rounds UNROLL into one declarative plan executed by a
+      // single action: per iteration one shuffle join + one dst-keyed
+      // aggregate, exactly the CTE shape. nodes/ew are persisted (each
+      // appears in every unrolled round — without the cache the plan
+      // would recompute the edge aggregate per round), sized by
+      // coalesce from the measured row count (SizedParts: a persist
+      // pins its child partitioning, and a 5-row rank vector must not
+      // be cached as 32 partitions; a web-scale one keeps full width).
+      // Lineage discipline at larger iteration counts stays what the
+      // scaladoc says — checkpoint every ~10 rounds; 5 needs none.
+      val nodes0 = events.select(col("event_type").as("node")).distinct()
+      val n = nodes0.count() // one scalar: |node types|, metadata-sized
+      val parts = graft.operators.SizedParts(events.sparkSession, n)
+      val nodes = nodes0.coalesce(parts).persist()
+      val ew = edges.join(out, "src").coalesce(parts).persist()
+      var ranks = nodes.withColumn("rank", lit(PrScale / n))
       (1 to PrIters).foreach { _ =>
         val contrib = ew
           .join(ranks.withColumnRenamed("node", "src"), "src")
           .withColumn("c", expr("(rank * w) div outw"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("c")).cast("bigint").as("contrib"))
-        val next = nodes.join(contrib, Seq("node"), "left")
+        ranks = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"), (lit(PrBase / n) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
-          .persist()
-        next.count() // materialize before dropping the previous round
-        ranks.unpersist()
-        ranks = next
       }
       val res = ranks
         .select(col("node").as("event_type"), col("rank").as("rank_e12"))
-      val collected = res.collect() // 5 rows; free ranks + edges caches
-      ranks.unpersist(); ew.unpersist()
+      val collected = res.collect() // 5 rows; ONE action runs all rounds
+      ew.unpersist(); nodes.unpersist(); nodes.unpersist()
       s.createDataFrame(
         s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
     },
@@ -1283,6 +1296,14 @@ object SqlSurfaceQueries {
          |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events)
          |${duckCols.mkString("\nUNION ALL\n")}""".stripMargin
     }) { (s, dir) =>
+      // r16 opt note: a repartition barrier before this aggregate was
+      // A/B-tested (the 6-way Expand partial agg runs serially on the
+      // one-row-group fixture) and REVERTED: the parallel shape cost
+      // 6-9× the total CPU (32 low-dedup partial hash tables + a
+      // ~600k-row distinct exchange the serial partial had already
+      // collapsed) for ~20% wall — a bad trade for scan-shaped
+      // profiling at any core count. The serial stage is a fixture
+      // artifact (one row group); real tables split.
       val e = Tables.events(s, dir).select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))

@@ -972,27 +972,42 @@ object TextQueries {
         .agg(sum(col("w")).cast("bigint").as("outw"))
       val nodes = docs.select(col("doc_id").as("node"))
       val n = docs.count() // |docs|: sizes the uniform start rank
-      val ew = edges.join(out, "src").persist()
-      var ranks = nodes.withColumn("rank", lit(LrScale / n)).persist()
+      // r16 opt, the q94 treatment applied to the crawl graph:
+      // (1) persist the HARVEST, not just the weighted edge list — ew's
+      // plan holds the edge subtree on BOTH join sides (edges ⋈
+      // out(edges)), and without a materialization boundary the action
+      // ran the scan → HTML-kernel → explode → aggregate chain two-to-
+      // three times (r16 opt eventlog: 3 stages re-reading the docs
+      // parquet, each paying the kernel); one eager count() pins it.
+      // (2) LrIters is a small fixed constant (the oracle unrolls the
+      // same 3 iterations as CTEs), so the rounds unroll into ONE
+      // declarative plan run by a single action instead of a
+      // persist+count job per round — per iteration still exactly one
+      // shuffle join + one dst-keyed aggregate. Cached loop inputs are
+      // coalesce-sized from measured row counts (SizedParts); at true
+      // web scale the iteration-count discipline stays "checkpoint
+      // every ~10 rounds", which 3 never reaches.
+      val edgesC = edges.persist()
+      val nEdges = edgesC.count()
+      val parts = graft.operators.SizedParts(s, math.max(n, nEdges))
+      val ew = edgesC.join(out, "src").coalesce(parts).persist()
+      val nodesC = nodes.coalesce(parts).persist()
+      var ranks = nodesC.withColumn("rank", lit(LrScale / n))
       (1 to LrIters).foreach { _ =>
         val contrib = ew
           .join(ranks.withColumnRenamed("node", "src"), "src")
           .withColumn("c", expr("(rank * w) div outw"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("c")).cast("bigint").as("contrib"))
-        val next = nodes.join(contrib, Seq("node"), "left")
+        ranks = nodesC.join(contrib, Seq("node"), "left")
           .select(col("node"), (lit(LrBase / n) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
-          .persist()
-        next.count() // materialize before dropping the previous round
-        ranks.unpersist()
-        ranks = next
       }
       val res = ranks
         .select(col("node").as("doc_id"), col("rank").as("rank_e12"))
-      val collected = res.collect() // one row per doc; frees the caches
-      ranks.unpersist(); ew.unpersist()
+      val collected = res.collect() // one row per doc; ONE action
+      ew.unpersist(); edgesC.unpersist(); nodesC.unpersist()
       s.createDataFrame(
         s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
     },
