@@ -333,8 +333,18 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    // r16 opt: size the per-round checkpointed tables from the measured
+    // edge count instead of inheriting the session shuffle width — a
+    // localCheckpoint pins its RDD's partitioning, so the fixture's
+    // few-thousand-row label table was materialized as 32 partitions
+    // and every round ran 32-task join/agg stages over a few KB. The
+    // count is cheap (edges is already checkpointed); the divisor is a
+    // rows-per-partition target, so a web-scale label table keeps full
+    // width (graft.operators.SizedParts).
+    val parts = graft.operators.SizedParts(pairs.sparkSession, edges.count())
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .coalesce(parts)
       .localCheckpoint(true)
     var changed = 1L
     var iters = 0
@@ -355,6 +365,7 @@ object Dedup {
         .join(jumpTo, col("label") === col("j_node"), "left")
         .select(col("node"), col("old_label"),
           coalesce(col("j_label"), col("label")).as("new_label"))
+        .coalesce(parts)
         .localCheckpoint(true)
       changed = updated.filter(col("new_label") =!= col("old_label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))

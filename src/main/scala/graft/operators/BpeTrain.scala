@@ -36,13 +36,33 @@ object BpeTrain {
   /** @param words (word: String, cnt: Long) distinct-word counts
     * @param rounds merge rules to learn
     */
+  /** Rounds between cache truncations in [[train]]: merges apply as
+    * LAZY stacked narrow projections over the last persisted layer, so
+    * round k's top-1 aggregate recomputes at most TruncateEvery-1
+    * stacked merge kernels (sub-pass cost, same codegen stage) instead
+    * of paying a cache-materialization JOB per round — the r16-opt
+    * eventlog showed x47 spending its wall on 17 jobs / 94 stages over
+    * a ~10 KiB vocabulary. Every TruncateEvery rounds the chain
+    * persists + counts once, so plan depth and recompute stay O(1) in
+    * the round count at any vocabulary size. */
+  val TruncateEvery = 4
+
   def train(spark: SparkSession, words: DataFrame, rounds: Int): Seq[MergeRule] = {
     graft.functions.BpeFunctions.register(spark)
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
-    var vocab = words
+    val base = words
       .select(col("cnt"), call_function("graft_bpe_symbols", col("word")).as("syms"))
       .persist()
-    vocab.count()
+    // size the vocabulary cache from its measured row count (the
+    // distinct-word table is loop state — see graft.operators.SizedParts);
+    // the first persist pins the upstream 32-wide agg layout, so the
+    // loop reads a re-cached coalesced copy
+    val parts = SizedParts(spark, base.count())
+    var persisted = base.coalesce(parts).persist()
+    persisted.count()
+    base.unpersist()
+    var vocab: DataFrame = persisted
+    var sincePersist = 0
     try {
       var step = 1
       var exhausted = false
@@ -59,18 +79,23 @@ object BpeTrain {
         else {
           val Row(l: String, r: String, f: Long) = top(0)
           rules += MergeRule(step, l, r, l + r, f)
-          val next = vocab
+          vocab = vocab
             .select(col("cnt"),
               call_function("graft_bpe_merge", col("syms"), lit(l), lit(r))
                 .as("syms"))
-            .persist()
-          next.count() // materialize before dropping the parent
-          vocab.unpersist()
-          vocab = next
+          sincePersist += 1
+          if (sincePersist >= TruncateEvery && step < rounds) {
+            val next = vocab.persist()
+            next.count() // materialize before dropping the parent layer
+            persisted.unpersist()
+            persisted = next
+            vocab = next
+            sincePersist = 0
+          }
           step += 1
         }
       }
-    } finally vocab.unpersist()
+    } finally persisted.unpersist()
     rules.toSeq
   }
 

@@ -102,7 +102,15 @@ object SourceQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, day""".stripMargin) { (s, dir) =>
       val out = QueryDef.scratchDir("r10_csv", dir)
+      // r16 opt: the fixture table is one parquet row group, so the
+      // CSV encode (date_format + quoting) ran on ONE task (eventlog:
+      // ~1.3 s serial write stage) and the read-back landed in one
+      // file. The spread barrier parallelizes encode AND re-read; the
+      // grouped result is file-layout independent, so rows are
+      // identical. At scale the scan arrives pre-split and this is one
+      // narrow-projection shuffle before a format conversion pass.
       Tables.events(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
           col("value"))
@@ -124,7 +132,11 @@ object SourceQueries {
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       val out = QueryDef.scratchDir("r11_orc", dir)
-      Tables.lineitem(s, dir).write.mode("overwrite").orc(out)
+      // spread before encode — same rationale as r10 (600 k-row ORC
+      // write otherwise runs on the single input split)
+      Tables.lineitem(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").orc(out)
       s.read.orc(out)
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"))
@@ -143,7 +155,9 @@ object SourceQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, day""".stripMargin) { (s, dir) =>
       val out = QueryDef.scratchDir("r13_json", dir)
+      // spread before encode — same rationale as r10
       Tables.events(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
           col("value"))
@@ -166,7 +180,10 @@ object SourceQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, day""".stripMargin) { (s, dir) =>
       val out = QueryDef.scratchDir("r14_xml", dir)
+      // spread before encode — same rationale as r10; XML pays the
+      // heaviest per-row serialization of the source family
       Tables.events(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
           col("value"))
