@@ -132,11 +132,14 @@ object SourceQueries {
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       val out = QueryDef.scratchDir("r11_orc", dir)
-      // spread before encode — same rationale as r10 (600 k-row ORC
-      // write otherwise runs on the single input split)
-      Tables.lineitem(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .write.mode("overwrite").orc(out)
+      // r16 opt note: a spread barrier before this ORC write was
+      // A/B-tested and REVERTED (1.98 -> 2.33 s, flagged by the bench's
+      // own regression gate): the 11 MB shuffle + 32 small ORC files'
+      // footer/dictionary overhead cost more than the serial encode it
+      // parallelized. The CSV/JSON/XML roundtrips keep their barrier -
+      // their per-row text encode dominates; ORC's columnar encode is
+      // already cheap per row.
+      Tables.lineitem(s, dir).write.mode("overwrite").orc(out)
       s.read.orc(out)
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"))
