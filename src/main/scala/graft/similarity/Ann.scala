@@ -135,55 +135,47 @@ object Ann {
     * A pair colliding in several bands is deduped after the threshold
     * filter (cos_sim is deterministic, so distinct sees equal rows).
     * The DuckDB oracle mirrors bands, rank cap and dedup exactly. */
+  // r16 opt note: a decide-then-attach rewrite (id-only buckets,
+  // candidate-scale DISTINCT, embeddings re-joined per distinct pair)
+  // was built, measured and REVERTED. It won at sf0.1 (task cpu 17.8
+  // -> 10.2 s) because the fixture's duplicated vectors are exact
+  // twins that share all `bands` buckets (~4x cosine redundancy), but
+  // on the decorrelated sf1 corpus the real redundancy is only ~1.3x
+  // (33M co-occurrences vs ~25M distinct pairs), so the rewrite
+  // replaced a 1.3x-redundant parallel verify with a candidate-scale
+  // hash distinct + two attach joins: 3.4 -> 9.7 s at sf1 (and a
+  // forced shuffle-hash variant measured 50-76 s). The original shape
+  // below dedups AFTER the threshold filter, where the set is
+  // output-scale - the right order at every measured scale.
   def dupPairs(embeddings: DataFrame, minCosine: Double,
                bands: Int = DupBands, bandBits: Int = DupBandBits,
                cap: Int = graft.dedup.Dedup.MaxBucketOccupancy): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     graft.functions.DedupFunctions.register(embeddings.sparkSession)
-    val parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    // r16 opt (guide §8: decide with small rows, attach the payload
-    // once): buckets collect VECTOR IDS only and the pair set is
-    // DISTINCT'd before any cosine — the old shape carried the
-    // embedding through the bucket explode and scored every (band,
-    // bucket) co-occurrence, so a pair sharing all `bands` buckets paid
-    // the 64-dim cosine `bands` times and the distinct deduped full
-    // (id, id, cos) rows after the fact (eventlog: 13.7 of x24's 18
-    // cpu-s in that one stage). Same pair set, same cosine per pair —
-    // the result is identical; the verify now costs one cosine per
-    // DISTINCT candidate pair, and the bucket shuffle ships 8-byte ids
-    // instead of embedding arrays.
     val perBand = spread(embeddings)
       .withColumn("bks", expr(s"graft_banded_sig(embedding, $bands, $bandBits)"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"),
         posexplode(col("bks")).as(Seq("band", "bucket")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket")).orderBy(col("vec_id"))
-    val cand = perBand
+    perBand
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("members"))
       .filter(size(col("members")) >= 2)
-      // explicit barrier: bucket rows are few bytes but the pair
-      // explode is still candidate-scale work — don't let AQE
-      // serialize the expansion
-      .repartition(parallelism)
+      // explicit barrier: bucket rows are few but each pair costs a
+      // 64-dim cosine — don't let AQE serialize the expansion
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       // the rank filter already bounds members ≤ cap, so graft_pairs'
       // star degradation can never trigger here — full pairs always
       .select(explode(expr(s"graft_pairs(members, $cap)")).as("p"))
-      .select(col("p.l").as("vec_a"), col("p.r").as("vec_b"))
-      .distinct()
-      // explicit barrier: the distinct's output is small in bytes but
-      // each pair costs a 64-dim cosine (the verify-skill rule-2 case)
-      .repartition(parallelism)
-    cand
-      .join(embeddings.select(col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a")), Seq("vec_a"))
-      .join(embeddings.select(col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(expr("graft_cosine(emb_a, emb_b)"), 6).as("cos_sim"))
+      .select(col("p.l.vec_id").as("vec_a"), col("p.r.vec_id").as("vec_b"),
+        round(expr("graft_cosine(p.l.embedding, p.r.embedding)"), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
+      .distinct()
   }
 
   /** Exact nearest neighbour for each of a (small) probe set of vectors:
