@@ -208,17 +208,52 @@ object Dedup {
     * in-bucket pair explode. Linear in bucket occupancy, never
     * all-pairs, and no self-join for AQE to replan. */
   def lshCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame =
-    bandBuckets(docs, textCol)
+    pairsFromBuckets(bandBuckets(docs, textCol))
+
+  /** The bucket→pairs half of [[lshCandidatePairs]], shared with the
+    * precomputed-base path below. */
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       // explicit barrier: bucket rows are few bytes but the pair
       // explode is CPU-heavy — don't let AQE serialize it (see
       // ngramJaccardPairs)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(buckets.sparkSession.sparkContext.defaultParallelism)
       .select(explode(elementPairs("ids")).as("p"))
       .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
       .distinct()
+
+  /** ONE shingle+md5 pass serving BOTH near-dup generators (r16 opt):
+    * a caller that runs the exact n-gram verify AND the LSH candidate
+    * generator over the same corpus (x63's recall eval) otherwise pays
+    * the signature computation twice — and md5 over the shingles is
+    * the dominant signature cost at any scale. The materialized base
+    * is exactly [[ngramJaccardPairs]]'s per-doc table (doc_id, n_gs,
+    * sorted 60-bit hashes); MinHash is a min over universal hashes of
+    * the SET, so the sorted array feeds [[bandBuckets]]'s signature
+    * unchanged. Caller contract: run at least one action on a result
+    * derived from BOTH consumers (the unpersist listener releases the
+    * base after that action — see [[unpersistAfterFirstAction]]). */
+  def sharedSignatureBase(docs: DataFrame, textCol: String = "text"): DataFrame =
+    materialize(withShingles(docs, textCol).select(col("doc_id"),
+      size(col("gs")).as("n_gs"),
+      sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")))
+
+  /** [[lshCandidatePairs]] from a [[sharedSignatureBase]] table —
+    * identical pairs (sig(hs) is order-independent), zero re-hashing. */
+  def lshCandidatePairsFromBase(base: DataFrame): DataFrame = {
+    val sigd = withKernels(base)
+      .withColumn("sig", expr("graft_minhash_sig(hs)"))
+    val buckets = (0 until Bands).map { b =>
+      md5(concat_ws(",",
+        (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
+    }
+    pairsFromBuckets(sigd.select(col("doc_id"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket"))))
+  }
 
   /** The MATERIALIZABLE LSH index over a corpus: its (band, bucket)
     * posting rows with each bucket's occupancy attached, hot buckets
@@ -400,6 +435,24 @@ object Dedup {
                         textCol: String = "text",
                         wideHash: Boolean = false,
                         smallCorpusMaxDocs: Long = SmallCorpusMaxDocs): DataFrame = {
+    val gCols = Seq(col("doc_id"), size(col("gs")).as("n_gs"),
+      sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")) ++
+      (if (wideHash) Seq(expr("graft_hash120_array(gs)").as("hs2")) else Nil)
+    ngramPairsOnG(materialize(withShingles(docs, textCol).select(gCols: _*)),
+      maxDf, threshold, wideHash, smallCorpusMaxDocs)
+  }
+
+  /** [[ngramJaccardPairs]] over a caller-materialized
+    * [[sharedSignatureBase]] — narrow-hash mode only (the wide refine
+    * needs the gram strings, which the shared base deliberately drops).
+    * Same pairs, zero re-shingling/re-hashing. */
+  def ngramJaccardPairsFromBase(base: DataFrame, maxDf: Int, threshold: Double,
+      smallCorpusMaxDocs: Long = SmallCorpusMaxDocs): DataFrame =
+    ngramPairsOnG(base, maxDf, threshold, wideHash = false, smallCorpusMaxDocs)
+
+  private def ngramPairsOnG(g: DataFrame, maxDf: Int, threshold: Double,
+      wideHash: Boolean, smallCorpusMaxDocs: Long): DataFrame = {
+    graft.functions.DedupFunctions.register(g.sparkSession)
     // The bucket expansion's graft_pairs cap must COVER maxDf: a bucket
     // is one gram's df<=maxDf posting list, and a binding cap would
     // silently UNDERCOUNT c_win — here an exactness input, not a recall
@@ -421,10 +474,6 @@ object Dedup {
     // that bound df-counts, candidate pairs and |A∩B| match the
     // string-based computation the DuckDB oracle runs — while every
     // shuffle carries longs instead of ~18-char strings.
-    val gCols = Seq(col("doc_id"), size(col("gs")).as("n_gs"),
-      sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")) ++
-      (if (wideHash) Seq(expr("graft_hash120_array(gs)").as("hs2")) else Nil)
-    val g = materialize(withShingles(docs, textCol).select(gCols: _*))
     val exploded = g.select(col("doc_id"), col("n_gs"),
       explode(col("hs")).as("h"))
 
@@ -531,14 +580,14 @@ object Dedup {
         // distinct partial ran near-serially (eventlog: a 1-task
         // 0.45 s stage inside x06/x28/x63) — the same rule the count
         // regime and lshCandidatePairs already apply
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .repartition(g.sparkSession.sparkContext.defaultParallelism)
         .select(explode(expr(s"graft_pairs(ids, $pairCap)")).as("p"))
         .select(col("p.l").as("doc_a"), col("p.r").as("doc_b"))
         .distinct()
         // explicit-N barrier: the candidate set is small in BYTES but
         // each pair costs a verify — AQE would coalesce the distinct's
         // output to 1-2 partitions and serialize the verify stage
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .repartition(g.sparkSession.sparkContext.defaultParallelism)
       val narrow = cand
         .join(g.select(col("doc_id").as("doc_a"), col("n_gs").as("n_a"),
           col("hs").as("v_a")), Seq("doc_a"))
@@ -605,7 +654,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pfx"),
         col("n_gs"), col("nh")))).as("members"))
       .filter(size(col("members")) >= 2)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(g.sparkSession.sparkContext.defaultParallelism)
       .select(explode(expr(s"graft_pairs(members, $pairCap)")).as("p"))
       .select(col("p.l.doc_id").as("doc_a"), col("p.r.doc_id").as("doc_b"),
         (col("p.l.pfx") && col("p.r.pfx")).as("bp"),

@@ -385,8 +385,19 @@ object DedupQueries {
          |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
          |GROUP BY 1""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.ngramJaccardPairs(docs, JaccardMaxDf, JaccardThreshold)
-      val cand = Dedup.lshCandidatePairs(docs).withColumn("hit", lit(1))
+      // r16 opt: ONE shingle+md5 pass serves both generators — the
+      // truth set and the LSH candidates otherwise each recompute the
+      // signature base over the full corpus (the two most expensive
+      // stages of this query's eventlog profile). Same pairs on both
+      // sides: the base IS ngramJaccardPairs' per-doc table, and
+      // MinHash over the sorted hash array is order-independent. The
+      // base cache is released by the truth side's listener after this
+      // query's first action (which computes both subtrees).
+      val base = Dedup.sharedSignatureBase(docs)
+      val truth = Dedup.ngramJaccardPairsFromBase(base, JaccardMaxDf,
+        JaccardThreshold)
+      val cand = Dedup.lshCandidatePairsFromBase(base)
+        .withColumn("hit", lit(1))
       truth.join(cand, Seq("doc_a", "doc_b"), "left")
         .groupBy(floor(col("jaccard") * 10).cast("int").as("jaccard_band"))
         .agg(count(lit(1)).as("n_truth"),
