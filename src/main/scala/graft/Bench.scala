@@ -75,6 +75,24 @@ object Bench {
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_ok":${f3(totalOk)},"n_failed":$nFailed,"load_max":${f3(loadMax)},"other_max":${f3(otherMax)},"n_hot":$nHot,"n_retimed":$nRetimed,"n_regressed":${regressions.size},"regressions":$rg,"rows_only_by_design":$ro,"initial_partitions":$initialPartitions,"input_mib":$inputMib$perQ,"sf":"$sf"}"""
   }
 
+  /** One compact per-query stdout line, printed for EVERY query between
+    * the queries-map line and the final total line (r17, VERDICT r16
+    * item 2). The driver keeps only a ~2.7 KB stdout tail, and the
+    * single queries-map line had grown to ~7.5 KB at 228 queries — it
+    * arrived clipped mid-key and parsed as NOTHING, so PERF_r16's
+    * per-query comparison came back empty (n_common 0). Small
+    * self-contained lines degrade gracefully instead: the tail always
+    * ends with the LAST ~55-60 complete lines, each of which parses on
+    * its own, so the driver's round-over-round per-query gate sees the
+    * same (alphabetically last) query subset every round rather than
+    * zero. The map line stays (printed FIRST — file-based consumers of
+    * the whole artifact read it); the final total line stays LAST and
+    * byte-for-byte unchanged. Failed queries carry their negated wall
+    * here exactly as in the map, so the two renderings can never
+    * disagree. */
+  private[graft] def perQueryLine(key: String, sec: Double): String =
+    s"""{"q":"$key","sec":${f3(sec)}}"""
+
   /** More than this many CPU cores of FOREIGN work (host busy minus
     * this JVM) averaged over a query's wall time flags the measurement
     * as host-contaminated. Loadavg cannot make this call — a suite that
@@ -665,6 +683,9 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     } catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    // driver-tail-survivable per-query timings: one line per query (see
+    // [[perQueryLine]]); the final line below must stay LAST
+    results.foreach(r => println(perQueryLine(r.key, r.sec)))
     println(finalLine(total, totalOk, nFailed, sfDir, loadMaxSeen,
       otherMaxSeen, nHot, nRetimed,
       rowsOnly = defsSnap.collect {

@@ -242,7 +242,15 @@ object Dedup {
       sort_array(expr("graft_hash60_array(gs, 0)")).as("hs")))
 
   /** [[lshCandidatePairs]] from a [[sharedSignatureBase]] table —
-    * identical pairs (sig(hs) is order-independent), zero re-hashing. */
+    * identical pairs (sig(hs) is order-independent), zero re-hashing.
+    * Attaches its own release listener for the base (r17, ADVICE r16):
+    * a caller using ONLY this consumer must not pin the
+    * MEMORY_AND_DISK cache until clearCache. When both consumers feed
+    * one combined action (x63's shape) the two listeners fire on that
+    * same action and the second unpersist is a no-op; if the caller
+    * runs the two sides as SEPARATE actions the first action releases
+    * the base and the second recomputes without cache — documented as
+    * correct-only-slower, exactly like every other early release. */
   def lshCandidatePairsFromBase(base: DataFrame): DataFrame = {
     val sigd = withKernels(base)
       .withColumn("sig", expr("graft_minhash_sig(hs)"))
@@ -251,8 +259,10 @@ object Dedup {
         (0 until RowsPerBand).map(r =>
           element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
     }
-    pairsFromBuckets(sigd.select(col("doc_id"),
-      posexplode(array(buckets: _*)).as(Seq("band", "bucket"))))
+    unpersistAfterFirstAction(
+      pairsFromBuckets(sigd.select(col("doc_id"),
+        posexplode(array(buckets: _*)).as(Seq("band", "bucket")))),
+      base)
   }
 
   /** The MATERIALIZABLE LSH index over a corpus: its (band, bucket)
@@ -291,7 +301,19 @@ object Dedup {
     * lists — never a corpus-side rescan or self-join. */
   def lshProbePairs(index: DataFrame, batch: DataFrame,
                     textCol: String = "text"): DataFrame =
-    bandBuckets(batch, textCol).withColumnRenamed("doc_id", "new_doc")
+    lshProbePairsFromPostings(index, bandBuckets(batch, textCol))
+
+  /** [[lshProbePairs]] when the batch's postings are ALREADY computed
+    * (r17 opt, guide §1.2): the rolling-ingest day loop (x60/s26)
+    * computes the batch's [[bandBuckets]] ONCE and feeds both the
+    * probe and the posting append from it, instead of paying the
+    * shingle+md5 signature pass — the day's dominant CPU at any scale
+    * — twice per day. Postings are a per-doc deterministic function,
+    * so probing from precomputed postings is row-identical to
+    * [[lshProbePairs]] over the same batch. */
+  def lshProbePairsFromPostings(index: DataFrame,
+                                batchPostings: DataFrame): DataFrame =
+    batchPostings.withColumnRenamed("doc_id", "new_doc")
       .join(index.withColumnRenamed("doc_id", "corpus_doc"),
         Seq("band", "bucket"))
       .select(col("new_doc"), col("corpus_doc"))

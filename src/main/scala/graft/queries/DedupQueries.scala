@@ -462,11 +462,22 @@ object DedupQueries {
       days.zipWithIndex.foreach { case (day, i) =>
         val k = i + 1
         val batch = docs.filter(col("source") === day)
+        // r17 opt (guide §1.2): ONE signature pass per day. The old
+        // shape ran the shingle+md5 signature computation TWICE per
+        // day — once inside lshProbePairs(batch) and again as
+        // bandBuckets(admitted) for the posting append. The batch's
+        // postings are computed once, persisted, and feed BOTH: the
+        // probe consumes them directly, and the appended postings are
+        // the batch postings semi-joined on the admitted ids — rows
+        // identical to bandBuckets(admitted) because postings are a
+        // per-doc deterministic function (RollingIngestSpec pins the
+        // equivalence).
+        val batchPost = Dedup.bandBuckets(batch).persist()
         // list the log fresh each day: yesterday's append is visible,
         // today's own is not yet written
         val capped = Dedup.capPostings(s.read.parquet(logDir))
         val admitted = batch.join(
-          Dedup.lshProbePairs(capped, batch)
+          Dedup.lshProbePairsFromPostings(capped, batchPost)
             .select(col("new_doc").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
           // two actions consume the admit decision (the admitted-doc
@@ -477,9 +488,13 @@ object DedupQueries {
           admitted
             .select(lit(k).as("ingest_day"), col("doc_id"), col("n_chars"))
             .write.mode("overwrite").parquet(s"$admitDir/day=$k")
-          Dedup.bandBuckets(admitted)
+          batchPost
+            .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$logDir/batch=day$k")
-        } finally admitted.unpersist(blocking = false)
+        } finally {
+          admitted.unpersist(blocking = false)
+          batchPost.unpersist(blocking = false)
+        }
       }
       s.read.parquet(admitDir)
         .select(col("ingest_day"), col("doc_id"), col("n_chars"))

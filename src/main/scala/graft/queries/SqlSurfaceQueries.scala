@@ -1265,7 +1265,7 @@ object SqlSurfaceQueries {
       val res = ranks
         .select(col("node").as("event_type"), col("rank").as("rank_e12"))
       val collected = res.collect() // 5 rows; ONE action runs all rounds
-      ew.unpersist(); nodes.unpersist(); nodes.unpersist()
+      ew.unpersist(); nodes.unpersist()
       s.createDataFrame(
         s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
     },

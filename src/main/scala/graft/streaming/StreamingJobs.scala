@@ -1494,12 +1494,17 @@ object StreamingJobs {
               s"rolling trigger saw sources ${srcs.toSeq} — staging broke " +
                 "the one-day-per-trigger contract")
             val k = dayOf(srcs.head)
+            // r17 opt: ONE signature pass per trigger — batch postings
+            // computed once feed both the probe and the posting append
+            // (x60's day-loop discipline; the semi-join is row-identical
+            // to bandBuckets(adm) because postings are per-doc)
+            val batchPost = graft.dedup.Dedup.bandBuckets(batch).persist()
             // list the log fresh per trigger: previous days' appends
             // are visible, this day's own is not yet written
             val capped = graft.dedup.Dedup
               .capPostings(ses.read.parquet(postings))
             val adm = batch.join(
-              graft.dedup.Dedup.lshProbePairs(capped, batch)
+              graft.dedup.Dedup.lshProbePairsFromPostings(capped, batchPost)
                 .select(col("new_doc").as("doc_id")).distinct(),
               Seq("doc_id"), "left_anti")
               .persist()
@@ -1507,9 +1512,13 @@ object StreamingJobs {
               adm.select(lit(k).as("ingest_day"), col("doc_id"),
                 col("n_chars"))
                 .write.mode("overwrite").parquet(s"$admitted/day=$k")
-              graft.dedup.Dedup.bandBuckets(adm)
+              batchPost
+                .join(adm.select(col("doc_id")), Seq("doc_id"), "left_semi")
                 .write.mode("overwrite").parquet(s"$postings/batch=day$k")
-            } finally adm.unpersist(blocking = false): Unit
+            } finally {
+              adm.unpersist(blocking = false): Unit
+              batchPost.unpersist(blocking = false): Unit
+            }
           }
         }
         .start()

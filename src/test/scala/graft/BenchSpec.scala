@@ -91,6 +91,20 @@ class BenchSpec extends SparkTestBase {
       "input_mib", "sf"))
   }
 
+  test("per-query lines are small self-contained JSON (driver-tail survivable)") {
+    // r17: the 7.5 KB queries-map line outgrew the driver's ~2.7 KB
+    // stdout tail (PERF_r16 per_query == {}); per-query timings now ALSO
+    // print one line each so the tail always ends in complete,
+    // individually-parsable records. Pin the exact shape and a size
+    // bound: ~60 of these must fit in the tail alongside the final line.
+    val line = Bench.perQueryLine("x63_lsh_dedup_recall", 2.2856)
+    assert(line == """{"q":"x63_lsh_dedup_recall","sec":2.286}""")
+    assert(line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length < 64)
+    // failed queries carry the negated wall, same as the map rendering
+    assert(Bench.perQueryLine("q01_pricing_summary", -1.5)
+      == """{"q":"q01_pricing_summary","sec":-1.500}""")
+  }
+
   test("final line is valid minimal JSON with the keys the driver parses") {
     val line = Bench.finalLine(64.9, 64.9, 0, "/tmp/x")
     assert(line.startsWith("{") && line.endsWith("}"))

@@ -79,6 +79,30 @@ class RollingIngestSpec extends SparkTestBase {
         s"batch-only=${(batch -- stream).toSeq.sorted.take(5)}")
   }
 
+  test("posting append via semi-join equals bandBuckets(admitted) — the " +
+    "r17 one-signature-pass restructure's equivalence") {
+    // x60/s26 now compute the batch's postings ONCE and append the
+    // admitted docs' postings by semi-joining that table on the
+    // admitted ids, instead of re-running the shingle+md5 signature
+    // pass over the admitted subset. Postings are a per-doc
+    // deterministic function, so the two must be row-identical.
+    val docs = graft.Tables.documents(spark, sf0001)
+    val batch = docs.filter(col("source") === "src7")
+    // src-keyed fixtures stride doc_id by the source count, so split on
+    // a coarser modulus (mod 2/4 would be constant across one source)
+    val admittedIds = batch.filter(pmod(col("doc_id"), lit(40)) < 20)
+      .select($"doc_id")
+    assert(admittedIds.count() > 0 && admittedIds.count() < batch.count(),
+      "test split must be a strict non-empty subset")
+    val viaSemiJoin = Dedup.bandBuckets(batch)
+      .join(admittedIds, Seq("doc_id"), "left_semi")
+      .as[(Long, Int, String)].collect().toSet
+    val viaRecompute = Dedup.bandBuckets(
+      batch.join(admittedIds, Seq("doc_id")))
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaSemiJoin == viaRecompute && viaSemiJoin.nonEmpty)
+  }
+
   test("x60: day-2 gating sees day-1 admissions (state the isolated " +
     "x51/s25 shapes cannot)") {
     // DIRECT construction, not a monotonicity claim (admission is NOT
